@@ -1,0 +1,79 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the noop sink (full computation, no
+driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bert_etl_spark.operators import registry
+from bert_etl_spark.session import get_spark
+
+# Headline set: one representative per capability area. Names not yet
+# registered are skipped (list grows with coverage).
+HEADLINE = [
+    "revenue_by_nation",      # multi-join + agg flagship
+    "pricing_summary",        # wide-agg single scan
+    "join_inner",             # big-big shuffle join
+    "join_asof",              # window-based as-of join
+    "join_anti",              # dedup-ledger pattern
+    "agg_distinct",           # two-phase distinct agg
+    "agg_rollup",             # grouping sets
+    "window_topk_per_group",  # ranked window
+    "window_sessionize",      # gap sessionization
+    "window_event_tumbling",  # event-time windows
+    "scalar_json",            # JSON path extraction
+    "scalar_hash",            # content identity
+    "dedup_exact",            # exact dedup
+    "dedup_minhash_lsh",      # near-dup at scale
+    "dedup_ngram_jaccard",    # shingle jaccard
+    "sim_topk_bruteforce",    # cosine top-k
+    "text_tfidf_top_terms",   # tf-idf
+    "text_quality_score",     # quality scoring
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    registry.load_all()
+    spark = get_spark(app_name="bert_etl_spark_bench")
+
+    # JVM/codegen warmup on a trivial plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.ALL_QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

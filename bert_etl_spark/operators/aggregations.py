@@ -1,0 +1,302 @@
+"""Aggregation suite (SURVEY §2B): multi-agg groupBy, distinct counts,
+rollup/cube/grouping sets, pivot, order statistics, approximate sketches,
+collect_list/set, and conditional aggregation.
+
+Reference parity: the reference aggregates by draining an entire queue inside
+a single-worker BOTTLE job (SURVEY §2A#26; "load timeseries data, calculate
+the mean", reference README.md:79). Every aggregate here instead runs as a
+partial (map-side) + final hash aggregate — the count/sum/min/max state that
+crosses the exchange is O(groups), not O(rows), which is what makes these
+viable at 100 TB.
+
+Float determinism: SUM/AVG/STDDEV over doubles use exact decimal reductions
+(functions.deterministic) so results are order-insensitive — see that module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from bert_etl_spark.operators.registry import query, sqlq, tbl
+
+
+@query(
+    "agg_basic",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_quantity')} AS avg_qty,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_quantity", "avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# count(DISTINCT) expands to a two-phase aggregate; keys partially dedup
+# map-side before the exchange.
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(F.date_trunc("month", "o_orderdate")).alias("n_months"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sqlq(
+        spark,
+        sf_dir,
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {sql_dsum('l_extendedprice')} AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        ("lineitem",),
+    )
+
+
+# Pivot: Spark reshapes in one aggregate pass given explicit pivot values
+# (never rely on value discovery at scale); oracle uses FILTERed aggregates.
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+# Order statistics: exact interpolated percentiles (both engines interpolate
+# identically; rounded to absorb last-bit differences in the interpolation).
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+# Deterministic stddev/variance: exact decimal sums of x and x², then the
+# textbook formula in double — order-insensitive, matches DuckDB bit-for-bit.
+@query(
+    "agg_stats",
+    oracle=f"""
+    WITH s AS (
+        SELECT c_mktsegment,
+               COUNT(c_acctbal) AS n,
+               {sql_dsum('c_acctbal')} AS sx,
+               {sql_dsum('c_acctbal * c_acctbal')} AS sxx
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           ROUND(sx / n, 6) AS mean_bal,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_bal,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_bal
+    FROM s
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("c_acctbal").alias("n"),
+            dsum("c_acctbal", "sx"),
+            dsum(F.col("c_acctbal") * F.col("c_acctbal"), "sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return base.select(
+        "c_mktsegment",
+        "n",
+        F.round(sx / n, 6).alias("mean_bal"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_bal"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_bal"),
+    )
+
+
+# HLL / KLL sketches: engine-specific internals, so no cross-engine oracle —
+# driver records the rows-only check. Correct usage at scale: cardinality
+# estimation without the exact-distinct shuffle.
+@query("agg_approx", oracle=None)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+    )
+
+
+# collect_set → sorted → string: set-valued results need a canonical order
+# before they can be compared (or stored) deterministically.
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           {sql_dsum("CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END")} AS taxed_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+            dsum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0),
+                "taxed_price",
+            ),
+        )
+    )

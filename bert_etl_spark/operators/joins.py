@@ -1,0 +1,323 @@
+"""Join suite (SURVEY §2B): inner/left/right/full/semi/anti equi-joins,
+broadcast, cross, theta (non-equi), range, self, and as-of.
+
+The reference has NO join operator — joins happen as Python-side dict lookups
+inside job bodies. Here every variant is a Catalyst-planned join:
+
+- equi-joins: sort-merge by default, broadcast when a side fits the threshold,
+  AQE converts to shuffled-hash / handles skew at runtime.
+- semi/anti: dedicated LeftSemi/LeftAnti — no payload materialization of the
+  right side (also the dedup-ledger pattern, SURVEY §2A#19).
+- theta/range: BroadcastNestedLoop only when one side is small (we keep the
+  build side a dim); range predicates piggyback on an equi-key wherever
+  possible so the executor does a hash probe + residual filter, not O(n²).
+- as-of: implemented shuffle-once via union + running `last(ignorenulls)`
+  window — the 100 TB-safe pattern (no pairwise blowup, one exchange on the
+  partition key), vs. the naive join+max-per-key double shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.operators.registry import query, tbl
+
+
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice", "total_price"))
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_rows,
+           COUNT(l.l_orderkey) AS n_matched
+    FROM lineitem l RIGHT JOIN orders o
+      ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == o.o_orderkey) & (li.l_returnflag == "R")
+    return (
+        li.join(o, cond, "right")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"), F.count("l_orderkey").alias("n_matched"))
+    )
+
+
+# Full outer of two pre-aggregated sides: aggregate-then-join keeps the outer
+# join tiny regardless of fact size (100 TB-safe ordering of operators).
+@query(
+    "join_full",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        tbl(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cust.join(supp, "nationkey", "full").select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    urgent = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# Left-anti = the reference's ETLState dedup-ledger membership test
+# (`bert/etl/__init__.py:71-80`): "rows not already in the state table".
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# Theta self-join within a brand: the equi-key (brand) bounds the quadratic
+# term to within-group pairs — the scalable form of a non-equi join.
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.p_brand, COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+    GROUP BY a.p_brand
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tbl(spark, sf_dir, "part").select("p_brand", "p_size")
+    b = tbl(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("b_brand"), F.col("p_size").alias("b_size")
+    )
+    return (
+        a.join(b, (a.p_brand == F.col("b_brand")) & (a.p_size < F.col("b_size")))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# Range join riding an equi-key: hash probe on orderkey + residual timestamp
+# band filter. Never a nested-loop at any scale.
+@query(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_quick_ships
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_quick_ships"))
+    )
+
+
+# As-of join: for each 'error' event, the value of the user's most recent
+# 'purchase' at-or-before it. Single shuffle on user_id; the running
+# last(ignorenulls) window replaces a pairwise time join. DuckDB oracle uses
+# its native ASOF JOIN.
+@query(
+    "join_asof",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts, p.value AS last_purchase_value
+    FROM errors e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_value"),
+    )
+    # purchases sort before errors at equal ts so an exactly-simultaneous
+    # purchase is visible to the error row (ASOF's >= semantics).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.desc("is_purchase"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_purchase_value", F.last("purchase_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 0)
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.c_mktsegment
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = tbl(spark, sf_dir, "region").select("r_name")
+    segs = tbl(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(segs)
+
+
+# Self-join: same-customer order pairs in the same calendar month.
+@query(
+    "join_self",
+    oracle="""
+    SELECT CAST(date_trunc('month', a.o_orderdate) AS TIMESTAMP) AS order_month, COUNT(*) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND date_trunc('month', a.o_orderdate) = date_trunc('month', b.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_custkey").alias("a_cust"),
+        F.col("o_orderkey").alias("a_key"),
+        F.date_trunc("month", "o_orderdate").alias("a_month"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("o_orderkey").alias("b_key"),
+        F.date_trunc("month", "o_orderdate").alias("b_month"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_cust") == F.col("b_cust"))
+            & (F.col("a_key") < F.col("b_key"))
+            & (F.col("a_month") == F.col("b_month")),
+        )
+        .groupBy(F.col("a_month").alias("order_month"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

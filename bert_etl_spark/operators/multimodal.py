@@ -1,0 +1,1 @@
+"""multimodal operators — filled in by later milestones (see tasks M4-M8)."""

@@ -1,0 +1,90 @@
+"""Query registry: name -> (spark, sf_dir) -> DataFrame, plus DuckDB oracles.
+
+Every operator in SURVEY.md §2B lands here as a named query. The driver runs
+the Spark query and the oracle SQL side by side at sf0.01 and compares
+row-count + schema + order-insensitive value hash, so:
+
+- alias every computed column identically in both
+- make float aggregates order-insensitive (see functions.deterministic)
+- queries registered with ``oracle=None`` get a rows-only check (reserved for
+  genuinely non-SQL-expressible ops: LSH internals, streaming state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+ALL_QUERIES: dict[str, QueryFn] = {}
+ALL_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL."""
+
+    def decorator(fn: QueryFn) -> QueryFn:
+        if name in ALL_QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        ALL_QUERIES[name] = fn
+        if oracle is not None:
+            ALL_ORACLES[name] = oracle
+        return fn
+
+    return decorator
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for a named test table.
+
+    The events table carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and integer-divide to microseconds (integer
+    `div`, not `/` — ns-since-epoch overflows double precision).
+    """
+    try:
+        # determinism on foreign sessions (the driver builds its own):
+        # timestamp semantics must match the UTC-naive DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def sqlq(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
+    """Register the named tables as temp views and run a SQL query.
+
+    Spark SQL text goes through the exact same Catalyst pipeline as the
+    DataFrame API — this is for operators most naturally written as SQL
+    (correlated subqueries, grouping sets).
+    """
+    for name in tables:
+        tbl(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+def load_all() -> None:
+    """Import every operator module (registration side effects)."""
+    from bert_etl_spark.operators import (  # noqa: F401
+        aggregations,
+        dedup,
+        joins,
+        multimodal,
+        relational,
+        scalars,
+        similarity,
+        text,
+        windows,
+    )

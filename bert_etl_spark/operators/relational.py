@@ -1,0 +1,303 @@
+"""Core relational queries: scan/filter/project, sort/limit, distinct,
+set operations, subqueries, and the flagship multi-join aggregate.
+
+Reference parity: the reference expresses ALL of these as per-item Python in
+job bodies (`bert/queues.py:61-93` iteration + `queue.put` emission — SURVEY
+§2A#12/13). Here each is a declarative plan: filters and projections push down
+to the parquet scan, Catalyst picks join strategies, and AQE re-plans at
+runtime — none of which the reference's opaque-Python model can do.
+
+Scale notes are per-query docstrings; the common theme: small dims are
+broadcast (no shuffle), fact-fact joins shuffle on the join key once, and
+aggregations run partial (map-side) before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from bert_etl_spark.operators.registry import query, sqlq, tbl
+
+# --------------------------------------------------------------------------
+# Flagship: revenue by nation — scan → filter → 4 joins → agg → sort.
+# lineitem⋈orders is the only big-big join (shuffle on orderkey); customer,
+# nation, region are broadcast so the probe side streams through map-side.
+# At 100 TB the same plan holds: AQE demotes to shuffle join only if a
+# "dim" outgrows the broadcast threshold.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape: single-scan groupBy with many aggregates. Partial aggs
+# combine map-side; only 6 groups cross the exchange regardless of SF.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection + filter: both push to the parquet scan (PushedFilters +
+# 4-column ReadSchema out of 11). Per-row double math is identical IEEE in
+# both engines, so no rounding is needed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_discount > 0.05
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# Deterministic top-N: unique (orderkey, linenumber) tiebreak so LIMIT is
+# stable. At scale this is a TakeOrderedAndProject — no global sort.
+@query(
+    "sort_limit_topn",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2B). UNION dedups via hash-agg on all columns; unionAll
+# is exchange-free.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey AS k, 'order' AS src FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT l_orderkey AS k, 'line' AS src FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k"), F.lit("order").alias("src")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k"), F.lit("line").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# --------------------------------------------------------------------------
+# Subqueries: EXISTS / IN decorrelate into semi-joins; the scalar subquery
+# becomes a broadcast of a 1-row aggregate. Threshold uses the deterministic
+# decimal avg so both engines agree on borderline rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sqlq(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+        )
+        GROUP BY o_orderpriority
+        """,
+        ("orders", "lineitem"),
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sqlq(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal)
+            FROM customer
+        )
+        """,
+        ("customer",),
+    )

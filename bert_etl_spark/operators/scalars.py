@@ -1,0 +1,252 @@
+"""Scalar function coverage (SURVEY §2B): string, date/time, math, array,
+map, JSON, conditional, and hash functions.
+
+Reference parity: the reference computes scalars in opaque Python per item
+(the canonical doc example is ``math.pow(idx, 2)``, reference
+docs/index.rst:56-63). Every function here is a built-in Catalyst expression:
+JVM-side, whole-stage-codegen'd, null-safe — never a Python UDF.
+
+Cross-engine notes (documented divergences handled in the oracles):
+- dayofweek: Spark is 1=Sunday..7; DuckDB 0=Sunday..6 → oracle adds 1.
+- transcendentals (pow/ln/log10) are libm-dependent in the last bit → both
+  sides round to 6 decimals.
+- per-row +,-,*,/ and sqrt are IEEE-exact → compared raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.operators.registry import query, tbl
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           string_split(p_name, ' ')[1] AS first_word,
+           substring(p_brand, 7) AS brand_num,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_digits,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           levenshtein(p_type, 'ECONOMY') AS dist_economy,
+           strpos(p_name, ' ') AS space_pos,
+           trim(('  ' || p_name || ' ')) AS trimmed
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.substring(F.col("p_brand"), 7, 1000).alias("brand_num"),
+        F.regexp_extract(F.col("p_brand"), r"([0-9]+)", 1).alias("brand_digits"),
+        F.regexp_replace(F.col("p_type"), "ECONOMY", "ECO").alias("type_short"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein(F.col("p_type"), F.lit("ECONOMY")).cast("long").alias("dist_economy"),
+        F.instr(F.col("p_name"), " ").cast("long").alias("space_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           dayofmonth(o_orderdate) AS order_day,
+           dayofweek(o_orderdate) + 1 AS order_dow,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           o_orderdate + INTERVAL '90 days' AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.dayofweek("o_orderdate").cast("long").alias("order_dow"),
+        F.date_trunc("quarter", "o_orderdate").alias("order_quarter"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(pow(l_quantity, 2), 6) AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           ROUND(ln(l_quantity), 6) AS qty_ln,
+           ROUND(log10(l_extendedprice), 6) AS price_log10,
+           round(l_extendedprice, 1) AS price_round,
+           abs(l_discount - 0.05) AS disc_dev,
+           ceil(l_quantity / 7) AS qty_ceil,
+           floor(l_quantity / 7) AS qty_floor,
+           CAST(l_linenumber % 3 AS BIGINT) AS line_mod,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference's canonical transform is math.pow(idx, 2) (docs/index.rst:56-63)
+    return tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_quantity")), 6).alias("qty_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.col("l_extendedprice"), 1).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
+        (F.col("l_linenumber") % 3).cast("long").alias("line_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+# Array functions over the embeddings vectors (ArrayType(Float) — the Spark
+# mapping of the reference's np.ndarray payloads, bert/encoders/numpy.py:117).
+# Element math is promoted to double on both sides before folding; the fold
+# is sequential left-to-right in both engines (64 elements) → identical bits,
+# rounded anyway for defense.
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           ROUND(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sum_sq,
+           ROUND(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+           CAST(list_aggregate(list_transform(embedding,
+                 x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x2 = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    sum_sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x2(x)
+    )
+    return tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x > 0, 1).otherwise(0),
+        ).alias("n_positive"),
+    )
+
+
+# JSON: the reference's free-form dict payloads (events.props mirrors
+# QueueItem payloads). Parse on demand — schemaless stays cheap because only
+# the requested path is extracted.
+@query(
+    "scalar_json",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           COUNT(*) AS n,
+           COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_non_building,
+           COUNT(coalesce(nullif(c_mktsegment, 'BUILDING'), NULL)) AS n_coalesce
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    non_building = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        tbl(spark, sf_dir, "customer")
+        .groupBy(bucket.alias("bal_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(non_building).alias("n_non_building"),
+            F.count(F.coalesce(non_building, F.lit(None))).alias("n_coalesce"),
+        )
+    )
+
+
+# Content identity (SURVEY §2A#18): sha256/md5 over a canonical column
+# concatenation — the deterministic variant of QueueItem.calc_identity.
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT c_custkey,
+           sha256(concat_ws('|', c_name, c_mktsegment)) AS identity_sha,
+           md5(c_name) AS name_md5
+    FROM customer
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.sha2(F.concat_ws("|", "c_name", "c_mktsegment"), 256).alias("identity_sha"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+    )
+
+
+# Map functions: build a map, read it back (reference payloads are nested
+# dicts → MapType). Oracle computes the equivalent value directly.
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id, event_type AS type_from_map, 2 AS n_keys
+    FROM events
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )

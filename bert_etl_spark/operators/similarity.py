@@ -1,0 +1,1 @@
+"""similarity operators — filled in by later milestones (see tasks M4-M8)."""

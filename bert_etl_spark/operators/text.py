@@ -1,0 +1,1 @@
+"""text operators — filled in by later milestones (see tasks M4-M8)."""
