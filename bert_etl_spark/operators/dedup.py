@@ -1,1 +1,389 @@
-"""dedup operators — filled in by later milestones (see tasks M4-M8)."""
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY §2B LLM-pipeline extensions; reference
+pattern: the ETLState content-hash ledger, /root/reference
+bert/etl/__init__.py:57-80, and the debug duplicate counter
+bert/debug/factory.py:41-59).
+
+Scale design (the part that matters at 100 TB):
+- exact dedup: hash → groupBy/dropDuplicates. One shuffle on the digest;
+  partial aggregation dedups map-side first.
+- MinHash: signatures are k independent MIN aggregates computed in a SINGLE
+  pass over the shingle table (no k× row blowup), then banded; candidate
+  generation is an equi-join on (band, band_hash) — the quadratic term only
+  materializes within a bucket. Deterministic md5-based hash family, so the
+  result is engine-independent (and DuckDB-oracle-checkable).
+- SimHash: 64-bit signature from xxhash64 token hashes; Hamming-≤t candidate
+  search via 4×16-bit band blocking (pigeonhole: any pair within Hamming 3 of
+  each other shares at least one exact band).
+- Jaccard verification: inverted shingle index self-join grouped by pair —
+  never an all-pairs cross join.
+- embedding near-dup: blocked by a cheap key (label here; any coarse quantizer
+  in production) so the pairwise cosine is O(n²/k) per block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.registry import query, tbl
+
+N_MINHASHES = 8
+BAND_ROWS = 2  # minhashes per band → 4 bands
+JACCARD_THRESHOLD = 0.5
+# the synthetic embeddings carry no planted near-dups (max within-label
+# cosine ≈ 0.5) — 0.4 keeps the operator's output non-empty at every SF
+COSINE_THRESHOLD = 0.4
+
+
+# ---------------------------------------------------------------------------
+# library functions (reusable beyond the registered queries)
+# ---------------------------------------------------------------------------
+
+
+def tokenize(text: Column) -> Column:
+    return F.split(F.trim(text), " ")
+
+
+def shingles_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct n-gram token shingles per document: (id, shingle)."""
+    toks = tokenize(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = N_MINHASHES) -> DataFrame:
+    """k MIN-aggregates in one pass: (doc_id, m0..m{k-1}).
+
+    Hash family: md5(f"{seed}:{shingle}") — deterministic across engines and
+    runs, unlike a seeded RNG. MIN over the hex string is the minhash.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, k: int = N_MINHASHES, r: int = BAND_ROWS) -> DataFrame:
+    """Split the signature into k/r bands; band hash = md5 of the sorted
+    minhashes in the band. Output: (doc_id, band, h)."""
+    bands = []
+    for b in range(k // r):
+        cols = [F.col(f"m{b * r + i}") for i in range(r)]
+        # sorted so the band hash is a set digest (order-free)
+        h = F.md5(F.concat(F.least(*cols), F.greatest(*cols))) if r == 2 else F.md5(
+            F.concat_ws(",", F.array_sort(F.array(*cols)))
+        )
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), h.alias("h")))
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Equi-join on (band, h): pairs sharing at least one band bucket."""
+    a = bands.select(F.col("doc_id").alias("doc_i"), "band", "h")
+    b = bands.select(F.col("doc_id").alias("doc_j"), "band", "h")
+    return (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j")
+        .distinct()
+    )
+
+
+def pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for every pair sharing ≥1 shingle (inverted index join).
+    Output: (doc_i, doc_j, jaccard)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_i"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_j"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_i"), F.col("sz").alias("sz_i"))
+    sb = sizes.select(F.col("doc_id").alias("doc_j"), F.col("sz").alias("sz_j"))
+    return (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_i") + F.col("sz_j") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = """
+tok AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+    FROM tok WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_i, doc_j,
+           CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_i = sa.doc_id
+    JOIN sizes sb ON doc_j = sb.doc_id
+)
+"""
+
+_SQL_MINHASH = """
+minh AS (
+    SELECT doc_id,
+           MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+           MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+           MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+           MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, 0 AS band, md5(least(m0,m1) || greatest(m0,m1)) AS h FROM minh
+    UNION ALL
+    SELECT doc_id, 1, md5(least(m2,m3) || greatest(m2,m3)) FROM minh
+    UNION ALL
+    SELECT doc_id, 2, md5(least(m4,m5) || greatest(m4,m5)) FROM minh
+    UNION ALL
+    SELECT doc_id, 3, md5(least(m6,m7) || greatest(m6,m7)) FROM minh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(text)) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_unique"),
+    )
+
+
+# Keep-first semantics: lowest doc_id survives per content hash — the
+# deterministic version of the reference's "first contain() wins" ledger.
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .drop("_h")
+        .select("doc_id", "n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}
+    SELECT doc_i, doc_j, ROUND(jaccard, 6) AS jaccard
+    FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(tbl(spark, sf_dir, "documents"))
+    jac = pair_jaccard(sh)
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH}
+    SELECT c.doc_i, c.doc_j, ROUND(j.jaccard, 6) AS jaccard
+    FROM cand c JOIN jac j ON c.doc_i = j.doc_i AND c.doc_j = j.doc_j
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(tbl(spark, sf_dir, "documents"))
+    cand = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    jac = pair_jaccard(sh)
+    return (
+        cand.join(jac, ["doc_i", "doc_j"])
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# SimHash: engine-specific 64-bit hashing (xxhash64) → no cross-engine SQL
+# oracle; exactness is covered by a numpy-oracle unit test instead
+# (tests/test_dedup.py). Rows-only check from the driver.
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from distinct-token xxhash64 values.
+
+    For each bit b: sum over tokens of (bit_b(hash) ? +1 : -1); sign → bit.
+    Computed columnar: explode tokens → per-(doc, bit) vote via a 64-element
+    array transform → aggregate. One shuffle (groupBy doc).
+    """
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .distinct()
+        .withColumn("h", F.xxhash64("token"))
+    )
+    # votes: array[64] of ±1 per token, summed element-wise per doc
+    # (bit positions unrolled statically — shiftright takes a literal count)
+    votes = F.array(
+        *[
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for b in range(64)
+        ]
+    )
+    summed = (
+        tok.select("doc_id", votes.alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0).cast("long"), 64),
+                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+            ).alias("votes")
+        )
+    )
+    # sign → bits; pack 4×16-bit bands for blocking
+    bits = F.transform(F.col("votes"), lambda v: F.when(v > 0, 1).otherwise(0))
+    band = lambda i: F.aggregate(  # noqa: E731
+        F.slice(bits, i * 16 + 1, 16), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    )
+    return summed.select(
+        "doc_id",
+        *[band(i).alias(f"b{i}") for i in range(4)],
+        bits.alias("bits"),
+    )
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance via band blocking: any pair with ≤3
+    differing bits shares ≥1 of the 4 exact 16-bit bands (pigeonhole)."""
+    pairs = None
+    for i in range(4):
+        a = sigs.select(F.col("doc_id").alias("doc_i"), F.col(f"b{i}").alias("h"), F.col("bits").alias("bits_i"))
+        b = sigs.select(F.col("doc_id").alias("doc_j"), F.col(f"b{i}").alias("h"), F.col("bits").alias("bits_j"))
+        p = a.join(b, "h").filter(F.col("doc_i") < F.col("doc_j")).drop("h")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_i"), F.col("bits_j"), lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.dropDuplicates(["doc_i", "doc_j"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_i", "doc_j", "hamming")
+    )
+
+
+# Embedding-cosine near-dup, blocked by label (stand-in for any coarse
+# quantizer): pairwise only within a block. Same sequential fold on both
+# engines → bit-identical cosines.
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+        FROM v
+    )
+    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+           ROUND(list_aggregate(list_transform(range(len(a.e)),
+                 i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(len(a.e)),
+          i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    v = emb.select("vec_id", "label", to_double.alias("e")).withColumn("nrm", norm)
+    a = v.select(
+        F.col("vec_id").alias("vec_i"), F.col("label"),
+        F.col("e").alias("e_i"), F.col("nrm").alias("nrm_i"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_j"), F.col("label"),
+        F.col("e").alias("e_j"), F.col("nrm").alias("nrm_j"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e_i"), F.col("e_j"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("nrm_i") * F.col("nrm_j"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_i") < F.col("vec_j"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_i", "vec_j", F.round("cosine", 6).alias("cosine"))
+    )
