@@ -1,1 +1,261 @@
-"""similarity operators — filled in by later milestones (see tasks M4-M8)."""
+"""Similarity search over embedding vectors (SURVEY §2B north-star ops).
+
+The embeddings table is the Spark mapping of the reference's np.ndarray
+payloads (/root/reference bert/encoders/numpy.py:117-122): vectors live as
+``array<float>`` columns, math is done JVM-side with zip_with/aggregate —
+no Python in the hot path.
+
+Scale design:
+- brute-force top-k: the QUERY side is small and broadcast; the corpus
+  streams through once, cosine per (query, doc), then per-query top-k via
+  ranked window (Spark ≥3.5 pushes the rank filter down as a group-limit
+  before the final shuffle). Cost: O(n·q) FLOPs, one pass, no corpus shuffle.
+- sign-LSH (random hyperplanes): ±1 hyperplanes derived deterministically
+  from md5 at plan-build time, bucket = sign-bit pattern of the projections.
+  Probing joins on the bucket key, so the pairwise term is O(n²/2^p) per
+  bucket — the 100 TB path. Deterministic planes make the whole ANN pipeline
+  oracle-checkable in SQL, which LSH libraries (pyspark.ml's rand-seeded
+  BucketedRandomProjectionLSH) are not.
+- at real scale the bucket table would be written bucket-partitioned
+  (partitionBy(bucket)) so probes prune to one partition per query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.registry import query, tbl
+
+EMBED_DIM = 64
+N_PLANES = 4  # 16 buckets — sized for the 500-5000 row fixtures
+TOP_K = 10
+N_QUERIES = 5  # query set: vec_id < 5
+
+
+def _plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 hyperplane component from md5(p:d) parity."""
+    return 1 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] in "01234567" else -1
+
+
+PLANES: list[list[int]] = [
+    [_plane_sign(p, d) for d in range(EMBED_DIM)] for p in range(N_PLANES)
+]
+
+
+# ---------------------------------------------------------------------------
+# library helpers
+# ---------------------------------------------------------------------------
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bucket(vec: Column) -> Column:
+    """LSH bucket id: bit p = sign of <vec, plane_p>."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in plane]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_neighbors(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    corpus: (vec_id, e [array<double>], nrm); queries: (q_id, qe, qnrm).
+    The queries side is broadcast — corpus never shuffles.
+    """
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", l2_norm(F.col("e")))
+
+
+# SQL fragments shared by the oracles
+_SQL_PREP = """
+v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, label, e,
+           sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+    FROM v
+)
+"""
+
+_SQL_COS = (
+    "list_aggregate(list_transform(range(len(q.e)), i -> q.e[i+1] * c.e[i+1]), 'sum')"
+    " / (q.nrm * c.nrm)"
+)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH {_SQL_PREP}
+    SELECT * FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    queries_df = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    out = topk_neighbors(prep, queries_df, TOP_K)
+    return out.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        "rn",
+    )
+
+
+# kNN classification: majority label of the 5 nearest neighbors (ties →
+# smaller label). One broadcast pass + two tiny aggregations.
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    nn AS (
+        SELECT * FROM (
+            SELECT q.vec_id AS q_id, q.label AS true_label, c.label AS nn_label,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 20
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT q_id, true_label, nn_label, COUNT(*) AS n_votes
+        FROM nn GROUP BY 1, 2, 3
+    )
+    SELECT q_id, true_label, nn_label AS predicted_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY n_votes DESC, nn_label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    queries_df = prep.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    nn = topk_neighbors(prep, queries_df, 5)
+    votes = nn.groupBy("q_id", "true_label", F.col("label").alias("nn_label")).agg(
+        F.count("*").alias("n_votes")
+    )
+    vw = W.partitionBy("q_id").orderBy(F.desc("n_votes"), "nn_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "true_label", F.col("nn_label").alias("predicted_label"))
+    )
+
+
+def _sql_bucket(alias: str) -> str:
+    """DuckDB expression for the sign-LSH bucket of {alias}.e — generated
+    from the same PLANES constants the Spark side uses."""
+    terms = []
+    for p, plane in enumerate(PLANES):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
+        proj = (
+            f"list_aggregate(list_transform(range(len({alias}.e)), "
+            f"i -> {alias}.e[i+1] * ({arr})[i+1]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "sim_lsh_bucketed",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    b AS (SELECT vec_id, e, nrm, {_sql_bucket('n')} AS bucket FROM n)
+    SELECT * FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.bucket,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("e")))
+    queries_df = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        prep.join(F.broadcast(queries_df), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round("cosine", 6).alias("cosine"),
+            "rn",
+        )
+    )

@@ -1,1 +1,299 @@
-"""text operators — filled in by later milestones (see tasks M4-M8)."""
+"""Text analysis over the documents corpus (SURVEY §2B north-star ops):
+token statistics, top-token frequencies, TF-IDF, language-ID heuristic,
+quality scoring, bottom-k fingerprinting.
+
+Reference parity: the reference would run all of this as per-item Python
+(SURVEY §2A#13); here the tokenizer is `split` + `explode` (JVM-side), stats
+are hash aggregates, and TF-IDF is two aggregations + a broadcast of the
+corpus size — one shuffle on token, one on doc.
+
+Scale notes:
+- explode(tokens) multiplies rows by ~token count; partial aggregation
+  shrinks it back before any exchange.
+- the document-frequency table is tiny (vocabulary-sized) → broadcast back.
+- language-ID / quality scores are pure per-row expressions (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.dedup import shingles_df, tokenize
+from bert_etl_spark.operators.registry import query, tbl
+
+# tiny stopword profiles for the language-ID heuristic (counts of exact
+# token hits per profile; argmax wins, ties → 'und')
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("a", "the", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+}
+
+TOP_N_TOKENS = 20
+FINGERPRINT_K = 4
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH tok AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') AS toks
+                 FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+               / len(toks) AS avg_token_len,
+           n_chars
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize(F.col("text"))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        (total_len.cast("double") / F.size(toks)).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {TOP_N_TOKENS}
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(TOP_N_TOKENS)
+    )
+
+
+# TF-IDF: tf = in-doc count, idf = ln(N/df). The df table is vocabulary-
+# sized → broadcast; N rides along as a literal-free cross join of a 1-row
+# aggregate (also broadcast).
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln(CAST(total.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN total
+    )
+    SELECT doc_id, token AS top_term, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+                 FROM documents),
+    hits AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_aggregate(list_transform(toks,
+                   t -> CASE WHEN t IN ({_sql_in_list(LANG_PROFILES['en'])}) THEN 1 ELSE 0 END),
+                   'sum') AS en_hits,
+               list_aggregate(list_transform(toks,
+                   t -> CASE WHEN t IN ({_sql_in_list(LANG_PROFILES['es'])}) THEN 1 ELSE 0 END),
+                   'sum') AS es_hits,
+               list_aggregate(list_transform(toks,
+                   t -> CASE WHEN t IN ({_sql_in_list(LANG_PROFILES['de'])}) THEN 1 ELSE 0 END),
+                   'sum') AS de_hits
+        FROM tok
+    )
+    SELECT doc_id, labeled_lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CAST(de_hits AS BIGINT) AS de_hits,
+           CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
+                WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+                WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize(F.col("text"))
+
+    def hits(words: tuple[str, ...]):
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.when(t.isin(*words), 1).otherwise(0),
+        )
+
+    en, es, de = (hits(LANG_PROFILES[k]) for k in ("en", "es", "de"))
+    predicted = (
+        F.when((en > es) & (en > de), "en")
+        .when((es > en) & (es > de), "es")
+        .when((de > en) & (de > es), "de")
+        .otherwise("und")
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+# Quality scoring: pure per-row expressions (length, token stats, stopword
+# and punctuation ratios → weighted score). No shuffle at any scale.
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+                 FROM documents),
+    feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                   / len(toks) AS mean_token_len,
+               CAST(list_aggregate(list_transform(toks,
+                   t -> CASE WHEN t IN ({_sql_in_list(LANG_PROFILES['en'])}) THEN 1 ELSE 0 END),
+                   'sum') AS DOUBLE) / len(toks) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio
+        FROM tok
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(mean_token_len, 6) AS mean_token_len,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(0.3 * least(n_tokens / 100.0, 1.0)
+                 + 0.3 * least(mean_token_len / 5.0, 1.0)
+                 + 0.2 * least(stopword_ratio * 5.0, 1.0)
+                 + 0.2 * (1.0 - punct_ratio), 6) AS quality_score
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    stop_ratio = (
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.when(t.isin(*LANG_PROFILES["en"]), 1).otherwise(0),
+        ).cast("double")
+        / n_tokens
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
+        / F.length(F.col("text"))
+    )
+    score = (
+        0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(mean_len / 5.0, F.lit(1.0))
+        + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - punct_ratio)
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# Bottom-k fingerprint: digest of the k smallest shingle hashes — a compact,
+# order-free near-dup sketch (winnowing-style). Docs sharing a fingerprint
+# are near-dup candidates at zero pairwise cost.
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+        FROM tok WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(list_sort(list(md5(shingle))), 1, {FINGERPRINT_K}), '')) AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(tbl(spark, sf_dir, "documents"))
+    return (
+        sh.select("doc_id", F.md5("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws("", F.slice(F.array_sort(F.collect_list("h")), 1, FINGERPRINT_K))
+            ).alias("fingerprint"),
+            F.count("*").alias("n_shingles"),
+        )
+    )
