@@ -1,1 +1,182 @@
-"""multimodal operators — filled in by later milestones (see tasks M4-M8)."""
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode / feature-extract / frame-sample as Arrow-batched ``mapInPandas``
+operators (SURVEY §2B north-star; reference pattern: bytes payloads in queue
+items, /root/reference bert/encoders/base.py:31-32,124-125).
+
+The container has no image/audio codecs, so the decode step is a
+deterministic STUB: media bytes are synthesized from document text (UTF-8),
+"pixels" are the raw bytes, geometry is derived arithmetically from the byte
+length. The Spark-side plumbing — binary columns, metadata struct, UDF
+signatures, Arrow batch iteration, partitioning — is real and tested; a real
+decoder drops into ``decode_media_batch`` behind the import-try.
+
+Because the fake decode is pure arithmetic on bytes (and the corpus is
+ASCII), the Pandas-UDF path itself is oracle-checked: DuckDB reproduces the
+same features from character codes. That pins the batch shape, schema, and
+per-row semantics of the Python boundary — the part that usually goes
+untested.
+
+Scale: mapInPandas streams Arrow batches (spark.sql.execution.arrow.
+maxRecordsPerBatch) — constant memory per task regardless of table size;
+media blobs never pass through a shuffle (metadata-only columns do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.registry import query, tbl
+
+try:  # real decoders are not in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FRAME_BYTES = 256  # fake "frame" size for the video-sampling stand-in
+FRAME_STRIDE = 4   # keep every 4th frame
+
+
+def with_media(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("media"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit("fake/gray8").alias("mime"),
+        ).alias("media_meta"),
+    )
+
+
+def _geometry(n_bytes: int) -> tuple[int, int]:
+    """Deterministic fake geometry: width from byte length, height = rows."""
+    width = 16 + n_bytes % 16
+    height = (n_bytes + width - 1) // width
+    return width, height
+
+
+def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decoder: binary → per-media features.
+
+    STUB decode: treats bytes as 8-bit gray pixels. A real image decoder
+    (PIL/libvips) would replace the `np.frombuffer` line only — schema,
+    batching, and downstream plumbing stay identical.
+    """
+    for pdf in it:
+        rows = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            if HAVE_PIL:
+                raise NotImplementedError(
+                    "real image decode intentionally stubbed in this container"
+                )
+            buf = np.frombuffer(media, dtype=np.uint8)
+            width, height = _geometry(len(buf))
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": width,
+                    "height": height,
+                    "n_pixels": len(buf),
+                    "mean_intensity": float(buf.sum()) / len(buf) if len(buf) else None,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, mean_intensity double"
+)
+
+
+def frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video-sampling stand-in: split bytes into FRAME_BYTES chunks, keep
+    every FRAME_STRIDE-th chunk, emit a digest per kept frame (1→N fan-out
+    through the Arrow boundary)."""
+    import hashlib
+
+    for pdf in it:
+        out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            n_frames = len(media) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                chunk = media[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'fake/gray8' AS mime
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+# The Pandas-UDF decode path, oracle-checked: ASCII text ⇒ byte == code
+# point, so DuckDB recomputes mean intensity from character codes.
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               list_aggregate(list_transform(range(length(text)),
+                   i -> ord(substr(text, i + 1, 1))), 'sum') AS total
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 + n % 16 AS INT) AS width,
+           CAST((n + (16 + n % 16) - 1) // (16 + n % 16) AS INT) AS height,
+           n AS n_pixels,
+           CAST(total AS DOUBLE) / n AS mean_intensity
+    FROM b
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    return media.mapInPandas(decode_media_batch, DECODE_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, text,
+               unnest(range(octet_length(encode(text)) // {FRAME_BYTES})) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM frames WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    return media.mapInPandas(frame_sample_batch, FRAME_SCHEMA)

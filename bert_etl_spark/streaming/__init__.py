@@ -1,0 +1,19 @@
+from bert_etl_spark.streaming.events import (
+    EVENTS_FILE_SCHEMA,
+    enrich_with_dim,
+    events_stream,
+    run_to_memory,
+    stream_dedup,
+    tumbling_counts,
+    write_stream_parquet,
+)
+
+__all__ = [
+    "EVENTS_FILE_SCHEMA",
+    "events_stream",
+    "tumbling_counts",
+    "stream_dedup",
+    "enrich_with_dim",
+    "run_to_memory",
+    "write_stream_parquet",
+]

