@@ -46,17 +46,21 @@ def tokenize(text: Column) -> Column:
 
 
 def shingles_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct n-gram token shingles per document: (id, shingle)."""
-    toks = tokenize(F.col(text_col))
+    """Distinct n-gram token shingles per document: (id, shingle).
+
+    The token array is materialized in its own projection BEFORE the lambda:
+    Catalyst does not common-subexpression-eliminate inside higher-order-
+    function lambdas, so referencing ``split(text)`` directly there re-runs
+    the tokenizer per element (measured ~3× slower end-to-end).
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
     )
-    return (
-        docs.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return toked.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 def minhash_signatures(sh: DataFrame, k: int = N_MINHASHES) -> DataFrame:
@@ -74,19 +78,23 @@ def minhash_signatures(sh: DataFrame, k: int = N_MINHASHES) -> DataFrame:
 
 def lsh_bands(sig: DataFrame, k: int = N_MINHASHES, r: int = BAND_ROWS) -> DataFrame:
     """Split the signature into k/r bands; band hash = md5 of the sorted
-    minhashes in the band. Output: (doc_id, band, h)."""
-    bands = []
+    minhashes in the band. Output: (doc_id, band, h).
+
+    Emitted as one explode over an inline array — a k/r-way union of
+    re-scans produces a much larger plan (slower to optimize and to run)
+    for the same rows.
+    """
+    entries = []
     for b in range(k // r):
         cols = [F.col(f"m{b * r + i}") for i in range(r)]
         # sorted so the band hash is a set digest (order-free)
         h = F.md5(F.concat(F.least(*cols), F.greatest(*cols))) if r == 2 else F.md5(
             F.concat_ws(",", F.array_sort(F.array(*cols)))
         )
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), h.alias("h")))
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        entries.append(F.struct(F.lit(b).alias("band"), h.alias("h")))
+    return sig.select("doc_id", F.explode(F.array(*entries)).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -233,7 +241,8 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(tbl(spark, sf_dir, "documents"))
+    # three consumers of the shingle table (two join sides + sizes)
+    sh = shingles_df(tbl(spark, sf_dir, "documents")).persist()
     jac = pair_jaccard(sh)
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard")
@@ -250,9 +259,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(tbl(spark, sf_dir, "documents"))
-    cand = candidate_pairs(lsh_bands(minhash_signatures(sh)))
-    jac = pair_jaccard(sh)
+    # The shingle table feeds four consumers (signatures + both jaccard join
+    # sides + sizes) and the candidate pairs feed two; without explicit
+    # reuse each consumer re-runs the whole upstream lineage. persist() is
+    # the single-query form of the stage materialization a production LSH
+    # pipeline does between phases.
+    sh = shingles_df(tbl(spark, sf_dir, "documents")).persist()
+    # bands is a 4-way union consumed by both sides of the candidate
+    # self-join — without reuse the 8-way MIN aggregate underneath runs 8×.
+    bands = lsh_bands(minhash_signatures(sh)).persist()
+    cand = candidate_pairs(bands).persist()
+    # verify ONLY candidate docs: semi-join the shingle table down before
+    # the pairwise intersection — the pruning that makes LSH cheaper than
+    # the exact inverted-index join at scale.
+    cand_docs = (
+        cand.select(F.col("doc_i").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_j").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    jac = pair_jaccard(sh_cand)
     return (
         cand.join(jac, ["doc_i", "doc_j"])
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
