@@ -36,8 +36,11 @@ HEADLINE = [
     "dedup_minhash_lsh",      # near-dup at scale
     "dedup_ngram_jaccard",    # shingle jaccard
     "sim_topk_bruteforce",    # cosine top-k
+    "sim_lsh_bucketed",       # ANN scale path
     "text_tfidf_top_terms",   # tf-idf
     "text_quality_score",     # quality scoring
+    "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
+    "pandas_max_gap",         # applyInPandas grouped Python
 ]
 
 

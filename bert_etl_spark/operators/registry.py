@@ -82,6 +82,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        python_surface,
         relational,
         scalars,
         similarity,

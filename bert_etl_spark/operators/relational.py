@@ -230,6 +230,75 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_orderkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    EXCEPT ALL
+    SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select(F.col("l_orderkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("k"))
+    return a.exceptAll(b)
+
+
+# Unpivot (melt): wide → long without a join; the inverse of agg_pivot.
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "part")
+        .withColumn("p_size", F.col("p_size").cast("double"))
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+    )
+
+
+# 1→N fan-out with position — queue.put emitting N items per input
+# (SURVEY §2A#12), here as posexplode over the token array.
+@query(
+    "fanout_posexplode",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 10)
+    SELECT doc_id,
+           CAST(unnest(range(len(toks))) AS INT) AS pos,
+           unnest(toks) AS token
+    FROM tok
+    """,
+)
+def fanout_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toked = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("toks"))
+    )
+    return toked.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+
+
+@query(
     "set_except",
     oracle="""
     SELECT c_custkey FROM customer

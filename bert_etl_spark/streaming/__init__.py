@@ -3,6 +3,8 @@ from bert_etl_spark.streaming.events import (
     enrich_with_dim,
     events_stream,
     run_to_memory,
+    session_windows,
+    stateful_running_counts,
     stream_dedup,
     tumbling_counts,
     write_stream_parquet,
@@ -15,5 +17,7 @@ __all__ = [
     "stream_dedup",
     "enrich_with_dim",
     "run_to_memory",
+    "session_windows",
+    "stateful_running_counts",
     "write_stream_parquet",
 ]

@@ -95,6 +95,51 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "update") -> Data
     return df.sparkSession.table(name)
 
 
+def stateful_running_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count carried across micro-batches — the reference's process-shared
+    StreamingQueue / ETLState pattern (SURVEY §2A#16/#19) as managed state.
+
+    State is one long per user; at scale the state store shards by the group
+    key and checkpoints incrementally — nothing grows with event volume.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-sessionization with native session_window (merging
+    session state, closed when the watermark passes session end + gap)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def write_stream_parquet(
     df: DataFrame, out_path: str, checkpoint: str, query_name: str = "sink"
 ):

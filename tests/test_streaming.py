@@ -120,3 +120,52 @@ def test_watermark_bounds_state(spark, events_dir):
     assert len(out) > 0
     total = sum(r.n for r in out if r.n is not None)
     assert total >= spark.read.parquet(events_dir).count() * 0  # ran, emitted
+
+
+def test_stateful_running_counts_across_batches(spark, events_dir):
+    from bert_etl_spark.streaming import stateful_running_counts
+
+    out = run_to_memory(
+        stateful_running_counts(
+            events_stream(spark, events_dir, max_files_per_trigger=1)
+        ),
+        "t_state",
+        "update",
+    )
+    # update mode emits one row per user per batch; the LAST emission per
+    # user must equal the total batch count (state survived across batches)
+    final = {
+        r.user_id: r.n_events
+        for r in out.orderBy("n_events").collect()  # last write wins per key
+    }
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_streaming_session_windows(spark, events_dir):
+    from bert_etl_spark.streaming import session_windows
+
+    out = run_to_memory(
+        session_windows(events_stream(spark, events_dir), gap="30 minutes"),
+        "t_sess",
+        "append",
+    ).collect()
+    assert out, "watermark should close most sessions over a month of data"
+    # every emitted session matches the batch sessionization computed the
+    # window_session_native way
+    from bert_etl_spark.operators import registry
+
+    registry.load_all()
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in registry.ALL_QUERIES["window_session_native"](spark, SF).collect()
+    }
+    for r in out:
+        key = (r.user_id, r.session_start, r.session_end)
+        assert batch.get(key) == r.n_events, f"session {key} mismatch"
