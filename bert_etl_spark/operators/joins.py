@@ -252,6 +252,69 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pure non-equi join (no equi key at all) → BroadcastNestedLoopJoin with the
+# small side as build. Legitimate ONLY when one side is dim-sized; at 100 TB
+# you either find a blocking key (see join_theta) or bucketize the range.
+@query(
+    "join_nonequi_bnl",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(c.c_custkey) AS n_close
+    FROM supplier s LEFT JOIN customer c
+      ON abs(c.c_acctbal - s.s_acctbal) < 25
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_nonequi_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = tbl(spark, sf_dir, "supplier")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), F.abs(c.c_acctbal - s.s_acctbal) < 25, "right")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_close"))
+    )
+
+
+# MERGE/upsert emulation (no Delta in this image): full-outer on the key +
+# CASE per column — the SCD-style pattern for dims. At scale the target
+# would be bucketed on the key so repeated merges co-locate.
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS new_bal
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.deterministic import dsum
+
+    updates = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(dsum("o_totalprice", "new_bal"))
+    )
+    c = tbl(spark, sf_dir, "customer")
+    return c.join(updates, c.c_custkey == updates.u_custkey, "full").select(
+        F.coalesce("c_custkey", "u_custkey").alias("c_custkey"),
+        F.when(F.col("u_custkey").isNotNull(), F.col("new_bal"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("u_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
 @query(
     "join_broadcast",
     oracle="""

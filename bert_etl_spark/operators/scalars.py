@@ -232,6 +232,91 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_string2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+           repeat(p_brand, 2) AS brand2,
+           reverse(p_name) AS name_rev,
+           split_part(p_name, ' ', 2) AS second_word,
+           left(p_type, 3) AS type3,
+           right(p_type, 3) AS type_last3,
+           contains(p_name, 'red') AS has_red,
+           starts_with(p_type, 'SMALL') AS is_small,
+           ascii(p_brand) AS first_code,
+           chr(65 + p_size % 26) AS size_chr
+    FROM part
+    """,
+)
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_padded"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_tr"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.substring(F.col("p_type"), 1, 3).alias("type3"),
+        F.col("p_type").substr(F.length("p_type") - 2, F.lit(3)).alias("type_last3"),
+        F.col("p_name").contains("red").alias("has_red"),
+        F.col("p_type").startswith("SMALL").alias("is_small"),
+        F.ascii(F.col("p_brand")).cast("int").alias("first_code"),
+        F.chr(65 + F.col("p_size") % 26).alias("size_chr"),
+    )
+
+
+@query(
+    "scalar_date2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+           quarter(o_orderdate) AS q
+    FROM orders
+    """,
+)
+def scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+        .cast("timestamp")
+        .alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    )
+
+
+@query(
+    "scalar_bitops",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 2 AS shifted,
+           user_id >> 1 AS halved
+    FROM events
+    """,
+)
+def scalar_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft(F.col("user_id"), 2).alias("shifted"),
+        F.shiftright(F.col("user_id"), 1).alias("halved"),
+    )
+
+
 # Map functions: build a map, read it back (reference payloads are nested
 # dicts → MapType). Oracle computes the equivalent value directly.
 @query(

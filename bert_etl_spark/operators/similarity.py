@@ -206,6 +206,87 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+N_PROBES = 2
+
+
+# IVF (inverted-file) ANN: coarse-quantize the corpus into cells, probe only
+# the top-P cells per query. Centroids here are the first N_CENTROIDS data
+# vectors (deterministic stand-in for a k-means codebook — the assignment/
+# probe/search plumbing is identical). Scale path: the cell table is written
+# partitioned by cell id, so a probe prunes to P partitions; assignment is a
+# broadcast of the codebook over one corpus pass, never a shuffle.
+@query(
+    "sim_ivf",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM scored
+               WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    )
+    SELECT * FROM (
+        SELECT cand.q_id, cand.neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                                  ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS rn
+        FROM cand
+        JOIN n q ON q.vec_id = cand.q_id
+        JOIN n c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    cent = prep.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    d = dot(F.col("e"), F.col("ce"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    scored = (
+        prep.crossJoin(F.broadcast(cent))
+        .withColumn("_dot", d)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assign = scored.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probes = scored.filter(
+        (F.col("rn") <= N_PROBES) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), F.col("cid").alias("cell"))
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = prep.select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cv = prep.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e"), F.col("nrm")
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )
+
+
 def _sql_bucket(alias: str) -> str:
     """DuckDB expression for the sign-LSH bucket of {alias}.e — generated
     from the same PLANES constants the Spark side uses."""

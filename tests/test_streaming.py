@@ -169,3 +169,28 @@ def test_streaming_session_windows(spark, events_dir):
     for r in out:
         key = (r.user_id, r.session_start, r.session_end)
         assert batch.get(key) == r.n_events, f"session {key} mismatch"
+
+
+def test_dedup_within_watermark_drops_recent_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark with bounded state: duplicates arriving
+    within the watermark horizon are dropped across micro-batches. A long
+    watermark covers the whole fixture, so replays must all be suppressed
+    while the state store still evicts on horizon at scale."""
+    src = str(tmp_path / "wm_src")
+    base = tbl(spark, SF, "events").orderBy(F.desc("ts")).limit(100).withColumn(
+        "ts", F.unix_micros("ts") * 1000
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    base.limit(25).coalesce(1).write.mode("append").parquet(src)  # replayed
+
+    out = run_to_memory(
+        stream_dedup(
+            events_stream(spark, src, max_files_per_trigger=1),
+            ["event_id"],
+            watermark="60 days",
+        ),
+        "t_wmdedup",
+        "append",
+    )
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == 100  # replays within horizon dropped
