@@ -233,6 +233,64 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_array2",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+               WHERE doc_id < 50)
+    SELECT doc_id,
+           list_contains(toks, 'data') AS has_data,
+           list_sort(list_distinct(toks))[1] AS first_token_sorted,
+           len(list_filter(toks, t -> length(t) > 4)) AS n_long_tokens,
+           list_transform(toks, t -> upper(t))[1] AS first_upper,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '|') AS first3,
+           len(flatten([toks, toks])) AS doubled_len,
+           len(range(0, len(toks), 2)) AS n_even_positions
+    FROM t
+    """,
+)
+def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toked = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("toks"))
+    )
+    sorted_distinct = F.array_sort(F.array_distinct("toks"))
+    return toked.select(
+        "doc_id",
+        F.array_contains("toks", "data").alias("has_data"),
+        F.element_at(sorted_distinct, 1).alias("first_token_sorted"),
+        F.size(F.filter("toks", lambda t: F.length(t) > 4)).cast("long").alias("n_long_tokens"),
+        F.element_at(F.transform("toks", F.upper), 1).alias("first_upper"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("first3"),
+        F.size(F.flatten(F.array("toks", "toks"))).cast("long").alias("doubled_len"),
+        F.size(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(2))).cast("long").alias(
+            "n_even_positions"
+        ),
+    )
+
+
+# Schema-first JSON parsing (from_json with an explicit schema — the
+# production path for the reference's dict payloads; get_json_object in
+# scalar_json is the exploratory path).
+@query(
+    "scalar_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
+    FROM events
+    """,
+)
+def scalar_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = F.from_json(F.col("props"), "k BIGINT, missing BIGINT")
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("missing").alias("absent"),
+    )
+
+
+@query(
     "scalar_string2",
     oracle="""
     SELECT p_partkey,
