@@ -232,6 +232,37 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Null-safe comparison semantics (<=> / IS [NOT] DISTINCT FROM): the corner
+# where ordinary equality silently drops rows.
+@query(
+    "scalar_nullsafe",
+    oracle="""
+    WITH t AS (
+        SELECT event_id,
+               nullif(event_type, 'error') AS a,
+               nullif(event_type, 'click') AS b
+        FROM events
+    )
+    SELECT a IS NOT DISTINCT FROM b AS nullsafe_eq,
+           a IS DISTINCT FROM b AS distinct_from,
+           COUNT(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def scalar_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = F.nullif(F.col("event_type"), F.lit("error"))
+    b = F.nullif(F.col("event_type"), F.lit("click"))
+    return (
+        tbl(spark, sf_dir, "events")
+        .select(a.alias("a"), b.alias("b"))
+        .groupBy(
+            F.col("a").eqNullSafe(F.col("b")).alias("nullsafe_eq"),
+            (~F.col("a").eqNullSafe(F.col("b"))).alias("distinct_from"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @query(
     "scalar_array2",
     oracle="""

@@ -99,6 +99,36 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_analytic2",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value, 2, -1.0)  OVER w AS lag2,
+           LEAD(value, 2, -1.0) OVER w AS lead2,
+           NTH_VALUE(value, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_seen,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_analytic2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value", 2, -1.0).over(w).alias("lag2"),
+        F.lead("value", 2, -1.0).over(w).alias("lead2"),
+        F.nth_value("value", 3).over(running).alias("third_seen"),
+        F.last(purchase_val, ignorenulls=True).over(running).alias("last_purchase"),
+    )
+
+
 # Top-K per group: the scalable idiom — rank within partition, filter ≤ K.
 # AQE + partial top-k (WindowGroupLimit in Spark 3.5+) keep this one shuffle.
 @query(
