@@ -21,7 +21,10 @@ from bert_etl_spark.session import get_spark
 # registered are skipped (list grows with coverage).
 HEADLINE = [
     "revenue_by_nation",      # multi-join + agg flagship
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
     "pricing_summary",        # wide-agg single scan
+    "merge_upsert",           # MERGE/SCD emulation
     "join_inner",             # big-big shuffle join
     "join_asof",              # window-based as-of join
     "join_anti",              # dedup-ledger pattern
@@ -37,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",    # shingle jaccard
     "sim_topk_bruteforce",    # cosine top-k
     "sim_lsh_bucketed",       # ANN scale path
+    "sim_ivf",                # IVF probe path
     "text_tfidf_top_terms",   # tf-idf
     "text_quality_score",     # quality scoring
     "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
@@ -50,8 +54,15 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="bert_etl_spark_bench")
 
-    # JVM/codegen warmup on a trivial plan
+    # JVM/codegen warmup + parquet footer/listing warm-up per table so the
+    # first timed query doesn't absorb one-time metadata costs
     spark.range(1000).selectExpr("sum(id)").collect()
+    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings",
+                 "part", "supplier", "nation", "region"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

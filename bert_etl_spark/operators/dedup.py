@@ -66,14 +66,20 @@ def shingles_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def minhash_signatures(sh: DataFrame, k: int = N_MINHASHES) -> DataFrame:
     """k MIN-aggregates in one pass: (doc_id, m0..m{k-1}).
 
-    Hash family: md5(f"{seed}:{shingle}") — deterministic across engines and
-    runs, unlike a seeded RNG. MIN over the hex string is the minhash.
+    Hash family: ONE md5 per shingle, sliced into k 16-bit hex chunks — the
+    chunks of a 128-bit digest are independent uniform hashes, so this is a
+    k-fold cheaper equivalent of k seeded hashes (and equally deterministic
+    across engines — no seeded RNG anywhere). MIN over the hex chunk is the
+    minhash; 16 bits is plenty for banding since verification recomputes the
+    exact Jaccard anyway.
     """
+    assert k * 4 <= 32, "md5 yields 32 hex chars → at most 8 16-bit chunks"
+    digest = F.md5(F.col("shingle"))
+    hashed = sh.select("doc_id", digest.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
-        for s in range(k)
+        F.min(F.substring(F.col("h"), 4 * s + 1, 4)).alias(f"m{s}") for s in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, k: int = N_MINHASHES, r: int = BAND_ROWS) -> DataFrame:
@@ -167,13 +173,14 @@ jac AS (
 """
 
 _SQL_MINHASH = """
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
 minh AS (
     SELECT doc_id,
-           MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
-           MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
-           MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
-           MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
-    FROM sh GROUP BY doc_id
+           MIN(substr(h,  1, 4)) AS m0, MIN(substr(h,  5, 4)) AS m1,
+           MIN(substr(h,  9, 4)) AS m2, MIN(substr(h, 13, 4)) AS m3,
+           MIN(substr(h, 17, 4)) AS m4, MIN(substr(h, 21, 4)) AS m5,
+           MIN(substr(h, 25, 4)) AS m6, MIN(substr(h, 29, 4)) AS m7
+    FROM hashed GROUP BY doc_id
 ),
 bands AS (
     SELECT doc_id, 0 AS band, md5(least(m0,m1) || greatest(m0,m1)) AS h FROM minh
