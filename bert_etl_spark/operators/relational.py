@@ -192,6 +192,63 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q14 shape: promo revenue share — a conditional-aggregate ratio over
+# a fact⋈dim join. The dim (part) broadcasts; the ratio is computed from two
+# deterministic decimal sums, so the division is exact-input double math.
+@query(
+    "tpch_q14_promo_share",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           {sql_dsum("CASE WHEN p.p_type = 'PROMO' OR p.p_name LIKE 'red%' "
+                     "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_rev,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_promo = (F.col("p_type") == "PROMO") | F.col("p_name").like("red%")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            dsum(F.when(is_promo, rev).otherwise(0.0), "promo_rev"),
+            dsum(rev, "total_rev"),
+        )
+    )
+
+
+# Correlated min-per-group subquery (TPC-H Q2 shape without partsupp):
+# cheapest part(s) within each brand. Catalyst decorrelates into an
+# aggregate + join — no per-row subquery execution.
+@query(
+    "min_per_group_subquery",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+        SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def min_per_group_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sqlq(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand, p_partkey, p_retailprice
+        FROM part p
+        WHERE p_retailprice = (
+            SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """,
+        ("part",),
+    )
+
+
 # --------------------------------------------------------------------------
 # Projection + filter: both push to the parquet scan (PushedFilters +
 # 4-column ReadSchema out of 11). Per-row double math is identical IEEE in

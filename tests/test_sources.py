@@ -1,0 +1,51 @@
+"""Reader round-trips (parquet/json/csv) and permissive JSON semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bert_etl_spark.sources.readers import read_csv, read_json, read_parquet
+
+SCHEMA = "id long, name string, score double"
+ROWS = [(1, "ada", 9.5), (2, "linus", 7.25), (3, None, None)]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "p")
+    _df(spark).write.parquet(p)
+    back = read_parquet(spark, p, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_json_roundtrip_schema_first(spark, tmp_path):
+    p = str(tmp_path / "j")
+    _df(spark).write.json(p)
+    back = read_json(spark, p, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+    assert back.schema.simpleString() == "struct<id:bigint,name:string,score:double>"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "c")
+    _df(spark).write.option("header", True).csv(p)
+    back = read_csv(spark, p, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_malformed_json_rows_are_null_not_fatal(spark, tmp_path):
+    """Permissive mode: bad records must not kill a 100 TB ingest."""
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "name": "ok", "score": 1.0}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "also ok", "score": 2.0}\n'
+    )
+    back = read_json(spark, str(p), SCHEMA)
+    rows = back.collect()
+    assert len(rows) == 3  # corrupt row surfaces as nulls, not an exception
+    assert sum(1 for r in rows if r.id is not None) == 2
