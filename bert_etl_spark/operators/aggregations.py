@@ -248,7 +248,9 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            # accuracy 1000 ≈ 0.1% rank error — the sketch-size/latency
+            # tradeoff that makes this op cheaper than exact percentile
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         )
     )
 
