@@ -287,6 +287,60 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One Lloyd iteration of k-means (deterministic init: first N_CENTROIDS
+# vectors). Demonstrates the iterative-algorithm pattern: each iteration is
+# one broadcast (codebook) + one corpus pass + one tiny aggregation; the
+# driver loop re-broadcasts the updated codebook. Centroid means use exact
+# decimal sums per dimension so the update is order-free — which also makes
+# a single iteration SQL-oracle-checkable.
+@query(
+    "kmeans_one_iter",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+    ),
+    assign AS (SELECT s.vec_id, s.cid AS cell FROM scored s WHERE rn = 1),
+    av AS (SELECT a.cell, v.e FROM assign a JOIN n v ON v.vec_id = a.vec_id)
+    SELECT cell, COUNT(*) AS n_members,
+           ROUND(CAST(SUM(CAST(e[1] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS new_c0,
+           ROUND(CAST(SUM(CAST(e[2] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS new_c1,
+           ROUND(CAST(SUM(CAST(e[3] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS new_c2
+    FROM av GROUP BY cell
+    """,
+)
+def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    cent = prep.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    assign = (
+        prep.crossJoin(F.broadcast(cent))
+        .withColumn("_dot", dot(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "e")
+    )
+    dim_mean = lambda i, alias: F.round(  # noqa: E731
+        F.sum(F.element_at("e", i + 1).cast("decimal(25,6)")).cast("double")
+        / F.count("*"),
+        6,
+    ).alias(alias)
+    return assign.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        dim_mean(0, "new_c0"),
+        dim_mean(1, "new_c1"),
+        dim_mean(2, "new_c2"),
+    )
+
+
 def _sql_bucket(alias: str) -> str:
     """DuckDB expression for the sign-LSH bucket of {alias}.e — generated
     from the same PLANES constants the Spark side uses."""

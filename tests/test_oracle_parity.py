@@ -18,7 +18,11 @@ from bert_etl_spark.operators import registry
 
 registry.load_all()
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.001 for speed by default; SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+# reproduces the driver's correctness gate exactly
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
