@@ -194,3 +194,37 @@ def test_dedup_within_watermark_drops_recent_replays(spark, tmp_path):
     )
     ids = [r.event_id for r in out.select("event_id").collect()]
     assert len(ids) == len(set(ids)) == 100  # replays within horizon dropped
+
+
+def test_rate_source_pubsub_standin(spark):
+    """Rate source: the pub/sub (SNS, SURVEY 2A#9) stand-in — synthetic
+    timestamped rows at a fixed rate through the same streaming surface."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withColumn("event_type", F.concat(F.lit("type_"), F.col("value") % 3))
+    )
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    rows = []
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            rows = spark.table("t_rate").collect()
+            if rows and sum(r["count"] for r in rows) > 0:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {r.event_type for r in rows} <= {"type_0", "type_1", "type_2"}
+    assert sum(r["count"] for r in rows) > 0
