@@ -117,6 +117,54 @@ def frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 
 
+RESIZE_STRIDE = 4  # keep every 4th pixel — the downsample stand-in
+
+
+def resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stub: stride-downsample the pixel buffer (a real implementation
+    would interpolate via PIL/OpenCV — same signature, same plumbing)."""
+    import hashlib
+
+    for pdf in it:
+        rows = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            buf = np.frombuffer(media, dtype=np.uint8)
+            small = buf[::RESIZE_STRIDE]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "orig_bytes": len(buf),
+                    "resized_bytes": len(small),
+                    "resized_md5": hashlib.md5(small.tobytes()).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+RESIZE_SCHEMA = "doc_id long, orig_bytes long, resized_bytes long, resized_md5 string"
+
+HIST_BINS = 16
+
+
+def histogram_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction stub: 16-bin intensity histogram per media blob —
+    the fixed-length feature-vector pattern (real: embeddings/SIFT/etc.)."""
+    for pdf in it:
+        out = {"doc_id": [], "bin": [], "n": []}
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            buf = np.frombuffer(media, dtype=np.uint8)
+            counts = np.bincount(buf // HIST_BINS, minlength=HIST_BINS)[:HIST_BINS]
+            for b, n in enumerate(counts):
+                if n:
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(b)
+                    out["n"].append(int(n))
+        yield pd.DataFrame(out)
+
+
+HIST_SCHEMA = "doc_id long, bin int, n long"
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
@@ -180,3 +228,44 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media(tbl(spark, sf_dir, "documents"))
     return media.mapInPandas(frame_sample_batch, FRAME_SCHEMA)
+
+
+# Resize through the Arrow boundary; stride-sampling of ASCII bytes is
+# reproducible in SQL (every 4th character), so the resized digest is
+# value-checked too.
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               array_to_string(list_transform(
+                   range(0, octet_length(encode(text)), {RESIZE_STRIDE}),
+                   i -> substr(text, i + 1, 1)), '') AS small
+        FROM documents
+    )
+    SELECT doc_id, n AS orig_bytes,
+           length(small) AS resized_bytes,
+           md5(small) AS resized_md5
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    return media.mapInPandas(resize_batch, RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_histogram",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               ord(substr(text, unnest(range(length(text))) + 1, 1)) // {HIST_BINS} AS bin
+        FROM documents
+    )
+    SELECT doc_id, CAST(bin AS INT) AS bin, COUNT(*) AS n
+    FROM px GROUP BY doc_id, bin
+    """,
+)
+def multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    return media.mapInPandas(histogram_batch, HIST_SCHEMA)

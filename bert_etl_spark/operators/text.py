@@ -89,6 +89,31 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token counting two ways: whitespace split vs a BPE-ish regex (letter runs,
+# digit runs, single other glyphs — the pre-tokenization most BPE vocab
+# pipelines apply). Both JVM-side regex, no Python.
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        ).cast("long").alias("bpe_ish_tokens"),
+        # the ~4-chars-per-token rule of thumb used for budget estimates
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_len_estimate"),
+    )
+
+
 # TF-IDF: tf = in-doc count, idf = ln(N/df). The df table is vocabulary-
 # sized → broadcast; N rides along as a literal-free cross join of a 1-row
 # aggregate (also broadcast).
