@@ -236,6 +236,28 @@ def window_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SAME tumbling aggregation executed as a genuine Structured Streaming
+# query (file source → watermark → complete-mode memory sink, drained with
+# availableNow): the sink table equals the batch result, so a real streaming
+# run is value-checked against the same SQL oracle.
+@query(
+    "streaming_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import streaming_tumbling_from_dir
+
+    return streaming_tumbling_from_dir(spark, sf_dir)
+
+
 # Gap-based sessionization, batch form: flag session starts with lag(), then
 # a running sum assigns session ids — one shuffle on user_id, no self-join.
 @query(

@@ -28,9 +28,17 @@ EVENTS_FILE_SCHEMA = (
 
 
 def events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
-    """File-source stream over events-shaped parquet (ns → µs timestamps)."""
+    """File-source stream over events-shaped parquet (ns → µs timestamps).
+
+    ``path`` must be a directory (file-source contract); ``glob`` filters
+    files within it — e.g. ``events_stream(spark, sf_dir, glob="events.parquet")``
+    streams the events table out of a mixed-table directory.
+    """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -38,6 +46,8 @@ def events_stream(
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -138,6 +148,40 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str =
             "n_events",
         )
     )
+
+
+def streaming_tumbling_from_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query form of the streaming pipeline: file-source stream →
+    watermarked tumbling counts → complete-mode memory sink drained with
+    availableNow. Complete mode truncates the sink per trigger, so after the
+    final batch the memory table IS the batch-equivalent result — which
+    makes a genuine Structured Streaming run oracle-checkable.
+    """
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_tumbling_oracle")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_tumbling_oracle")
 
 
 def write_stream_parquet(
