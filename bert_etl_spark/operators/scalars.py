@@ -232,6 +232,52 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# VARIANT (Spark 4 semi-structured type): parse once, extract typed paths —
+# the modern engine-native mapping of the reference's schemaless payloads
+# (binary-encoded, pruned, no re-parse per extraction).
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS DOUBLE) / 2 AS half_k
+    FROM events
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.parse_json(F.col("props"))
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "double") / 2).alias("half_k"),
+    )
+
+
+# Explicit null ordering — Spark default (NULLS FIRST asc / LAST desc)
+# differs from other engines; always pin it at sort boundaries feeding
+# limits (SURVEY §7 risk 2).
+@query(
+    "sort_nulls_last",
+    oracle="""
+    SELECT c.c_custkey, MAX(o.o_orderdate) AS last_order
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    ORDER BY last_order DESC NULLS LAST, c.c_custkey
+    LIMIT 25
+    """,
+)
+def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"))
+        .orderBy(F.col("last_order").desc_nulls_last(), "c_custkey")
+        .limit(25)
+    )
+
+
 # Null-safe comparison semantics (<=> / IS [NOT] DISTINCT FROM): the corner
 # where ordinary equality silently drops rows.
 @query(

@@ -258,6 +258,61 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_from_dir(spark, sf_dir)
 
 
+# Streaming session windows, complete-mode drained: all sessions survive to
+# the final sink table, so the merging session-window state machine is
+# value-checked against the lag/cumsum SQL derivation.
+@query(
+    "streaming_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_sessions_oracle")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_sessions_oracle")
+
+
 # Gap-based sessionization, batch form: flag session starts with lag(), then
 # a running sum assigns session ids — one shuffle on user_id, no self-join.
 @query(
