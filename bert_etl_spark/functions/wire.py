@@ -90,6 +90,25 @@ def decode_payload(wire: str) -> dict:
     return decode_value(json.loads(wire))
 
 
+TABLE_REF_PREFIX = "table:"
+
+
+def encode_table_reference(name: str) -> str:
+    """Dataset-by-name reference — ETLReference parity (/root/reference
+    bert/etl/__init__.py:239-259): datasets travel through payloads as
+    names, not data."""
+    return f"{TABLE_REF_PREFIX}{name}"
+
+
+def resolve_table_reference(spark, ref: str):
+    """Rehydrate a reference into a DataFrame via the session catalog —
+    the class-path-signature rehydration of the reference
+    (bert/encoders/datatypes.py:61-81) becomes a catalog lookup."""
+    if not ref.startswith(TABLE_REF_PREFIX):
+        raise ValueError(f"not a table reference: {ref!r}")
+    return spark.table(ref[len(TABLE_REF_PREFIX):])
+
+
 def decode_payload_column(col, target_schema: str):
     """Wire-JSON column → struct column of ``target_schema``.
 

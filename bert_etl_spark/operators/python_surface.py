@@ -111,6 +111,45 @@ def pandas_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF surface): one scalar per group,
+# computed vectorized in pandas. Exact arithmetic only (max-min) per the
+# determinism rule above.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pandas_udaf_range",
+    oracle="""
+    SELECT c_mktsegment,
+           MAX(c_acctbal) - MIN(c_acctbal) AS bal_range,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def pandas_udaf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def bal_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg —
+    # the row count is a second pandas UDAF for that reason
+    @pandas_udf("long")
+    def group_n(v: pd.Series) -> int:
+        return len(v)
+
+    return (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            bal_range("c_acctbal").alias("bal_range"),
+            group_n("c_acctbal").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Python UDTF: JSON object → (key, value) rows, the schemaless-payload
 # exploder (reference dict payloads, SURVEY §1.1). 1→N fan-out, pipelined.
 # ---------------------------------------------------------------------------

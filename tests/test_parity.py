@@ -139,3 +139,45 @@ def test_pipeline_checkpoint_replay(spark, tmp_path):
     # stage-0 materialization exists → downstream can be re-run from it
     replay = spark.read.parquet(str(tmp_path / "ckpt" / "stage_0"))
     assert replay.columns == ["id", "a"]
+
+
+def test_streaming_query_listener_observability(spark, tmp_path):
+    """Execution tracking / stalled-job liveness (SURVEY 2A#30/31): the
+    reference's monitor reads run-records; Spark surfaces query lifecycle
+    via StreamingQueryListener."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": [], "progress": [], "terminated": []}
+
+    class Tracker(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"].append(e.id)
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"].append(e.id)
+
+    spark.streams.addListener(listener := Tracker())
+    try:
+        src = str(tmp_path / "obs_src")
+        spark.range(10).write.parquet(src)
+        q = (
+            spark.readStream.schema("id long").parquet(src)
+            .writeStream.format("memory").queryName("t_obs")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 15
+        while not events["terminated"] and time.time() < deadline:
+            time.sleep(0.2)
+        assert events["started"], "listener saw query start"
+        assert events["terminated"], "listener saw query terminate"
+    finally:
+        spark.streams.removeListener(listener)

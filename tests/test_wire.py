@@ -64,3 +64,20 @@ def test_decode_payload_column_spark(spark):
     by_idx = {r.idx: r for r in out}
     assert by_idx[2].score == 3.0 and by_idx[2].name == "n2"
     assert by_idx[99].score is None and by_idx[99].name is None
+
+
+def test_table_reference_rehydration(spark, sf_small):
+    from bert_etl_spark.catalog import load_tables
+    from bert_etl_spark.functions.wire import (
+        encode_table_reference,
+        resolve_table_reference,
+    )
+
+    load_tables(spark, sf_small, names=("nation",))
+    ref = encode_table_reference("nation")
+    wire = encode_payload({"dataset": ref, "note": "passed by name"})
+    payload = decode_payload(wire)
+    df = resolve_table_reference(spark, payload["dataset"])
+    assert df.count() == 25
+    with pytest.raises(ValueError):
+        resolve_table_reference(spark, "not-a-ref")
