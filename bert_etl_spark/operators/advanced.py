@@ -1,0 +1,422 @@
+"""Advanced analytics batch 2: more TPC-H shapes, lateral joins,
+deterministic sampling, histogram binning, time-series gap-fill, and
+duplicate-cluster connected components.
+
+Reference parity: all of these are expressible in the reference only as
+opaque per-item Python loops (`bert/queues.py:61-93`, SURVEY §2A#13) plus
+driver-side dict state; here each is a declarative, Catalyst-optimizable
+plan with an exact DuckDB oracle.
+
+Scale notes per query; common themes at 100 TB:
+- aggregation-before-join (q18) keeps the shuffled payload to one row per
+  group, not one per lineitem;
+- deterministic md5-prefix sampling pushes the predicate into the scan, so
+  a 1/8 sample reads ~1/8 of the data after row-group pruning — no
+  shuffle, no RNG-state coordination across executors;
+- gap-fill generates the date grid with `sequence()` per key (no driver
+  loop, no cross join against a global calendar table);
+- connected components is iterative min-label propagation — O(diameter)
+  small shuffles over an edge list that LSH already shrank by orders of
+  magnitude vs the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from bert_etl_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _SQL_SHINGLES,
+    pair_jaccard,
+    shingles_df,
+)
+from bert_etl_spark.operators.registry import query, sqlq, tbl
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume. The c_nationkey = s_nationkey
+# predicate correlates the two dimension paths; nation/region/customer/
+# supplier broadcast, so lineitem⋈orders is the only exchange. At 100 TB
+# the o_orderdate filter prunes partitions before the join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name, {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    supplier = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure scan-filter-aggregate, no join, no groupBy key.
+# The canonical pushdown showcase: all three predicates reach the parquet
+# scan (min/max row-group pruning on l_shipdate), and the aggregate is a
+# single partial-sum per partition + one-row final merge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a fact aggregate, then join back to the
+# dims. Aggregating lineitem FIRST shrinks the join input to one row per
+# qualifying order — at 100 TB this is the difference between shuffling
+# 100 TB and shuffling a few GB. Customer broadcasts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {sql_dsum('l_quantity')} > 150.0
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral join: per-nation top-2 customers via a correlated LATERAL
+# subquery (Spark ≥3.2 supports JOIN LATERAL). Catalyst rewrites this to
+# a window-rank under the hood when profitable; exposing the SQL surface
+# matters for parity with engines whose users write LATERAL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sqlq(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """,
+        ("nation", "customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling: md5-hex-prefix predicate (first hex char in
+# {0,1} ≈ 1/8) — reproducible across engines, runs, and cluster sizes,
+# unlike TABLESAMPLE/df.sample whose RNG is engine- and split-dependent.
+# The predicate is a cheap per-row expression: no shuffle, fully
+# parallel, and composable with any downstream op. Reference analog:
+# none — the reference can only subsample by consuming the whole queue.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_sampled,
+           {sql_dsum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY c_mktsegment
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    return (
+        customer.filter(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1).isin("0", "1")
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_sampled"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning: fixed-width buckets via floor arithmetic (identical
+# semantics in both engines; width_bucket is not portable). One groupBy
+# on a derived int key — partial aggregation means only n_bins rows cross
+# the exchange regardless of SF.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_fixed_bins",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: per-user daily grid via sequence()+explode, left
+# join the observed daily aggregate, forward-fill with last(ignorenulls)
+# over an unbounded-preceding row frame. All JVM-side; the only shuffles
+# are the daily groupBy and the window partitionBy — both on user_id, so
+# AQE coalesces them into one exchange. The grid is generated per key
+# (no global calendar cross-join that would explode at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               {sql_davg('value')} AS day_avg
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.day, d.day_avg
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id, day, day_avg,
+           last_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled,
+           day_avg IS NULL AS is_gap
+    FROM j
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(davg("value", "day_avg"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
+        F.col("day_avg").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over the near-dup pair graph
+# (n-gram Jaccard ≥ 0.5, same edge set as dedup_ngram_jaccard), by
+# iterative min-label propagation to a fixpoint. This turns pairwise
+# "A dups B" into transitive cluster ids so one canonical doc per cluster
+# survives. Scale: the edge list is tiny relative to the corpus (LSH
+# prunes it first at 100 TB); each iteration is one small shuffle, and
+# convergence takes O(graph diameter) rounds — dup clusters are shallow
+# (star-like), so typically 2-4. Oracle: DuckDB recursive-CTE transitive
+# closure — exact, since label propagation reaches the same fixpoint.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    edges AS (
+        SELECT doc_i, doc_j FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT doc_i AS a, doc_j AS b FROM edges
+        UNION SELECT doc_j, doc_i FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    edges = (
+        pair_jaccard(sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_i", "doc_j")
+    )
+    return connected_components(edges, "doc_i", "doc_j")
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation to a fixpoint over an undirected edge list.
+
+    Returns (doc_id, component) where component = min vertex id reachable.
+    Each round: every vertex takes min(own label, neighbors' labels); stop
+    when no label changes. Intermediate labels are persisted per round so
+    the lineage (and thus each round's cost) stays O(1) instead of
+    compounding; the loop is driver-side control flow only — all data
+    movement is distributed joins.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

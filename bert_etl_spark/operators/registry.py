@@ -78,6 +78,7 @@ def sqlq(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) ->
 def load_all() -> None:
     """Import every operator module (registration side effects)."""
     from bert_etl_spark.operators import (  # noqa: F401
+        advanced,
         aggregations,
         dedup,
         joins,
