@@ -302,3 +302,75 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic correlation/covariance: built-in corr()/covar_samp() use
+# order-dependent streaming co-moments (last-bit nondeterminism across
+# partitionings), so compute the five exact decimal sums and apply the
+# closed form per group — bit-identical across engines AND across cluster
+# sizes. Single map-side-combined groupBy; five sums ride one exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr_deterministic",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_qty_price
+    FROM s
+    """,
+)
+def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    dec = "decimal(25,6)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - 1)), 6).alias("covar_qty_price"),
+    )
+
+
+# Exact median / quantile interpolation per group. Unlike sums, the
+# median picks (or averages two of) actual data values — deterministic
+# under any partitioning, so no decimal detour is needed.
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_discount, 0.25) AS q1_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_discount", F.lit(0.25)).alias("q1_disc"),
+    )

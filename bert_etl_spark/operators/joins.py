@@ -384,3 +384,34 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_month").alias("order_month"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join, registered form: identical result to the plain equi-join
+# (the oracle IS the plain join), but the fact side carries a
+# deterministic xxhash64 salt and the dim side is replicated salt-ways,
+# spreading any hot l_suppkey over `buckets` tasks. This is the explicit
+# fallback for skew that AQE's runtime splitting can't fix (e.g. a
+# pre-partitioned layout it must respect, or skewed aggregate groups).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT s.s_name, COUNT(*) AS n_items, {sql_dsum('l.l_extendedprice')} AS volume
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.skew import salted_join
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = tbl(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, on=["l_suppkey"], buckets=8)
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"), dsum("l_extendedprice", "volume")
+    )

@@ -470,3 +470,125 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_from_map"),
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
     )
+
+
+# String batch 3: initcap/left/right/replace + binary-ish encodings.
+# All JVM-side expressions inside one whole-stage-codegen span; the
+# projection prunes the scan to the two referenced columns.
+@query(
+    "scalar_string3",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+               list_transform(string_split(lower(p_name), ' '),
+                              w -> upper(w[1]) || w[2:]),
+               ' ') AS name_title,
+           left(p_name, 5) AS name_l5,
+           right(p_name, 3) AS name_r3,
+           replace(p_type, 'a', '@') AS type_rep,
+           p_name LIKE 'part%' AS is_part_prefix,
+           contains(p_type, 'e') AS has_e
+    FROM part
+    """,
+)
+def scalar_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.initcap(F.lower("p_name")).alias("name_title"),
+        F.expr("left(p_name, 5)").alias("name_l5"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.expr("replace(p_type, 'a', '@')").alias("type_rep"),
+        F.col("p_name").like("part%").alias("is_part_prefix"),
+        F.col("p_type").contains("e").alias("has_e"),
+    )
+
+
+# Regex batch: extract-all (array result), match count, boolean match.
+# Regexes stay simple POSIX-compatible so both engines' regex libraries
+# (Java util.regex vs RE2) agree.
+@query(
+    "scalar_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z]+ing') AS ing_words,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           regexp_matches(text, 'the') AS has_the
+    FROM documents
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+ing"), 0).alias("ing_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_numbers"),
+        F.col("text").rlike("the").alias("has_the"),
+    )
+
+
+# Date batch 3: month arithmetic (both engines clamp to end-of-month),
+# day-of-year/ISO week, and time-of-day parts on the events stream.
+@query(
+    "scalar_date3",
+    oracle="""
+    SELECT event_id,
+           CAST(ts + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(ts + INTERVAL 45 DAY AS TIMESTAMP) AS plus_45d,
+           dayofyear(ts) AS doy,
+           weekofyear(ts) AS iso_week,
+           hour(ts) AS h,
+           minute(ts) AS m
+    FROM events
+    """,
+)
+def scalar_date3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("ts + make_interval(0, 3)").alias("plus_3m"),
+        F.expr("ts + make_interval(0, 0, 0, 45)").alias("plus_45d"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+    )
+
+
+# Array batch 3: set algebra over arrays. Spark's array_union/intersect/
+# except dedup; DuckDB oracles spell out the same semantics with
+# list_distinct + list_filter. array_sort on both sides makes the value
+# comparison order-free.
+@query(
+    "scalar_array3",
+    oracle="""
+    WITH t AS (
+        SELECT p_partkey,
+               range(1, (p_size % 5) + 4) AS a,
+               range(2, 5) AS b
+        FROM part
+    )
+    SELECT p_partkey,
+           list_sort(list_distinct(list_concat(a, b))) AS u,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS i,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS d,
+           coalesce(list_position(a, 3), 0) AS pos3,
+           list_max(a) AS amax
+    FROM t
+    """,
+)
+def scalar_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        F.sequence(F.lit(1), (F.col("p_size") % 5) + 3).alias("a"),
+        F.sequence(F.lit(2), F.lit(4)).alias("b"),
+    )
+    return t.select(
+        "p_partkey",
+        F.array_sort(F.array_union("a", "b")).alias("u"),
+        F.array_sort(F.array_intersect("a", "b")).alias("i"),
+        F.array_sort(F.array_except("a", "b")).alias("d"),
+        F.array_position("a", 3).cast("bigint").alias("pos3"),
+        F.array_max("a").alias("amax"),
+    )

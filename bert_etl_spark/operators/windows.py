@@ -399,3 +399,34 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# Streaming stateful dedup, append-mode drained: dropDuplicates keeps one
+# row per key across ALL micro-batches (state table keyed by the dedup
+# cols); emitting only the key columns makes the surviving-row choice
+# irrelevant, so a real streaming run is value-checked against DISTINCT.
+# At scale the state is bounded by key cardinality — use
+# dropDuplicatesWithinWatermark (streaming/events.py) when keys are
+# unbounded but duplicates arrive close together.
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("streaming_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_dedup_sink")
