@@ -358,11 +358,15 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    sh = shingles_df(docs)
+    # pair_jaccard reads the shingle table 3×, and the symmetric edge
+    # union reads the edge list 2× — persist both or the whole shingle
+    # pipeline re-runs up to 6 times.
+    sh = shingles_df(docs).persist()
     edges = (
         pair_jaccard(sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_i", "doc_j")
+        .persist()
     )
     return connected_components(edges, "doc_i", "doc_j")
 
@@ -373,11 +377,14 @@ def connected_components(
     """Min-label propagation to a fixpoint over an undirected edge list.
 
     Returns (doc_id, component) where component = min vertex id reachable.
-    Each round: every vertex takes min(own label, neighbors' labels); stop
-    when no label changes. Intermediate labels are persisted per round so
-    the lineage (and thus each round's cost) stays O(1) instead of
-    compounding; the loop is driver-side control flow only — all data
-    movement is distributed joins.
+    Each round: every vertex takes min(own label, neighbors' labels), then
+    a pointer-doubling hop (component := component's component) halves
+    chain depth, so convergence is O(log diameter) rounds. Labels are
+    localCheckpoint-ed each round: persist alone caches the DATA but
+    Catalyst still re-analyzes the logical plan, which doubles per round
+    (the hop plan is referenced twice) — without truncation, planning
+    time grows exponentially with iterations. The loop is driver-side
+    control flow only; all data movement is distributed joins.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -385,6 +392,11 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # adaptive layout: a dup-pair graph that fits one partition iterates
+    # with single-task rounds (no shuffle/scheduling overhead per round);
+    # past the threshold the same loop runs fully distributed
+    if sym.count() < 1_000_000:
+        sym = sym.coalesce(1)
     labels = (
         sym.select(F.col("u").alias("doc_id"))
         .distinct()
@@ -393,20 +405,32 @@ def connected_components(
     )
     labels.count()
     for _ in range(max_iter):
+        # (1) neighbor-min: each vertex takes the min label in its
+        # 1-hop neighborhood
         neigh = (
             sym.join(labels, sym["v"] == labels["doc_id"])
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
+        hop = labels.join(neigh, labels["doc_id"] == neigh["u"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # (2) pointer-doubling: follow component -> component-of-component,
+        # halving chain depth each round; dup chains (A~B~C~...) would
+        # otherwise need O(chain length) rounds, this needs O(log)
+        ptr = hop.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+            hop.join(ptr, hop["component"] == ptr["p_id"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

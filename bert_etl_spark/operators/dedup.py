@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bert_etl_spark.operators.registry import query, tbl
+from bert_etl_spark.operators.registry import query, spread, tbl
 
 N_MINHASHES = 8
 BAND_ROWS = 2  # minhashes per band → 4 bands
@@ -53,7 +53,7 @@ def shingles_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     function lambdas, so referencing ``split(text)`` directly there re-runs
     the tokenizer per element (measured ~3× slower end-to-end).
     """
-    toked = docs.select(
+    toked = spread(docs).select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
     grams = F.transform(
@@ -250,7 +250,10 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers of the shingle table (two join sides + sizes)
     sh = shingles_df(tbl(spark, sf_dir, "documents")).persist()
-    jac = pair_jaccard(sh)
+    # persisting jac too lets downstream pipeline stages in the same
+    # session (e.g. dedup_cluster_components) cache-hit the identical
+    # canonical subplan instead of re-running the inverted-index join
+    jac = pair_jaccard(sh).persist()
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard")
     )
@@ -284,7 +287,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_j").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # pair_jaccard consumes its input 3× (both join sides + sizes); persist
+    # the pruned shingle set or each consumer re-runs the semi-join.
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
     jac = pair_jaccard(sh_cand)
     return (
         cand.join(jac, ["doc_i", "doc_j"])
@@ -312,7 +317,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     array transform → aggregate. One shuffle (groupBy doc).
     """
     tok = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
         .distinct()
         .withColumn("h", F.xxhash64("token"))
     )

@@ -36,6 +36,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return decorator
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row work.
+
+    A small parquet file scans as ONE partition (maxPartitionBytes), which
+    serializes everything up to the first exchange on one core — the local
+    analog of a 100 TB table that arrives in too-few splits. An explicit
+    repartition (exempt from AQE coalescing) spreads the rows across the
+    cluster; the shuffled payload is just the input rows, negligible next
+    to the per-row compute it unlocks (tokenize/md5/regex pipelines).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for a named test table.
 
