@@ -506,3 +506,53 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("customer",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source parity queries (SURVEY §2B scans/sources): literal inline rows
+# (reference invoke_args, bert/shortcuts.py:219-260) and the generator
+# source run through the pipeline layer (the reference's canonical
+# generate → square → filter doc example, docs/index.rst:40-96, chained
+# with bert/binding.py:34 follow()). The three pipeline stages fuse into
+# ONE whole-stage-codegen'd physical operator — the plan shows a single
+# Range → Project → Filter with no materialization between "jobs".
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_inline_rows",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'sns-entry',   10.5),
+        (2, 'invoke-arg',  20.25),
+        (3, 'api-gateway', 30.125)
+    ) AS t(id, source, score)
+    """,
+)
+def source_inline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(1, "sns-entry", 10.5), (2, "invoke-arg", 20.25), (3, "api-gateway", 30.125)],
+        "id bigint, source string, score double",
+    )
+
+
+@query(
+    "pipeline_generate_square",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS idx,
+           CAST(range AS DOUBLE) * CAST(range AS DOUBLE) AS squared
+    FROM range(200)
+    WHERE range % 3 = 0
+    """,
+)
+def pipeline_generate_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.pipeline import Pipeline
+
+    chain = Pipeline(
+        lambda df: df.select(F.col("id").alias("idx")),
+        lambda df: df.withColumn(
+            "squared", F.col("idx").cast("double") * F.col("idx").cast("double")
+        ),
+        lambda df: df.filter(F.col("idx") % 3 == 0),
+    )
+    return chain.run(spark.range(200))
