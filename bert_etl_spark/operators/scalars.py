@@ -592,3 +592,37 @@ def scalar_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position("a", 3).cast("bigint").alias("pos3"),
         F.array_max("a").alias("amax"),
     )
+
+
+# Map functions batch 2: transform_values, map_filter, map_concat,
+# map_zip_with — Spark's full MapType op surface. Outputs are scalars
+# (element_at / cardinality) because map VALUES don't hash portably
+# across engines; the oracle computes the same scalars directly.
+@query(
+    "scalar_map2",
+    oracle="""
+    SELECT event_id,
+           value * 2.0 AS doubled_value,
+           CASE WHEN value > 10.0 THEN 2 ELSE 1 END AS n_kept,
+           CAST(user_id AS DOUBLE) + value AS zipped
+    FROM events
+    """,
+)
+def scalar_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    base = F.create_map(
+        F.lit("v"), F.col("value"), F.lit("uid"), F.col("user_id").cast("double")
+    )
+    doubled = F.transform_values(base, lambda k, v: v * 2.0)
+    kept = F.map_filter(base, lambda k, v: (k == F.lit("uid")) | (v > 10.0))
+    zipped = F.map_zip_with(
+        F.create_map(F.lit("x"), F.col("user_id").cast("double")),
+        F.create_map(F.lit("x"), F.col("value")),
+        lambda k, a, b: a + b,
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, "v").alias("doubled_value"),
+        F.size(F.map_keys(kept)).cast("int").alias("n_kept"),
+        F.element_at(zipped, "x").alias("zipped"),
+    )

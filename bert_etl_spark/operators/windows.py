@@ -430,3 +430,68 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("streaming_dedup_sink")
+
+
+# Rolling 7-day revenue per customer: RANGE frame over epoch-days, so a
+# customer with sparse order dates still gets a true time-window (ROWS
+# frames would count rows, not days). Decimal-cast inside the window sum
+# keeps the fold order-insensitive. State at 100 TB is bounded by the
+# frame span per key — no unbounded accumulation.
+@query(
+    "window_rolling_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d
+    FROM orders
+    """,
+)
+def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d"),
+    )
+
+
+# Stream-static join: the streaming side joins a static dim per
+# micro-batch with NO streaming state (stateless enrich) — the batch dim
+# is re-broadcast per trigger, so dim updates are picked up between
+# batches. Append-mode memory sink drained with availableNow; oracle is
+# the equivalent batch join.
+@query(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    customer = tbl(spark, sf_dir, "customer")
+    enriched = stream.join(
+        F.broadcast(customer), stream["user_id"] == customer["c_custkey"]
+    ).select("event_id", "event_type", "c_mktsegment")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("streaming_stream_static_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_stream_static_sink")
