@@ -374,3 +374,51 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("med_qty"),
         F.percentile("l_discount", F.lit(0.25)).alias("q1_disc"),
     )
+
+
+# Boolean aggregates + arg-max/min + conditional counting. max_by/min_by
+# pick values off actual rows (no floating reduction) — deterministic
+# given distinct ordering keys (o_totalprice sums of random prices don't
+# collide within a group).
+@query(
+    "agg_bool_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           count_if(c_acctbal < 0) AS n_negative,
+           arg_max(c_custkey, c_acctbal) AS richest_cust,
+           arg_min(c_custkey, c_acctbal) AS poorest_cust
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_bool_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+    )
+
+
+# Ordered string aggregation: sort-then-join makes the concatenation
+# order-insensitive to partitioning (collect_list alone is not!).
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS names,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
+            F.count("*").alias("n_nations"),
+        )
+    )

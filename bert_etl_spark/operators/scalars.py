@@ -626,3 +626,50 @@ def scalar_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(kept)).cast("int").alias("n_kept"),
         F.element_at(zipped, "x").alias("zipped"),
     )
+
+
+# try_ functions: null-on-error arithmetic/casts (the reference's
+# permissive Python semantics — a failed item doesn't kill the job).
+@query(
+    "scalar_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / nullif(l_linenumber - 1, 0) AS per_prior_line,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+    FROM lineitem
+    """,
+)
+def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_quantity", F.col("l_linenumber") - 1).alias("per_prior_line"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+    )
+
+
+# Binary encodings: hex, base64 round-trip, population count.
+@query(
+    "scalar_encoding",
+    oracle="""
+    SELECT event_id,
+           hex(user_id) AS uid_hex,
+           to_base64(encode(event_type)) AS type_b64,
+           octet_length(from_base64(to_base64(encode(event_type)))) AS n_bytes,
+           bit_count(user_id) AS uid_bits
+    FROM events
+    """,
+)
+def scalar_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    b64 = F.base64(F.col("event_type").cast("binary"))
+    return ev.select(
+        "event_id",
+        F.hex("user_id").alias("uid_hex"),
+        b64.alias("type_b64"),
+        F.length(F.unbase64(b64)).cast("bigint").alias("n_bytes"),
+        F.bit_count("user_id").cast("int").alias("uid_bits"),
+    )

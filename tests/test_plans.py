@@ -82,3 +82,58 @@ def test_aggregates_run_partial_before_exchange(spark):
     exchange so only O(groups) state shuffles."""
     plan = _plan(spark, "pricing_summary")
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_q19_disjunctive_stays_hash_join(spark):
+    # Catalyst must extract the common p_partkey=l_partkey equi-condition
+    # from the OR branches — a nested-loop here is quadratic at scale
+    plan = _plan(spark, "tpch_q19_disjunctive")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_pushes_all_filters_to_scan(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    # explain truncates the PushedFilters list; assert the prefix proves
+    # all three predicate columns reached the scan
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"
+        in plan
+    )
+    # column pruning: exactly the four needed columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+
+
+def test_q18_aggregates_before_join(spark):
+    # HashAggregate on lineitem must appear BELOW the join with orders —
+    # the 100 TB shuffle-shrinker
+    plan = _plan(spark, "tpch_q18_large_volume")
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: the join node precedes (is above) the
+    # fact aggregate feeding it
+    assert join_pos < plan.rfind("HashAggregate")
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier")
+    # four dims broadcast; the only shuffle join (if any) is lineitem⋈orders
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_rolling_range_single_window_exchange(spark):
+    # one hashpartitioning exchange on o_custkey feeds the range-frame
+    # window — no extra repartition
+    plan = _plan(spark, "window_rolling_range")
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_sample_pushes_hash_predicate(spark):
+    # the md5-prefix predicate is a row-level filter right above the scan —
+    # no shuffle before the aggregate's own exchange
+    plan = _plan(spark, "sample_hash_deterministic")
+    assert plan.count("Exchange") <= 2  # partial/final agg only
