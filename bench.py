@@ -25,6 +25,7 @@ HEADLINE = [
     "tpch_q5_local_supplier", # correlated dim paths, 6-way join
     "tpch_q6_forecast_revenue",  # pure scan-filter-agg pushdown
     "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",  # left join + agg-of-agg
     "tpch_q18_large_volume",  # agg-before-join + HAVING
     "pricing_summary",        # wide-agg single scan
     "merge_upsert",           # MERGE/SCD emulation
