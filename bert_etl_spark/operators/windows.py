@@ -495,3 +495,96 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("streaming_stream_static_sink")
+
+
+# Funnel analysis: ordered-stage conversion (view → click → purchase)
+# per user via min-timestamp-after-previous-stage. One shuffle on
+# user_id computes all three stages; the final count is a tiny global
+# agg. At 100 TB this is the partition-friendly funnel formulation — no
+# self-joins, no per-user explode.
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+        FROM events GROUP BY user_id
+    ),
+    funnel AS (
+        SELECT user_id, t_view,
+               CASE WHEN t_click_any > t_view THEN t_click_any END AS t_click,
+               CASE WHEN t_buy_any > t_view AND t_click_any > t_view
+                         AND t_buy_any > t_click_any
+                    THEN t_buy_any END AS t_buy
+        FROM stages
+    )
+    SELECT COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked,
+           COUNT(t_buy) AS n_purchased
+    FROM funnel
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click_any"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy_any"),
+    )
+    funnel = stages.select(
+        "user_id",
+        "t_view",
+        F.when(F.col("t_click_any") > F.col("t_view"), F.col("t_click_any")).alias(
+            "t_click"
+        ),
+        F.when(
+            (F.col("t_buy_any") > F.col("t_view"))
+            & (F.col("t_click_any") > F.col("t_view"))
+            & (F.col("t_buy_any") > F.col("t_click_any")),
+            F.col("t_buy_any"),
+        ).alias("t_buy"),
+    )
+    return funnel.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_buy").alias("n_purchased"),
+    )
+
+
+# Cohort retention: users bucketed by first-activity day, counted per
+# day-offset — first-touch via a groupBy min (no window over the full
+# stream), then one join back. Both exchanges hash on user_id.
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+               AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("DAY", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
