@@ -427,3 +427,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .select("vec_i", "vec_j", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest ledger as a contract query: the reference's ETLState
+# pattern (contain()/contains(), /root/reference bert/etl/__init__.py:57-80)
+# — a persisted set of content hashes filters re-sent items. Here the
+# "ledger" is the identity set of the already-ingested half and the
+# "incoming batch" is the full table; only genuinely-new rows survive the
+# LEFT ANTI join. Cross-engine portability: the join is on doc_id-derived
+# rows, but the ledger itself is the sha2 canonical-JSON identity — the
+# same digest both engines compute bit-identically. At 100 TB the ledger
+# is a bucketed table joined on its sorted hash column.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ledger_increment",
+    oracle="""
+    WITH ledger AS (
+        SELECT DISTINCT sha256(concat('{"text":"', text, '"}')) AS identity
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    LEFT JOIN ledger l
+      ON sha256(concat('{"text":"', d.text, '"}')) = l.identity
+    WHERE l.identity IS NULL
+    """,
+)
+def dedup_ledger_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.identity import with_identity
+
+    docs = tbl(spark, sf_dir, "documents")
+    ingested = with_identity(docs.filter(F.col("doc_id") % 2 == 0), ["text"])
+    ledger = ingested.select("identity").distinct()
+    incoming = with_identity(docs, ["text"])
+    return incoming.join(ledger, "identity", "left_anti").select("doc_id", "source")
