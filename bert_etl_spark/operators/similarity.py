@@ -394,3 +394,34 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# Range search: every vector within a cosine radius of a small query set
+# (the "find all near-duplicates of these N items" primitive). Unlike
+# top-k there is no per-query window — a pure join+filter that
+# whole-stage-codegens; the query side broadcasts, the corpus streams
+# through once regardless of radius hits.
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH {_SQL_PREP}
+    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           ROUND({_SQL_COS}, 6) AS cosine
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+      AND {_SQL_COS} >= 0.35
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    queries = prep.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        prep.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cosine", 6).alias("cosine"))
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.operators.dedup import shingles_df, tokenize
-from bert_etl_spark.operators.registry import query, tbl
+from bert_etl_spark.operators.registry import query, spread, tbl
 
 # tiny stopword profiles for the language-ID heuristic (counts of exact
 # token hits per profile; argmax wins, ties → 'und')
@@ -320,5 +320,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("", F.slice(F.array_sort(F.collect_list("h")), 1, FINGERPRINT_K))
             ).alias("fingerprint"),
             F.count("*").alias("n_shingles"),
+        )
+    )
+
+
+# Bigram language-model statistics: P(w2|w1) = c(w1 w2)/c(w1) over the
+# corpus — the n-gram building block for perplexity filters in training-
+# data pipelines. Two shuffles (bigram counts, unigram counts), then a
+# broadcast-sized join on the conditioning token. Restricted to the top
+# conditioning tokens so output stays bounded at any SF.
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(len(toks) - 1),
+                      i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS bg
+        FROM tok WHERE len(toks) >= 2
+    ),
+    bg_counts AS (
+        SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c12
+        FROM bigrams GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM bg_counts GROUP BY w1)
+    SELECT b.w1, b.w2, b.c12,
+           CAST(b.c12 AS DOUBLE) / u.c1 AS p_cond
+    FROM bg_counts b JOIN uni u ON b.w1 = u.w1
+    WHERE u.c1 >= 100
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs).select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("w1"),
+                    F.element_at("toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bg_counts.join(F.broadcast(uni.filter(F.col("c1") >= 100)), "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (F.col("c12").cast("double") / F.col("c1")).alias("p_cond"),
         )
     )
