@@ -378,3 +378,70 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c12").cast("double") / F.col("c1")).alias("p_cond"),
         )
     )
+
+
+# Perplexity-style quality filter: score each document by the mean
+# surprisal of its bigrams under the corpus bigram LM (ln(c1/c12), i.e.
+# -ln P(w2|w1)) — the classic LM-based filter for training-data
+# pipelines (high score = unusual word sequences). The LM table comes
+# from one aggregation over the corpus and joins back to per-doc bigrams
+# on (w1, w2); surprisal is rounded to 6 decimals BEFORE the decimal-
+# exact mean so the reduction is order-free and engine-identical.
+@query(
+    "text_perplexity_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    doc_bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks) - 1),
+                      i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS bg
+        FROM tok WHERE len(toks) >= 2
+    ),
+    flat AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM doc_bg),
+    bg_counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM flat GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM bg_counts GROUP BY w1)
+    SELECT f.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(round(ln(CAST(u.c1 AS DOUBLE) / b.c12), 6)
+                         AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS surprisal
+    FROM flat f
+    JOIN bg_counts b ON f.w1 = b.w1 AND f.w2 = b.w2
+    JOIN uni u ON f.w1 = u.w1
+    GROUP BY f.doc_id
+    """,
+)
+def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs).select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    flat = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("w1"),
+                    F.element_at("toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # LM table consumed by the per-doc join — persist or it re-aggregates
+    # once per downstream consumer
+    bg_counts = flat.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    uni = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    surprisal = F.round(
+        F.log(F.col("c1").cast("double") / F.col("c12")), 6
+    ).cast("decimal(25,6)")
+    return (
+        flat.join(bg_counts, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum(surprisal).cast("double") / F.count("*")).alias("surprisal"),
+        )
+    )
