@@ -40,6 +40,8 @@ HEADLINE = [
     "window_sessionize",      # gap sessionization
     "window_event_tumbling",  # event-time windows
     "timeseries_gapfill",     # grid gen + forward fill
+    "funnel_conversion",      # ordered-stage funnel
+    "cohort_retention",       # first-touch cohorts
     "scalar_json",            # JSON path extraction
     "scalar_hash",            # content identity
     "dedup_exact",            # exact dedup
@@ -55,6 +57,7 @@ HEADLINE = [
     "sim_ivf",                # IVF probe path
     "text_tfidf_top_terms",   # tf-idf
     "text_quality_score",     # quality scoring
+    "text_perplexity_score",  # bigram-LM surprisal filter
     "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
     "pandas_max_gap",         # applyInPandas grouped Python
 ]
