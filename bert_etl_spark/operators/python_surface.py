@@ -100,11 +100,12 @@ def pandas_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit hash repartition before the grouped-pandas op: AQE would
     # otherwise coalesce the small shuffle to ~1 partition and serialize all
     # Python work on one core (explicit REPARTITION_BY_NUM is exempt from
-    # AQE coalescing). At 100 TB the same hint sizes Python parallelism.
+    # AQE coalescing). Sized to the cluster's parallelism so every core
+    # runs a Python worker; at 100 TB the same hint sizes Python parallelism.
     return (
         tbl(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id")
-        .repartition(16, "user_id")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
         .groupBy("user_id")
         .applyInPandas(_max_gap_group, "user_id long, n_events long, max_gap_us long")
     )
