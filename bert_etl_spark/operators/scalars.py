@@ -673,3 +673,34 @@ def scalar_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.unbase64(b64)).cast("bigint").alias("n_bytes"),
         F.bit_count("user_id").cast("int").alias("uid_bits"),
     )
+
+
+# Nested struct round-trip: build a nested struct (the reference's
+# nested-dict payload, 'M'-map wire shape — bert/encoders/base.py:25-26
+# in /root/reference), access a deep field, serialize to canonical JSON.
+# Struct columns stay in Tungsten rows end-to-end; only the JSON string
+# and extracted scalars are emitted (struct VALUES don't hash portably).
+@query(
+    "scalar_struct_nested",
+    oracle="""
+    SELECT event_id,
+           to_json({'type': event_type,
+                    'meta': {'uid': user_id, 'val': value}}) AS payload_json,
+           {'type': event_type, 'meta': {'uid': user_id, 'val': value}}.meta.uid
+               AS deep_uid
+    FROM events
+    """,
+)
+def scalar_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("event_type").alias("type"),
+        F.struct(
+            F.col("user_id").alias("uid"), F.col("value").alias("val")
+        ).alias("meta"),
+    )
+    return ev.select(
+        "event_id",
+        F.to_json(payload).alias("payload_json"),
+        payload.getField("meta").getField("uid").alias("deep_uid"),
+    )
