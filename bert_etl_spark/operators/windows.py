@@ -588,3 +588,56 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# Anomaly detection: per-user z-score of each event's value against the
+# user's own mean/std, computed from exact decimal sums (sum, sum-of-
+# squares) so the moments are order-free and engine-identical — the same
+# trick as agg_corr_deterministic. One groupBy + one broadcast-back join;
+# flags |z| > 2. The rounding before comparison pins the boundary cases.
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT user_id, n, s1 / n AS mu,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        FROM m WHERE n >= 2
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS z,
+           abs((e.value - s.mu) / s.sigma) > 2.0 AS is_anomaly
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    dec = "decimal(25,6)"
+    m = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double").alias("s2"),
+    )
+    stats = m.filter(F.col("n") >= 2).select(
+        "user_id",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
