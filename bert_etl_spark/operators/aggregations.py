@@ -422,3 +422,20 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+# Two-phase skew-safe aggregation (registered form of functions.skew.
+# salted_count): count per (key, salt) first, then sum per key — partial
+# state per task stays bounded even when one key owns 10% of the table.
+# AQE splits skewed JOINS at runtime but not skewed AGGREGATE groups;
+# this is the explicit pattern for those. Oracle = the plain count.
+@query(
+    "agg_skew_salted_count",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.skew import salted_count
+
+    return salted_count(tbl(spark, sf_dir, "events"), "event_type", buckets=16)

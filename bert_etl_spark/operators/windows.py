@@ -641,3 +641,47 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+# Running distinct count: COUNT(DISTINCT) isn't a window function in
+# either engine, so mark each value's first occurrence per user
+# (row_number = 1 over (user, value)) and take a running sum — two
+# window passes over the same user_id partitioning, one exchange.
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_types_so_far
+    FROM firsts
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+        )
+    )
