@@ -444,3 +444,61 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Corpus dedup end-to-end (the LLM-training-data capstone): near-dup
+# pairs → connected components → keep ONE canonical doc per cluster
+# (min doc_id) → corpus stats by source. Everything upstream reuses the
+# library pieces (shingles → exact-jaccard edges → pointer-doubling CC);
+# the drop step is a LEFT ANTI join against the non-canonical member
+# list. Counts/char-sums are integer — exact without decimal detours.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_corpus_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    edges AS (
+        SELECT doc_i, doc_j FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT doc_i AS a, doc_j AS b FROM edges
+        UNION SELECT doc_j, doc_i FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(d.n_chars) AS total_chars
+    FROM documents d
+    LEFT JOIN dropped x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    GROUP BY d.source
+    """,
+)
+def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()
+    edges = (
+        pair_jaccard(sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_i", "doc_j")
+        .persist()
+    )
+    comp = connected_components(edges, "doc_i", "doc_j")
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
