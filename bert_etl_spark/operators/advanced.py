@@ -476,7 +476,7 @@ def connected_components(
     dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(d.n_chars) AS total_chars
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
     FROM documents d
     LEFT JOIN dropped x ON d.doc_id = x.doc_id
     WHERE x.doc_id IS NULL

@@ -386,20 +386,26 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            bool_and(c_acctbal > 0) AS all_positive,
            bool_or(c_acctbal > 9000) AS any_rich,
-           count_if(c_acctbal < 0) AS n_negative,
-           arg_max(c_custkey, c_acctbal) AS richest_cust,
-           arg_min(c_custkey, c_acctbal) AS poorest_cust
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+           max(struct_pack(a := c_acctbal, k := c_custkey)).k AS richest_cust,
+           min(struct_pack(a := c_acctbal, k := c_custkey)).k AS poorest_cust
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_bool_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count_if is HUGEINT in DuckDB (driver's value-hash is type-sensitive)
+    # → CAST AS BIGINT in the oracle. arg-max/min go through max/min over a
+    # (acctbal, custkey) struct — lexicographic in both engines, so ties on
+    # acctbal break deterministically on custkey at any SF. (DuckDB arg_max
+    # has no struct-ordering overload; max(struct).k is the portable form.)
     c = tbl(spark, sf_dir, "customer")
+    pair = F.struct(F.col("c_acctbal").alias("a"), F.col("c_custkey").alias("k"))
     return c.groupBy("c_mktsegment").agg(
         F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
         F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
         F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
-        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.max(pair)["k"].alias("richest_cust"),
+        F.min(pair)["k"].alias("poorest_cust"),
     )
 
 

@@ -522,7 +522,8 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_inline_rows",
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT CAST(id AS BIGINT) AS id, source, CAST(score AS DOUBLE) AS score
+    FROM (VALUES
         (1, 'sns-entry',   10.5),
         (2, 'invoke-arg',  20.25),
         (3, 'api-gateway', 30.125)

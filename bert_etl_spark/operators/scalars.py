@@ -96,10 +96,10 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(log10(l_extendedprice), 6) AS price_log10,
            round(l_extendedprice, 1) AS price_round,
            abs(l_discount - 0.05) AS disc_dev,
-           ceil(l_quantity / 7) AS qty_ceil,
-           floor(l_quantity / 7) AS qty_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_floor,
            CAST(l_linenumber % 3 AS BIGINT) AS line_mod,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )
@@ -512,7 +512,7 @@ def scalar_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            regexp_extract_all(text, '[A-Za-z]+ing') AS ing_words,
-           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
            regexp_matches(text, 'the') AS has_the
     FROM documents
     """,
@@ -548,10 +548,11 @@ def scalar_date3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("ts + make_interval(0, 3)").alias("plus_3m"),
         F.expr("ts + make_interval(0, 0, 0, 45)").alias("plus_45d"),
-        F.dayofyear("ts").alias("doy"),
-        F.weekofyear("ts").alias("iso_week"),
-        F.hour("ts").alias("h"),
-        F.minute("ts").alias("m"),
+        # DuckDB date-part extracts are BIGINT; Spark's are int — cast up
+        F.dayofyear("ts").cast("bigint").alias("doy"),
+        F.weekofyear("ts").cast("bigint").alias("iso_week"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.minute("ts").cast("bigint").alias("m"),
     )
 
 
@@ -572,7 +573,7 @@ def scalar_date3(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_sort(list_distinct(list_concat(a, b))) AS u,
            list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS i,
            list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS d,
-           coalesce(list_position(a, 3), 0) AS pos3,
+           CAST(coalesce(list_position(a, 3), 0) AS BIGINT) AS pos3,
            list_max(a) AS amax
     FROM t
     """,
@@ -581,8 +582,11 @@ def scalar_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = tbl(spark, sf_dir, "part")
     t = part.select(
         "p_partkey",
-        F.sequence(F.lit(1), (F.col("p_size") % 5) + 3).alias("a"),
-        F.sequence(F.lit(2), F.lit(4)).alias("b"),
+        # bigint bounds → array<bigint>, matching DuckDB range() = BIGINT[]
+        F.sequence(
+            F.lit(1).cast("bigint"), ((F.col("p_size") % 5) + 3).cast("bigint")
+        ).alias("a"),
+        F.sequence(F.lit(2).cast("bigint"), F.lit(4).cast("bigint")).alias("b"),
     )
     return t.select(
         "p_partkey",
@@ -659,7 +663,7 @@ def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
            hex(user_id) AS uid_hex,
            to_base64(encode(event_type)) AS type_b64,
            octet_length(from_base64(to_base64(encode(event_type)))) AS n_bytes,
-           bit_count(user_id) AS uid_bits
+           CAST(bit_count(user_id) AS INTEGER) AS uid_bits
     FROM events
     """,
 )

@@ -139,8 +139,8 @@ _SQL_COS = (
     SELECT * FROM (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
                ROUND({_SQL_COS}, 6) AS cosine,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rn
         FROM n q JOIN n c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ) WHERE rn <= {TOP_K}
@@ -240,8 +240,8 @@ N_PROBES = 2
     SELECT * FROM (
         SELECT cand.q_id, cand.neighbor_id,
                ROUND({_SQL_COS}, 6) AS cosine,
-               ROW_NUMBER() OVER (PARTITION BY cand.q_id
-                                  ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS rn
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                    ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS INTEGER) AS rn
         FROM cand
         JOIN n q ON q.vec_id = cand.q_id
         JOIN n c ON c.vec_id = cand.neighbor_id
@@ -363,8 +363,8 @@ def _sql_bucket(alias: str) -> str:
     SELECT * FROM (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.bucket,
                ROUND({_SQL_COS}, 6) AS cosine,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rn
         FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ) WHERE rn <= {TOP_K}

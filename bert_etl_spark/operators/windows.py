@@ -25,10 +25,10 @@ _DEC = "decimal(25,6)"
     "window_ranking",
     oracle="""
     SELECT c_nationkey, c_custkey, c_acctbal,
-           ROW_NUMBER()  OVER w AS rn,
-           RANK()        OVER w AS rnk,
-           DENSE_RANK()  OVER w AS drnk,
-           NTILE(4)      OVER w AS quartile
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(RANK()       OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4)     OVER w AS INTEGER) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -136,9 +136,9 @@ def window_analytic2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
         SELECT o_orderpriority, o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (
+               CAST(ROW_NUMBER() OVER (
                    PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         FROM orders
     ) WHERE rn <= 3
     """,
@@ -274,9 +274,10 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
         FROM flagged
     )
     SELECT user_id,
@@ -328,9 +329,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, MIN(ts) AS session_start,
@@ -374,9 +376,10 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
         FROM flagged
     )
     SELECT user_id,
@@ -659,10 +662,10 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, event_id,
-           SUM(is_first) OVER (
+           CAST(SUM(is_first) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS distinct_types_so_far
+           ) AS BIGINT) AS distinct_types_so_far
     FROM firsts
     """,
 )
