@@ -75,9 +75,15 @@ def main() -> None:
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings",
                  "part", "supplier", "nation", "region"):
         try:
-            spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).collect()
-        except Exception:
-            pass
+            # registry.tbl, not a raw read: events.parquet is TIMESTAMP(NANOS)
+            # and needs the nanosAsLong conf tbl() sets — a raw read here
+            # fails the task and leaves ERROR lines in the bench log
+            registry.tbl(spark, sf_dir, name).limit(1).collect()
+        except Exception as ex:
+            print(
+                f"TABLE WARMUP FAILED: {name}: {type(ex).__name__}",
+                file=sys.stderr,
+            )
     # steady-state warmup: run every headline plan once at the SMALLEST SF
     # so whole-stage-codegen compilation (janino, per plan shape — identical
     # across SFs) happens before the timed pass. The timed run below still
@@ -91,19 +97,33 @@ def main() -> None:
                 continue
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+            except Exception as ex:
+                # a silently-failed warmup runs its timed pass cold (codegen
+                # included) — surface it so the timing isn't misread
+                print(
+                    f"WARMUP FAILED: {name}: {type(ex).__name__}: "
+                    f"{str(ex).splitlines()[0][:200]}",
+                    file=sys.stderr,
+                )
         # drop sf0.001 caches so the timed pass measures sf_dir work only
         spark.catalog.clearCache()
 
+    # Two full suite passes, per-query minimum: this box exhibits a random
+    # ~6 s stall that lands on one arbitrary query per pass; min-of-2 keeps
+    # it out of the headline. Cache is cleared BETWEEN passes so each pass
+    # preserves the intended intra-suite plan-cache sharing (the dedup
+    # family reuses the shingle table) while pass 2 never reads pass 1's.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.ALL_QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            fn = registry.ALL_QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     print(

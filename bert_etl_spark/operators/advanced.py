@@ -32,7 +32,7 @@ from bert_etl_spark.operators.dedup import (
     pair_jaccard,
     shingles_df,
 )
-from bert_etl_spark.operators.registry import query, sqlq, tbl
+from bert_etl_spark.operators.registry import persist_once, query, sqlq, tbl
 
 # ---------------------------------------------------------------------------
 # TPC-H Q5 shape: local-supplier volume. The c_nationkey = s_nationkey
@@ -361,12 +361,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair_jaccard reads the shingle table 3×, and the symmetric edge
     # union reads the edge list 2× — persist both or the whole shingle
     # pipeline re-runs up to 6 times.
-    sh = shingles_df(docs).persist()
-    edges = (
+    sh = persist_once(shingles_df(docs))
+    edges = persist_once(
         pair_jaccard(sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_i", "doc_j")
-        .persist()
     )
     return connected_components(edges, "doc_i", "doc_j")
 
@@ -390,8 +389,8 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
     )
+    sym = persist_once(sym)
     # adaptive layout: a dup-pair graph that fits one partition iterates
     # with single-task rounds (no shuffle/scheduling overhead per round);
     # past the threshold the same loop runs fully distributed
@@ -401,8 +400,8 @@ def connected_components(
         sym.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
     )
+    labels = persist_once(labels)
     labels.count()
     for _ in range(max_iter):
         # (1) neighbor-min: each vertex takes the min label in its
@@ -485,12 +484,11 @@ def connected_components(
 )
 def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    sh = shingles_df(docs).persist()
-    edges = (
+    sh = persist_once(shingles_df(docs))
+    edges = persist_once(
         pair_jaccard(sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_i", "doc_j")
-        .persist()
     )
     comp = connected_components(edges, "doc_i", "doc_j")
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bert_etl_spark.operators.registry import query, spread, tbl
+from bert_etl_spark.operators.registry import persist_once, query, spread, tbl
 
 N_MINHASHES = 8
 BAND_ROWS = 2  # minhashes per band → 4 bands
@@ -292,11 +292,11 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers of the shingle table (two join sides + sizes)
-    sh = shingles_df(tbl(spark, sf_dir, "documents")).persist()
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
     # persisting jac too lets downstream pipeline stages in the same
     # session (e.g. dedup_cluster_components) cache-hit the identical
     # canonical subplan instead of re-running the inverted-index join
-    jac = pair_jaccard(sh).persist()
+    jac = persist_once(pair_jaccard(sh))
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard")
     )
@@ -317,11 +317,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse each consumer re-runs the whole upstream lineage. persist() is
     # the single-query form of the stage materialization a production LSH
     # pipeline does between phases.
-    sh = shingles_df(tbl(spark, sf_dir, "documents")).persist()
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
     # bands is a 4-way union consumed by both sides of the candidate
     # self-join — without reuse the 8-way MIN aggregate underneath runs 8×.
-    bands = lsh_bands(minhash_signatures(sh)).persist()
-    cand = candidate_pairs(bands).persist()
+    bands = persist_once(lsh_bands(minhash_signatures(sh)))
+    cand = persist_once(candidate_pairs(bands))
     # verify ONLY candidate docs: semi-join the shingle table down before
     # the pairwise intersection — the pruning that makes LSH cheaper than
     # the exact inverted-index join at scale.
@@ -335,10 +335,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representation exactly.
     # pair_jaccard consumes its input 3× (both join sides + sizes); persist
     # the pruned shingle set or each consumer re-runs the semi-join.
-    sh_cand = (
-        df_cap_shingles(sh)
-        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .persist()
+    sh_cand = persist_once(
+        df_cap_shingles(sh).join(F.broadcast(cand_docs), "doc_id", "left_semi")
     )
     jac = pair_jaccard(sh_cand, max_doc_freq=None)
     return (
@@ -355,7 +353,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     # 8 consumers (4 band self-join sides) — materialize the signatures once
-    sigs = simhash_signatures(docs).persist()
+    sigs = persist_once(simhash_signatures(docs))
     return simhash_near_pairs(sigs, max_hamming=3)
 
 

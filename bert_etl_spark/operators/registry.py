@@ -50,6 +50,20 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def persist_once(df: DataFrame) -> DataFrame:
+    """Persist unless an identical canonical plan is already cached.
+
+    Spark's CacheManager matches by canonical plan, so a second query
+    building the same subplan (e.g. the shingle table shared across the
+    dedup family) would re-persist and log "Asked to cache already cached
+    data". ``df.storageLevel`` consults the CacheManager, making the guard
+    a cheap lookup — cross-query cache sharing keeps working, silently.
+    """
+    if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
+        df.persist()
+    return df
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for a named test table.
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
-from bert_etl_spark.operators.registry import query, sqlq, tbl
+from bert_etl_spark.operators.registry import persist_once, query, sqlq, tbl
 
 # --------------------------------------------------------------------------
 # Flagship: revenue by nation — scan → filter → 4 joins → agg → sort.
@@ -761,8 +761,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
-        .persist()
     )
+    revenue = persist_once(revenue)
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))

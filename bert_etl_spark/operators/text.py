@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.operators.dedup import shingles_df, tokenize
-from bert_etl_spark.operators.registry import query, spread, tbl
+from bert_etl_spark.operators.registry import persist_once, query, spread, tbl
 
 # tiny stopword profiles for the language-ID heuristic (counts of exact
 # token hits per profile; argmax wins, ties → 'und')
@@ -431,7 +431,7 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     # LM table consumed by the per-doc join — persist or it re-aggregates
     # once per downstream consumer
-    bg_counts = flat.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    bg_counts = persist_once(flat.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     uni = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     surprisal = F.round(
         F.log(F.col("c1").cast("double") / F.col("c12")), 6
