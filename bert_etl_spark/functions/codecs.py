@@ -57,3 +57,38 @@ def encode_ndarray(col: pd.Series) -> pd.Series:
     return col.map(
         lambda v: None if v is None else encode_ndarray_value(np.asarray(v, dtype=np.float64))
     )
+
+
+COMPLEX64_SCHEMA = T.StructType(
+    [
+        T.StructField("re", T.FloatType()),
+        T.StructField("im", T.FloatType()),
+    ]
+)
+
+
+@F.pandas_udf(COMPLEX64_SCHEMA)
+def decode_complex64(col: pd.Series) -> pd.DataFrame:
+    """'np.complex64:<b64>' wire string → struct<re: float, im: float>.
+
+    Spark has no complex type; SURVEY §1.2 maps complex64 to a two-float
+    struct. (The reference's own decoder never matches this tag — its
+    13-char prefix is compared against a 12-char slice,
+    /root/reference bert/encoders/numpy.py:159-161 — documented, not
+    reproduced.)
+    """
+    import base64 as _b64
+
+    res, ims = [], []
+    for s in col:
+        if s is None or not s.startswith("np.complex64:"):
+            res.append(None)
+            ims.append(None)
+            continue
+        z = np.frombuffer(
+            _b64.b64decode(s[len("np.complex64:"):]),
+            dtype=np.dtype(np.complex64).newbyteorder("<"),
+        )[0]
+        res.append(np.float32(z.real))
+        ims.append(np.float32(z.imag))
+    return pd.DataFrame({"re": res, "im": ims})

@@ -8,13 +8,33 @@ with scalar tagging inside strings (/root/reference bert/encoders/base.py):
     bool   → {'S': 'bool:True'}          int   → {'S': 'int:42'}
     float  → {'S': 'float:1.5'}          None  → {'S': 'null:'}
     datetime → {'S': '%Y-%m-%dT%H:%M:%SZ'} (identity-encoding path)
-    np.ndarray → {'S': 'np.ndarray:…'}   (functions/codecs.py)
+    np scalar → {'S': 'np.<dtype>:<b64 little-endian bytes>'}
+      (/root/reference bert/encoders/numpy.py:53-115 encode, :145-203 decode)
+    np.ndarray → {'S': 'np.ndarray:<shape>:<dtype>:<b64>'} (functions/codecs.py)
 
 Re-implemented from the SURVEY description (not copied). Used at the ingest
 boundary: decode legacy payload JSON once → typed columns; everything
 downstream is columnar. Arbitrary-precision ints are preserved as Python
 ints in the codec; columnar mapping documents the LongType overflow
 divergence (SURVEY §1.2).
+
+Reference numpy-decode bugs documented and intentionally NOT reproduced
+(each makes a tag the reference itself ENCODES fail to decode there):
+- 'np.int32'/'np.int64' prefixes matched against a 9-char slice that always
+  includes the ':' (numpy.py:172-178) → reference never decodes its own
+  int32/int64 scalars;
+- 'np.complex64:' (13 chars) matched with a 12-char slice (numpy.py:159-161)
+  → complex64 never decodes;
+- uint16 payloads decoded with dtype=uint8 (numpy.py:184-186) → wrong values;
+- np.intp ENCODED under the typo tag 'np.incp' (numpy.py:110-112) while
+  decode expects 'np.intp' → intp never round-trips;
+- np.bool_ is encoded ('np.bool_:') but has no decode branch at all.
+This codec decodes all of those tags correctly, including the 'np.incp'
+alias so payloads written by the reference still rehydrate.
+
+Columnar mapping for complex64 (SURVEY §1.2): Spark has no complex type —
+``functions/codecs.py.decode_complex64_column`` lands it as
+``struct<re: float, im: float>``.
 """
 
 from __future__ import annotations
@@ -24,9 +44,29 @@ import datetime as dt
 import json
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 DATETIME_FORMAT = "%Y-%m-%dT%H:%M:%SZ"
+
+# numpy scalar dtypes with a wire tag (SURVEY §1.2). intc/intp are platform
+# aliases — they encode under their concrete dtype name (int32/int64 here),
+# which the reference's own decoder would accept for intc and (modulo its
+# 'incp' typo) intp.
+NP_SCALAR_DTYPES = (
+    "float16", "float32", "float64",
+    "complex64",
+    "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64",
+    "bool_",
+)
+# decode-side aliases: reference-written payloads may carry these tags
+_NP_TAG_ALIASES = {"bool": "bool_", "intc": "int32", "intp": "int64", "incp": "int64"}
+
+
+def _np_dtype_name(value: np.generic) -> str:
+    name = value.dtype.name  # 'bool' for np.bool_, else the dtype name
+    return "bool_" if name == "bool" else name
 
 
 def encode_value(value: Any) -> dict:
@@ -37,6 +77,20 @@ def encode_value(value: Any) -> dict:
         return {"L": [encode_value(v) for v in value]}
     if isinstance(value, bytes):
         return {"B": base64.b64encode(value).decode("ascii")}
+    # numpy checks precede the Python-scalar ones: np.float64 IS a float
+    # subclass (and np.bool_ would otherwise stringify wrong)
+    if isinstance(value, np.ndarray):
+        from bert_etl_spark.functions.codecs import encode_ndarray_value
+
+        return {"S": encode_ndarray_value(value)}
+    if isinstance(value, np.generic):
+        name = _np_dtype_name(value)
+        if name not in NP_SCALAR_DTYPES:
+            raise TypeError(f"unencodable numpy dtype: {value.dtype}")
+        # fixed little-endian byte order: the wire format must not depend
+        # on producer endianness
+        payload = value.astype(value.dtype.newbyteorder("<")).tobytes()
+        return {"S": f"np.{name}:{base64.b64encode(payload).decode('ascii')}"}
     if isinstance(value, bool):  # before int — bool is an int subclass
         return {"S": f"bool:{value}"}
     if isinstance(value, int):
@@ -61,6 +115,21 @@ def decode_value(av: dict) -> Any:
     if "B" in av:
         return base64.b64decode(av["B"])
     s = av["S"]
+    if s.startswith("np."):
+        tag, _, payload = s[3:].partition(":")
+        if tag == "ndarray":
+            from bert_etl_spark.functions.codecs import decode_ndarray_value
+
+            return decode_ndarray_value(s)
+        name = _NP_TAG_ALIASES.get(tag, tag)
+        if name in NP_SCALAR_DTYPES:
+            try:
+                raw = base64.b64decode(payload, validate=True)
+                dtype = np.dtype("bool" if name == "bool_" else name).newbyteorder("<")
+                return np.frombuffer(raw, dtype=dtype)[0]
+            except Exception:
+                return s  # raw string that merely looks tagged
+        return s
     if s.startswith("bool:"):
         return s[5:] == "True"
     if s.startswith("int:"):
