@@ -3,7 +3,10 @@
 paths pass explicit schemas so scans stay single-pass.
 
 JDBC (the reference's Postgres env context, /root/reference
-bert/datasource.py:50-84) is gated: the test image carries no JDBC driver.
+bert/datasource.py:50-84) is exercised against the Derby driver Spark
+bundles (tests/test_sources.py::test_jdbc_roundtrip_embedded_derby),
+including the partitioned range-scan path; point ``read_jdbc`` at any
+other database by shipping its driver jar via ``spark.jars``.
 """
 
 from __future__ import annotations

@@ -49,3 +49,42 @@ def test_malformed_json_rows_are_null_not_fatal(spark, tmp_path):
     rows = back.collect()
     assert len(rows) == 3  # corrupt row surfaces as nulls, not an exception
     assert sum(1 for r in rows if r.id is not None) == 2
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC smoke test against the Derby driver Spark bundles.
+
+    Covers the reference's Postgres datasource context
+    (/root/reference/bert/datasource.py:50-84) end-to-end: Spark writes a
+    table over JDBC, read_jdbc scans it back — including the partitioned
+    read path (partitionColumn/bounds), which is the 100 TB-relevant part:
+    a production JDBC ingest must split into parallel range scans, never
+    one giant serial cursor.
+    """
+    from bert_etl_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/smokedb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src = spark.createDataFrame(
+        [(i, f"name-{i}", float(i) * 1.5) for i in range(20)],
+        "id int, name string, score double",
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "items")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+
+    plain = read_jdbc(spark, url, "items", driver=driver)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, src.collect()))
+
+    parts = read_jdbc(
+        spark, url, "items",
+        partition_column="id", num_partitions=4, lower_bound=0, upper_bound=20,
+        driver=driver,
+    )
+    assert parts.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, parts.collect())) == sorted(map(tuple, src.collect()))
