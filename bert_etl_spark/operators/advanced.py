@@ -500,3 +500,40 @@ def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) history build: treat each event
+# as a new version of its user's attribute; close the previous version at
+# the next event's timestamp. One window over (user_id) — a single shuffle
+# regardless of history depth; at 100 TB the change log is ingested
+# incrementally and this same window runs per partition-pruned day-slice,
+# merging against the open-version set (see merge_upsert for the
+# anti-join/union merge idiom this composes with).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_dimension_history",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_n,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w).alias("version_n"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -708,3 +708,72 @@ def scalar_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(payload).alias("payload_json"),
         payload.getField("meta").getField("uid").alias("deep_uid"),
     )
+
+
+# String batch 4: padding, character translation, repetition/reversal,
+# delimiter splitting, edit distance. All per-row JVM expressions — no
+# shuffle at any scale; levenshtein is the one worth watching (O(len²)
+# per row) but stays codegen'd.
+@query(
+    "scalar_string4",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_name, 30, '*') AS name_lpad,
+           rpad(p_name, 30, '.') AS name_rpad,
+           translate(p_type, 'aeiou', '12345') AS type_translated,
+           repeat('-', p_size % 5) AS dashes,
+           reverse(p_name) AS name_rev,
+           split_part(p_type, ' ', 2) AS type_word2,
+           CAST(levenshtein(left(p_name, 8), left(p_type, 8)) AS INTEGER)
+               AS name_type_dist
+    FROM part
+    """,
+)
+def scalar_string4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_name", 30, "*").alias("name_lpad"),
+        F.rpad("p_name", 30, ".").alias("name_rpad"),
+        F.translate("p_type", "aeiou", "12345").alias("type_translated"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5)).alias("dashes"),
+        F.reverse("p_name").alias("name_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_word2"),
+        F.levenshtein(F.expr("left(p_name, 8)"), F.expr("left(p_type, 8)")).alias(
+            "name_type_dist"
+        ),
+    )
+
+
+# Date batch 4: date construction (make_date round-trip through parts),
+# end-of-month, quarter, ISO-week truncation, day arithmetic vs an epoch.
+# DuckDB traps handled: date_trunc returns DATE (cast to TIMESTAMP),
+# quarter/date_diff return BIGINT (cast to INTEGER to match Spark).
+@query(
+    "scalar_date4",
+    oracle="""
+    SELECT o_orderkey,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER),
+                     CAST(day(o_orderdate) AS INTEGER)) AS rebuilt,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since_epoch_96
+    FROM orders
+    """,
+)
+def scalar_date4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("rebuilt"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("q"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.datediff(d.cast("date"), F.lit("1996-01-01").cast("date")).alias(
+            "days_since_epoch_96"
+        ),
+    )

@@ -219,38 +219,39 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Quality scoring: pure per-row expressions (length, token stats, stopword
-# and punctuation ratios → weighted score). No shuffle at any scale.
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
-                 FROM documents),
-    feats AS (
-        SELECT doc_id,
-               length(text) AS n_chars,
-               len(toks) AS n_tokens,
-               CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-                   / len(toks) AS mean_token_len,
-               CAST(list_aggregate(list_transform(toks,
-                   t -> CASE WHEN t IN ({_sql_in_list(LANG_PROFILES['en'])}) THEN 1 ELSE 0 END),
-                   'sum') AS DOUBLE) / len(toks) AS stopword_ratio,
-               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                   / length(text) AS punct_ratio
-        FROM tok
-    )
-    SELECT doc_id, n_chars, n_tokens,
-           ROUND(mean_token_len, 6) AS mean_token_len,
-           ROUND(stopword_ratio, 6) AS stopword_ratio,
-           ROUND(punct_ratio, 6) AS punct_ratio,
-           ROUND(0.3 * least(n_tokens / 100.0, 1.0)
-                 + 0.3 * least(mean_token_len / 5.0, 1.0)
-                 + 0.2 * least(stopword_ratio * 5.0, 1.0)
-                 + 0.2 * (1.0 - punct_ratio), 6) AS quality_score
+# Shared quality-score pipeline (SQL fragment + Spark column builder):
+# per-row features → weighted score. Per-row double math is bit-identical
+# across engines, so the score needs no decimal detour.
+_SQL_QUALITY = f"""
+tok AS (SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
+        FROM documents),
+feats AS (
+    SELECT doc_id, source,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+               / len(toks) AS mean_token_len,
+           CAST(list_aggregate(list_transform(toks,
+               t -> CASE WHEN t IN ({_sql_in_list(LANG_PROFILES['en'])}) THEN 1 ELSE 0 END),
+               'sum') AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+    FROM tok
+),
+scored AS (
+    SELECT *,
+           0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(mean_token_len / 5.0, 1.0)
+           + 0.2 * least(stopword_ratio * 5.0, 1.0)
+           + 0.2 * (1.0 - punct_ratio) AS quality_score
     FROM feats
-    """,
 )
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _quality_parts():
+    """(n_tokens, mean_len, stop_ratio, punct_ratio, score) column bundle —
+    the Spark twin of the ``_SQL_QUALITY`` fragment."""
     toks = tokenize(F.col("text"))
     n_tokens = F.size(toks)
     mean_len = (
@@ -277,6 +278,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0))
         + 0.2 * (1.0 - punct_ratio)
     )
+    return n_tokens, mean_len, stop_ratio, punct_ratio, score
+
+
+# Quality scoring: pure per-row expressions (length, token stats, stopword
+# and punctuation ratios → weighted score). No shuffle at any scale.
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {_SQL_QUALITY}
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(mean_token_len, 6) AS mean_token_len,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(quality_score, 6) AS quality_score
+    FROM scored
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tokens, mean_len, stop_ratio, punct_ratio, score = _quality_parts()
     return tbl(spark, sf_dir, "documents").select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -285,6 +305,41 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality_score"),
+    )
+
+
+# Corpus quality gate: the filter stage of a training-data pipeline —
+# score every document, keep those above threshold, report per-source
+# yield. Score is per-row math (no shuffle); the rollup is one partial
+# agg + a 20-group exchange at any corpus size.
+QUALITY_THRESHOLD = 0.5
+
+
+@query(
+    "text_quality_gate",
+    oracle=f"""
+    WITH {_SQL_QUALITY}
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(count_if(quality_score >= {QUALITY_THRESHOLD}) AS BIGINT) AS n_pass,
+           ROUND(CAST(count_if(quality_score >= {QUALITY_THRESHOLD}) AS DOUBLE)
+                 / COUNT(*), 6) AS pass_rate
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    *_, score = _quality_parts()
+    passes = F.when(score >= QUALITY_THRESHOLD, 1).otherwise(0)
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select("source", passes.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("p").alias("n_pass"),
+            F.round(F.sum("p").cast("double") / F.count("*"), 6).alias("pass_rate"),
+        )
     )
 
 

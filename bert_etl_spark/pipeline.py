@@ -11,6 +11,12 @@ unless a shuffle is genuinely required.
 Parity notes:
 - ``follow(parent)`` reproduces the decorator wiring, including the reference
   rule "one child per parent" (`bert/binding.py:125-126`).
+- ``follow(schema=...)`` reproduces the marshmallow-Schema ingest validation
+  (`bert/binding.py:38,95-96`): the stage's input is conformed to the given
+  StructType/DDL via ``DataFrame.to`` before the stage body runs — missing
+  or incompatible columns fail at plan time (analysis), surplus columns are
+  pruned, matching the reference's validate-before-invoke contract without
+  a per-row Python pass.
 - ``Pipeline.run`` reproduces ``build_job_chain`` ordering
   (`bert/binding.py:134-149`): topological = linear chain from the root.
 - Unlike the reference there is NO per-stage materialization: an explicit
@@ -20,12 +26,15 @@ Parity notes:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
-from typing import Optional
+from typing import Optional, Union
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 Transform = Callable[[DataFrame], DataFrame]
+SchemaLike = Union[str, T.StructType]
 
 # Registry of decorated jobs: name -> (fn, parent_name). Mirrors the
 # reference's REGISTRY/DAISY_CHAIN module globals (`bert/binding.py:18-31`).
@@ -37,15 +46,45 @@ class PipelineError(Exception):
     pass
 
 
-def follow(parent: Transform | str | None = None) -> Callable[[Transform], Transform]:
+def conform(df: DataFrame, schema: SchemaLike) -> DataFrame:
+    """Validate/conform a DataFrame to a schema at the stage boundary.
+
+    Missing columns raise ``PipelineError`` (``DataFrame.to`` alone would
+    silently null-fill them — validation must reject, like the reference's
+    marshmallow check); present columns are reordered and safely cast via
+    ``DataFrame.to``, which fails analysis on unsafe casts. Purely a plan
+    rewrite — no data pass, so it is free at any scale.
+    """
+    target = (
+        T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    missing = [f.name for f in target.fields if f.name not in df.columns]
+    if missing:
+        raise PipelineError(f"schema validation failed: missing columns {missing}")
+    return df.to(target)
+
+
+def follow(
+    parent: Transform | str | None = None,
+    schema: SchemaLike | None = None,
+) -> Callable[[Transform], Transform]:
     """Declare that the decorated transform consumes ``parent``'s output.
 
     ``parent=None`` marks a root job (the reference's 'noop' space,
-    `bert/binding.py:44`).
+    `bert/binding.py:44`). ``schema`` (StructType or DDL string) validates
+    the stage's INPUT before the body runs — the reference's
+    ``follow(schema=marshmallow.Schema)`` ingest check.
     """
     parent_name = parent if isinstance(parent, str) or parent is None else parent.__name__
 
     def decorator(fn: Transform) -> Transform:
+        if schema is not None:
+            body = fn
+
+            @functools.wraps(body)
+            def fn(df: DataFrame) -> DataFrame:  # noqa: F811
+                return body(conform(df, schema))
+
         name = fn.__name__
         if parent_name is not None:
             if parent_name not in _REGISTRY:

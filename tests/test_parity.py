@@ -181,3 +181,35 @@ def test_streaming_query_listener_observability(spark, tmp_path):
         assert events["terminated"], "listener saw query terminate"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_follow_schema_validation(spark):
+    """follow(schema=...) — the marshmallow ingest-validation parity
+    (/root/reference/bert/binding.py:38,95-96): input conformed via
+    DataFrame.to before the stage body; missing columns fail analysis."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark import pipeline
+
+    pipeline.clear_registry()
+
+    @pipeline.follow(schema="idx long, score double")
+    def scale(df):
+        return df.withColumn("scaled", F.col("score") * 2)
+
+    good = spark.createDataFrame(
+        # extra column is pruned; int idx upcast to long
+        [(1, 0.5, "x"), (2, 1.5, "y")], "idx int, score double, extra string"
+    )
+    rows = pipeline.build_job_chain()[0](good).orderBy("idx").collect()
+    assert [r.scaled for r in rows] == [1.0, 3.0]
+    assert "extra" not in rows[0].asDict()
+
+    bad = spark.createDataFrame([(1,)], "idx int")  # score missing
+    try:
+        scale(bad)
+        raise AssertionError("expected PipelineError for missing column")
+    except pipeline.PipelineError as e:
+        assert "score" in str(e)
+    finally:
+        pipeline.clear_registry()
