@@ -264,3 +264,79 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media(tbl(spark, sf_dir, "documents"))
     return media.mapInPandas(histogram_batch, HIST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: bytes as 16-bit little-endian PCM at a fake sample rate.
+# The stub "decoder" is np.frombuffer('<i2') — a real one (soundfile/ffmpeg)
+# replaces that one line; schema, Arrow batching, and the per-blob feature
+# shape (duration/RMS/peak — the triage features of an audio-corpus
+# pipeline) stay identical. Pure map over mapInPandas: no shuffle at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE = 8000
+
+
+def audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            n = len(media) // 2
+            if n == 0:
+                rows.append(
+                    {"doc_id": doc_id, "n_samples": 0, "duration_s": None,
+                     "rms": None, "peak": None}
+                )
+                continue
+            pcm = np.frombuffer(media[: n * 2], dtype="<i2").astype(np.int64)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_samples": n,
+                    "duration_s": round(n / SAMPLE_RATE, 6),
+                    # integer sum of squares is exact → double math at the
+                    # end only (deterministic across engines)
+                    "rms": round(float(np.sqrt(int((pcm * pcm).sum()) / n)), 6),
+                    "peak": int(np.abs(pcm).max()),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+AUDIO_SCHEMA = "doc_id long, n_samples long, duration_s double, rms double, peak long"
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH pcm AS (
+        SELECT doc_id,
+               octet_length(encode(text)) // 2 AS n,
+               list_transform(range(octet_length(encode(text)) // 2),
+                   i -> CASE WHEN ord(substr(text, 2*i + 2, 1)) >= 128
+                             THEN ord(substr(text, 2*i + 1, 1))
+                                  + 256 * ord(substr(text, 2*i + 2, 1)) - 65536
+                             ELSE ord(substr(text, 2*i + 1, 1))
+                                  + 256 * ord(substr(text, 2*i + 2, 1)) END
+               ) AS samples
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CASE WHEN n = 0 THEN NULL
+                ELSE ROUND(n / {SAMPLE_RATE}.0, 6) END AS duration_s,
+           CASE WHEN n = 0 THEN NULL
+                ELSE ROUND(sqrt(CAST(list_aggregate(
+                         list_transform(samples, s -> s * s), 'sum')
+                     AS DOUBLE) / n), 6) END AS rms,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST(list_aggregate(
+                         list_transform(samples, s -> abs(s)), 'max')
+                     AS BIGINT) END AS peak
+    FROM pcm
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    return media.mapInPandas(audio_features_batch, AUDIO_SCHEMA)
