@@ -153,6 +153,10 @@ def pair_jaccard(sh: DataFrame, max_doc_freq: int | None = MAX_SHINGLE_DF) -> Da
     an internal cap would measure df on the pruned set instead of the corpus).
     """
     if max_doc_freq is not None:
+        # NOT persisted: the anti-join is map-side over the (persisted)
+        # input postings, and A/B benching showed an extra cache entry here
+        # slows the downstream iterative consumers (cluster components) 3×
+        # — recomputing the cheap broadcast anti-join per consumer wins
         sh = df_cap_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_i"), "shingle")
