@@ -57,8 +57,11 @@ HEADLINE = [
     "sim_ivf",                # IVF probe path
     "text_tfidf_top_terms",   # tf-idf
     "text_quality_score",     # quality scoring
+    "text_quality_gate",      # corpus quality filter + per-source yield
     "text_perplexity_score",  # bigram-LM surprisal filter
+    "scd2_dimension_history", # type-2 dimension versioning window
     "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
+    "multimodal_audio_features",  # PCM stub decode via mapInPandas
     "pandas_max_gap",         # applyInPandas grouped Python
 ]
 
