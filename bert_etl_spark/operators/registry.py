@@ -116,5 +116,6 @@ def load_all() -> None:
         scalars,
         similarity,
         text,
+        tpch_extra,
         windows,
     )
