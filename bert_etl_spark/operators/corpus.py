@@ -1,0 +1,306 @@
+"""Training-corpus construction operators: benchmark-contamination check,
+context-window chunking, deterministic train/val/test split, stratified
+sampling, and token-budget sequence packing.
+
+These extend the LLM-data-pipeline families (dedup / similarity / text /
+multimodal) with the corpus-ASSEMBLY steps a pretraining pipeline runs
+after filtering: decide what leaks from eval sets, cut documents into
+model-sized windows, split and sample reproducibly, and pack tokens into
+fixed budgets. Reference parity: the reference's only corpus tooling is
+the ETLState identity ledger (/root/reference/bert/etl/__init__.py:57-80);
+everything here is new surface a reference user gains.
+
+Cross-engine determinism: every randomized step (split, sample) derives
+from md5 over stable keys — no seeded RNG — so DuckDB oracles check exact
+values. Token counts are integers; packing uses integer cumulative sums.
+
+Scale design:
+- contamination: shingle inverted index SEMI-joined against the (small)
+  eval-set shingles — the eval side broadcasts, the corpus side never
+  self-joins, so cost is one scan + one broadcast probe at 100 TB.
+- chunking: pure per-row explode (no shuffle at all until a consumer
+  aggregates); output partitioning inherits the scan.
+- split/sample: per-row hash predicates — embarrassingly parallel, push
+  no data across the network except the final per-stratum counts.
+- packing: one window cumsum per source partition (single shuffle on
+  source); bins are derived arithmetically from the running total, not by
+  a sequential driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.dedup import shingles_df, tokenize
+from bert_etl_spark.operators.registry import query, spread, tbl
+
+# eval-set membership: 1 doc in ~41 (survives sf0.001's 50-doc corpus)
+EVAL_MOD = 41
+CONTAM_NGRAM = 3  # synthetic docs are short (~50 tokens); 3-gram overlap
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+PACK_BUDGET = 256
+
+
+# ---------------------------------------------------------------------------
+# contamination check
+# ---------------------------------------------------------------------------
+
+
+# An n-gram shared with a benchmark/eval document marks a training doc as
+# contaminated (the decontamination step of any serious pretraining run).
+# The eval side is tiny by construction → broadcast; the corpus side is one
+# shingle scan. No self-join anywhere: at 100 TB this is scan + probe.
+@query(
+    "corpus_contamination_check",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        -- scalar generate_series + unnest: the table-function form cannot
+        -- take lateral column arguments in DuckDB
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {CONTAM_NGRAM - 1}))
+                       AS i
+            FROM toks
+            WHERE len(t) >= {CONTAM_NGRAM}
+        )
+    ),
+    eval_grams AS (
+        SELECT DISTINCT shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams g
+    JOIN eval_grams e ON g.shingle = e.shingle
+    WHERE g.doc_id % {EVAL_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    grams = shingles_df(docs, n=CONTAM_NGRAM)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        # inner join (not semi) because the count of shared grams is the
+        # contamination severity signal; eval_grams stays broadcast-sized
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+# Cut each document into overlapping CHUNK_SIZE-token windows advancing by
+# CHUNK_STRIDE (the standard sliding-context preprocessing for fixed-window
+# models). A chunk is emitted for every start offset 0, stride, 2*stride...
+# that is strictly inside the document; the final chunk may be short.
+# Pure narrow transformation: sequence + transform + explode, zero shuffles.
+@query(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(
+               t[i * {CHUNK_STRIDE} + 1 :
+                 least(i * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(t))], ' ')
+               AS chunk_text,
+           CAST(least(i * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(t))
+                - i * {CHUNK_STRIDE} AS INTEGER) AS n_tokens
+    FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                   0, (len(t) - 1) // {CHUNK_STRIDE})) AS i
+        FROM toks
+    )
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    n = F.size("t")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / CHUNK_STRIDE).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("t"), i * CHUNK_STRIDE + 1, CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(i * CHUNK_STRIDE + CHUNK_SIZE, n)
+            .cast("int")
+            .alias("chunk_end"),
+        ),
+    )
+    return toked.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        (F.col("c.chunk_end") - F.col("c.chunk_idx") * CHUNK_STRIDE)
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+# Hash-bucket split on md5(doc_id): first hex nibble 0..b -> train (75%),
+# c..d -> val (12.5%), e..f -> test (12.5%). Content-independent, stable
+# under corpus growth (a doc's split never changes when others are added) —
+# the property a reproducible pipeline needs. Per-row predicate, no
+# shuffle except the per-split aggregate.
+@query(
+    "corpus_split_train_val_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nibble < "c", "train").when(nibble < "e", "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+# Per-stratum deterministic downsampling: non-English strata keep every
+# doc (low-resource upweighting), English keeps the md5 quarter. The
+# sample membership is a per-row hash predicate (portable, pushes to the
+# scan); only the audit aggregate shuffles. Output is the per-stratum
+# audit table a pipeline records next to the sampled corpus.
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN lang <> 'en'
+                          OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    keep = (F.col("lang") != "en") | F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2", "3")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+# Concatenate-and-split packing: within each source, documents are laid
+# end-to-end in doc_id order and cut into PACK_BUDGET-token bins; a doc's
+# bin is the bin its first token lands in (docs straddle boundaries, as in
+# real sequence packing where the tokenizer stream is cut mid-document).
+# One window cumsum per source = one shuffle; bin assignment is arithmetic
+# on the running total, never a sequential driver loop.
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS offset_tokens
+        FROM sized
+    )
+    SELECT source,
+           -- // : DuckDB integer division (plain / is float division and a
+           -- later CAST would ROUND, not floor — off-by-one bins)
+           offset_tokens // {PACK_BUDGET} AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY source, offset_tokens // {PACK_BUDGET}
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "offset_tokens", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("offset_tokens") / PACK_BUDGET).alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )

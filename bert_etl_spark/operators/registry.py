@@ -108,6 +108,7 @@ def load_all() -> None:
     from bert_etl_spark.operators import (  # noqa: F401
         advanced,
         aggregations,
+        corpus,
         dedup,
         joins,
         multimodal,
