@@ -6,6 +6,7 @@ from bert_etl_spark.streaming.events import (
     session_windows,
     stateful_running_counts,
     stream_dedup,
+    stream_stream_join,
     tumbling_counts,
     write_stream_parquet,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "events_stream",
     "tumbling_counts",
     "stream_dedup",
+    "stream_stream_join",
     "enrich_with_dim",
     "run_to_memory",
     "session_windows",

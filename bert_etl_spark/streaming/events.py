@@ -91,6 +91,39 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, expr) -> DataFrame:
     return stream.join(F.broadcast(dim), expr, "left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound.
+
+    Both sides are watermarked and the join carries a time-range condition
+    (right.ts within [left.ts, left.ts + interval]) — REQUIRED for Spark to
+    bound the join state: each side buffers only rows newer than
+    watermark + interval, so state is O(rate x horizon) instead of
+    unbounded. Outer variants additionally need the watermark to know when
+    an unmatched row can be emitted with nulls.
+
+    Columns are prefixed l_/r_ (the two sides share the events schema).
+    """
+    l = left.withWatermark("ts", watermark).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark("ts", watermark).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, how)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "update") -> DataFrame:
     """Drain all available input through a memory sink synchronously and
     return the result table (test/driver harness helper)."""

@@ -137,3 +137,53 @@ def test_sample_pushes_hash_predicate(spark):
     # no shuffle before the aggregate's own exchange
     plan = _plan(spark, "sample_hash_deterministic")
     assert plan.count("Exchange") <= 2  # partial/final agg only
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key into the same
+    bucket count join WITHOUT any Exchange — the physical layout already
+    partitions both sides identically. At 100 TB this is THE lever for a
+    repeatedly-joined fact pair: pay the shuffle once at write time, never
+    at read time."""
+    from pyspark.sql import functions as F
+
+    orders = registry.tbl(spark, SF, "orders")
+    lineitem = registry.tbl(spark, SF, "lineitem")
+    # at test SF everything fits the broadcast threshold, which would hide
+    # the co-location (a broadcast join never shuffles anyway); disable it
+    # to see the plan a 100 TB fact-fact join would get
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+               .mode("overwrite").saveAsTable("bkt_orders"))
+        (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+                 .mode("overwrite").saveAsTable("bkt_lineitem"))
+        joined = (
+            spark.table("bkt_lineitem")
+            .join(
+                spark.table("bkt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_section, plan
+        # bucket pruning metadata visible in the scan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        # and the result is still correct
+        n = dict(joined.collect())
+        want = dict(
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert {r: n[r] for r in n} == {r: want[r] for r in want}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

@@ -228,3 +228,44 @@ def test_rate_source_pubsub_standin(spark):
         q.stop()
     assert {r.event_type for r in rows} <= {"type_0", "type_1", "type_2"}
     assert sum(r["count"] for r in rows) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from bert_etl_spark.streaming import stream_stream_join
+
+    clicks = _stream(spark, events_dir).filter(F.col("event_type") == "click")
+    purchases = _stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id", interval="1 hour", watermark="2 hours"
+    ).select("l_event_id", "r_event_id")
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in run_to_memory(joined, "t_ssj", "append").collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = {
+        (r.l_event_id, r.r_event_id)
+        for r in c.join(
+            p,
+            (F.col("l_user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
