@@ -500,6 +500,48 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_stream_static_sink")
 
 
+# REAL stream-stream join run (two file-source streams, watermark + time
+# bound, memory sink drained): clicks matched to purchases by the same user
+# within the next hour. The interval condition is what bounds the join
+# state at scale — each side buffers only watermark+interval of history.
+# The oracle is the equivalent batch interval join: with availableNow
+# draining everything and a watermark wider than any in-batch disorder,
+# streaming append-mode output equals the batch result exactly.
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL '1 hour'
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream, stream_stream_join
+
+    clicks = events_stream(spark, sf_dir, glob="events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_stream(spark, sf_dir, glob="events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id", interval="1 hour", watermark="2 hours"
+    ).select("l_event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("streaming_stream_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_stream_stream_sink")
+
+
 # Funnel analysis: ordered-stage conversion (view → click → purchase)
 # per user via min-timestamp-after-previous-stage. One shuffle on
 # user_id computes all three stages; the final count is a tiny global

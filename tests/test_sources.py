@@ -88,3 +88,24 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
     assert parts.rdd.getNumPartitions() == 4
     assert sorted(map(tuple, parts.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-style partitioned layout: a date filter on the partition column
+    must prune directories at PLANNING time (PartitionFilters in the scan,
+    only matching partitions listed) — at 100 TB the difference between
+    reading one day and reading the lake. Written via repartition(col) so
+    each partition directory gets one file, not one file per task."""
+    from bert_etl_spark.operators.registry import tbl
+
+    p = str(tmp_path / "events_by_day")
+    events = tbl(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    events.repartition(F.col("day")).write.partitionBy("day").parquet(p)
+
+    target = events.groupBy("day").count().orderBy(F.desc("count")).first()
+    back = spark.read.parquet(p).filter(F.col("day") == F.lit(target["day"]))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "isnotnull(day" in plan
+    assert back.count() == target["count"] and target["count"] > 0
