@@ -635,6 +635,78 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Last-touch attribution: each purchase attributes to the most recent
+# click by the same user within a 7-day lookback. Spark side is the
+# SCALABLE formulation — union the two event kinds, ONE window pass per
+# user carrying the last-click struct forward (same shape as join_asof,
+# no self-join, no per-user quadratic term); the 7-day cutoff filters
+# after the carry. The oracle is the equivalent interval self-join with
+# a lexicographic arg-max — correct but quadratic, exactly what the
+# window form avoids at 100 TB. Ties (click and purchase at the same
+# timestamp, or two clicks at the same timestamp) are pinned by ordering
+# (ts, kind, event_id) in Spark == max(struct(ts, event_id)) in DuckDB.
+@query(
+    "attribution_last_touch",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           max(struct_pack(ts := c.ts, id := c.event_id)).id
+               AS attributed_click_id,
+           CAST((epoch_us(p.ts)
+                 - epoch_us(max(struct_pack(ts := c.ts, id := c.event_id)).ts))
+                // 60000000 AS BIGINT) AS minutes_to_convert
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 7 DAY
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")),
+        ).alias("click"),
+    )
+    # clicks sort before purchases at equal ts (is_purchase ascending) so a
+    # simultaneous click is attributable; equal-ts clicks pin on event_id
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .filter(
+            (F.col("is_purchase") == 1)
+            & F.col("last_click").isNotNull()
+            & (F.col("last_click.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_click.id").alias("attributed_click_id"),
+            (
+                (F.unix_micros("ts") - F.unix_micros("last_click.ts"))
+                / F.lit(60000000)
+            )
+            .cast("bigint")
+            .alias("minutes_to_convert"),
+        )
+    )
+
+
 # Anomaly detection: per-user z-score of each event's value against the
 # user's own mean/std, computed from exact decimal sums (sum, sum-of-
 # squares) so the moments are order-free and engine-identical — the same
