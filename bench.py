@@ -27,6 +27,9 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",  # left join + agg-of-agg
     "tpch_q18_large_volume",  # agg-before-join + HAVING
+    "tpch_q2_min_cost_supplier",  # correlated scalar MIN decorrelation
+    "tpch_q9_product_profit", # 4 broadcast dims + orderkey shuffle
+    "tpch_q21_waiting_suppliers",  # EXISTS + NOT EXISTS decorrelation
     "pricing_summary",        # wide-agg single scan
     "merge_upsert",           # MERGE/SCD emulation
     "join_inner",             # big-big shuffle join
@@ -40,6 +43,7 @@ HEADLINE = [
     "window_sessionize",      # gap sessionization
     "window_event_tumbling",  # event-time windows
     "timeseries_gapfill",     # grid gen + forward fill
+    "attribution_last_touch", # as-of window carry, no self-join
     "funnel_conversion",      # ordered-stage funnel
     "cohort_retention",       # first-touch cohorts
     "scalar_json",            # JSON path extraction
@@ -59,6 +63,9 @@ HEADLINE = [
     "text_quality_score",     # quality scoring
     "text_quality_gate",      # corpus quality filter + per-source yield
     "text_perplexity_score",  # bigram-LM surprisal filter
+    "corpus_contamination_check",  # broadcast shingle probe
+    "corpus_chunk_windows",   # zero-shuffle sliding chunks
+    "corpus_pack_sequences",  # windowed-cumsum token packing
     "scd2_dimension_history", # type-2 dimension versioning window
     "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
     "multimodal_audio_features",  # PCM stub decode via mapInPandas
