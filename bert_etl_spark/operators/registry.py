@@ -117,6 +117,7 @@ def load_all() -> None:
         scalars,
         similarity,
         text,
+        timeseries,
         tpch_extra,
         windows,
     )

@@ -1,0 +1,178 @@
+"""Time-series resampling operators: OHLC bars, time-weighted averages, and
+exponentially-weighted moving averages over the events stream.
+
+The reference has no time-series surface at all (its closest primitive is the
+DynamoDB-Streams batch window, /root/reference/bert/binding.py:60-66); these
+are the hypertable-style rollups a metrics/telemetry user of the engine needs.
+
+Cross-engine determinism:
+- OHLC open/close use the lexicographic struct-min/max idiom
+  (``MIN(struct_pack(ts, id, v)).v`` ≡ ``F.min(F.struct(ts, id, v))["v"]``)
+  with event_id as tiebreak — DuckDB's arg_min has no composite-key overload.
+- The time-weighted average weights are integer microseconds (exact), the
+  weighted sum goes through the DECIMAL reduction, and the final division is
+  one double op over identical operands in both engines.
+- EWMA is a sequential left fold (s := a*s + (1-a)*x) over a per-key array
+  sorted by (ts, event_id); identical fold order in ``F.aggregate`` and
+  DuckDB ``list_reduce`` makes the result bit-identical (a = 0.5 is exact in
+  binary; no transcendentals involved).
+
+Scale design:
+- OHLC / TWA are single-shuffle groupBy/window aggregations with map-side
+  partial aggregation; bar count is bounded by (buckets x types), never rows.
+- EWMA collects one array per entity: the standard per-entity fold pattern.
+  Array size is the per-user event count (bounded in any real telemetry
+  schema by retention windows); for unbounded keys the same fold runs as a
+  Structured Streaming ``applyInPandasWithState`` operator
+  (streaming/events.py) without materializing history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.operators.registry import query, tbl
+
+EWMA_ALPHA = 0.5  # exact in binary floating point
+
+
+@query(
+    "timeseries_resample_ohlc",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+           event_type,
+           (MIN(struct_pack(ts := ts, id := event_id, v := value))).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           (MAX(struct_pack(ts := ts, id := event_id, v := value))).v AS close,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample raw events into hourly OHLC(V) bars per event type.
+
+    One scan, one shuffle on (bucket, event_type); all five aggregates
+    partial-aggregate map-side, so the exchange carries only bar-level rows.
+    open/close are struct-min/max with event_id tiebreak → deterministic
+    under concurrent equal timestamps.
+    """
+    ohlc_key = F.struct(F.col("ts"), F.col("event_id").alias("id"), F.col("value").alias("v"))
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(ohlc_key)["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(ohlc_key)["v"].alias("close"),
+            F.count("*").alias("n"),
+            dsum("value", "volume"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "volume",
+        )
+    )
+
+
+@query(
+    "timeseries_time_weighted_avg",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, value,
+               epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           {sql_dsum('value * dur_us')} / CAST(SUM(dur_us) AS BIGINT) AS twa
+    FROM d
+    WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type.
+
+    Each reading holds until the next one; its weight is the interval length
+    in integer microseconds (exact in both engines). The weighted sum runs
+    through the DECIMAL reduction so the shuffle-order of partial sums can't
+    change the result. The last reading per key has no successor and drops
+    out — the standard left-closed TWA convention.
+
+    Note the DuckDB ``SUM(BIGINT)`` → HUGEINT widening: both oracle sums are
+    cast back to BIGINT or the driver's type-sensitive hash diverges.
+    """
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        tbl(spark, sf_dir, "events")
+        .withColumn("dur_us", dur)
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            (dsum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twa"),
+        )
+    )
+
+
+@query(
+    "timeseries_ewma",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (s, x) -> {EWMA_ALPHA} * s + {1 - EWMA_ALPHA} * x),
+                 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA of ``value`` per user (s := a*s + (1-a)*x, a = 0.5).
+
+    A recursive smoother can't be expressed as a commutative aggregate, so
+    both engines run the SAME sequential left fold over the per-user series
+    sorted by (ts, event_id): ``F.aggregate`` here, ``list_reduce`` in the
+    oracle, seeded with the first element. Identical operation order over
+    IEEE doubles → bit-identical results (rounded to 6 for the value hash).
+
+    Scale: one shuffle on user_id; array length is the per-user event count.
+    For unbounded per-key history the streaming formulation
+    (applyInPandasWithState, streaming/events.py) folds incrementally
+    instead of materializing the array.
+    """
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    vals = F.transform(arr, lambda x: x["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda s, x: F.lit(EWMA_ALPHA) * s + F.lit(1 - EWMA_ALPHA) * x,
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+    )
