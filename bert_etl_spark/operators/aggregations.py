@@ -445,3 +445,33 @@ def agg_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bert_etl_spark.functions.skew import salted_count
 
     return salted_count(tbl(spark, sf_dir, "events"), "event_type", buckets=16)
+
+
+# Deterministic MODE: most-frequent value per group. Spark has `mode()` but
+# its tie behavior is unspecified (and DuckDB's differs), so both engines
+# compute count-per-value and take the lexicographic struct max (count, then
+# value) — same answer under ties everywhere. Two narrow aggregations; the
+# second one's input is already bounded by the distinct-value count.
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           (MAX(struct_pack(c := cnt, v := o_orderpriority))).v AS mode_value,
+           (MAX(struct_pack(c := cnt, v := o_orderpriority))).c AS mode_count
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = F.max(F.struct(F.col("cnt").alias("c"), F.col("o_orderpriority").alias("v")))
+    return counts.groupBy("o_orderstatus").agg(
+        best["v"].alias("mode_value"), best["c"].alias("mode_count")
+    )

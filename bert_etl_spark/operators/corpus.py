@@ -304,3 +304,56 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
     )
+
+
+REBALANCE_FRAC = 0.15  # per-source cap as a fraction of total corpus size
+
+
+# Domain-mix rebalancing: cap every source at a fixed share of the corpus so
+# one crawl domain can't dominate the training mix (the "data mixture" step
+# of a pretraining run). Selection is md5-ranked within source — fully
+# deterministic, engine-portable, and stable under re-runs — with the kept
+# set proven identical via an id-sum checksum, not just counts.
+#
+# Scale: the cap is one broadcast scalar; ranking is one window shuffle on
+# source (same cost class as any per-source pass); no self-joins. Skewed
+# sources are exactly the case the cap exists for — the window partition for
+# a hot source is large, but emits rank-only state, and the downstream keep
+# predicate prunes it to the cap.
+@query(
+    "corpus_domain_rebalance",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    ),
+    t AS (
+        SELECT CAST(CEIL(COUNT(*) * {REBALANCE_FRAC}) AS BIGINT) AS cap
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE rn <= cap) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) FILTER (WHERE rn <= cap) AS BIGINT) AS kept_checksum
+    FROM r CROSS JOIN t
+    GROUP BY source
+    """,
+)
+def corpus_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    cap = docs.agg(
+        F.ceil(F.count("*") * F.lit(REBALANCE_FRAC)).cast("bigint").alias("cap")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w)).crossJoin(F.broadcast(cap))
+    kept = F.col("rn") <= F.col("cap")
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(kept, True)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id"))).alias("kept_checksum"),
+    )

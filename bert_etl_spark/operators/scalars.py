@@ -777,3 +777,48 @@ def scalar_date4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_96"
         ),
     )
+
+
+# URL parsing batch: Spark's parse_url (HOST/PATH/QUERY-param extraction,
+# java.net.URI-backed) vs an equivalent regex decomposition in DuckDB (which
+# has no URL functions). The URL is assembled from table columns so the
+# corpus is well-formed by construction — the regexes and parse_url agree on
+# well-formed http(s) URLs. Pure per-row projection: codegen, zero shuffle.
+@query(
+    "scalar_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                   || '&sz=' || CAST(n_chars AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+           regexp_extract(url, 'https://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+           regexp_extract(url, '[?&]sz=([^&#]*)', 1) AS q_sz,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("sz")).alias("q_sz"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -500,3 +500,48 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(surprisal).cast("double") / F.count("*")).alias("surprisal"),
         )
     )
+
+
+# PII scrubbing: the redaction pass every training-data pipeline runs before
+# tokenization. Pure per-row regex (whole-stage codegen, zero shuffle, scales
+# embarrassingly); emails are redacted first so numeric-run counting sees the
+# same residue in both engines. Spark regexp_replace is replace-all by
+# default — DuckDB needs the explicit 'g' flag; Spark regexp_extract_all
+# needs explicit group 0 (its default is group 1, unlike DuckDB).
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+"
+_PII_NUM = "[0-9]+"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+                   AS n_emails,
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS no_email
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(no_email, '{_PII_NUM}')) AS INTEGER)
+                   AS n_numeric,
+               regexp_replace(no_email, '{_PII_NUM}', '<NUM>', 'g') AS scrubbed
+        FROM s
+    )
+    SELECT doc_id, n_emails, n_numeric,
+           CAST(length(scrubbed) AS INTEGER) AS scrubbed_chars,
+           substr(scrubbed, 1, 80) AS preview
+    FROM t
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    no_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, _PII_NUM, "<NUM>")
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_NUM), 0)).alias("n_numeric"),
+        F.length(scrubbed).alias("scrubbed_chars"),
+        F.substring(scrubbed, 1, 80).alias("preview"),
+    )
