@@ -537,3 +537,105 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version_n"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-supplier graph (suppliers are linked when
+# they supply the same order). The standard graph-mining primitive, built
+# degree-oriented: every edge points from its lower-(degree, id) endpoint
+# to the higher one, which bounds each node's out-degree by O(sqrt(2m))
+# regardless of hot nodes — the wedge join (the quadratic step) is then
+# near-linear in edges, the textbook distributed triangle recipe. Because
+# the orientation key (degree, id) is a TOTAL order, the closing edge of a
+# wedge (v1, v2) with v1 below v2 is always oriented v1 -> v2, so the
+# probe is a plain equi-join on (src, dst) — hash-joinable, never a
+# nested loop. Edge generation is safe by construction: pairs-per-order
+# is bounded by order size (<= 7 lineitems), so no DF-cap is needed.
+# At 100 TB: 3 integer-key shuffles (edge distinct, wedge join, edge
+# probe); degree table broadcasts (|V| << |E|).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_orderkey, a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    edges AS (SELECT DISTINCT u, v FROM pairs),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_d
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+        SELECT o1.dst AS w1, o2.dst AS w2
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src
+        WHERE (o1.dst_d, o1.dst) < (o2.dst_d, o2.dst)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n FROM wedges w
+        JOIN oriented o ON o.src = w.w1 AND o.dst = w.w2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = persist_once(
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    lower = F.struct(F.col("du.d"), F.col("u")) < F.struct(F.col("dv.d"), F.col("v"))
+    oriented = persist_once(
+        edges.join(F.broadcast(deg.alias("du")), F.col("du.node") == F.col("u"))
+        .join(F.broadcast(deg.alias("dv")), F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
+        )
+    )
+    wedges = (
+        oriented.alias("o1")
+        .join(oriented.alias("o2"), "src")
+        .filter(
+            F.struct(F.col("o1.dst_d"), F.col("o1.dst"))
+            < F.struct(F.col("o2.dst_d"), F.col("o2.dst"))
+        )
+        .select(F.col("o1.dst").alias("w1"), F.col("o2.dst").alias("w2"))
+    )
+    tri = wedges.join(
+        oriented.alias("o"),
+        (F.col("o.src") == F.col("w1")) & (F.col("o.dst") == F.col("w2")),
+    )
+    return (
+        edges.agg(F.count("*").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )

@@ -1,0 +1,104 @@
+"""Data-quality profiling and mergeable-sketch operators.
+
+The reference can only inspect payloads item-by-item inside its per-record
+Python loop (`bert/queues.py:61-93`); any corpus-level statistic requires
+driver-side dict state. Here profiling is one declarative pass the engine
+parallelizes, and cardinality sketches are *mergeable* — each executor
+builds a partial sketch and the exchange carries sketch bytes, not rows,
+which is what makes a 100 TB distinct-count tractable.
+
+Scale notes:
+- ``profile_columns``: ONE scan computes null counts, min/max, and distinct
+  counts for every profiled column; multi-column exact distinct goes
+  through Spark's Expand (one shuffle, rows x columns) — at 100 TB you
+  would flip the exact count_distinct to approx_count_distinct/HLL and the
+  plan collapses to a single partial-agg pass. The unpivot to one row per
+  column happens after aggregation (5 rows, free).
+- ``sketch_hll_partitioned_union``: per-source HLL sketches unioned into a
+  global estimate — the canonical two-level sketch rollup. Sketch size is
+  O(2^lgK) bytes regardless of input rows, so the shuffle payload is
+  constant per group. DuckDB's approx_distinct uses a different HLL
+  implementation, so this query is registered rows-only; the unit test
+  bounds estimate error vs the exact count instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.registry import query, tbl
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_linestatus", "l_shipdate")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM lineitem
+        """
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# One-pass table profiling: the "describe my table" primitive every data
+# pipeline runs before training. All statistics for all columns come from
+# a single scan (one wide aggregate + post-agg unpivot); the oracle's
+# UNION-ALL-of-scalar-selects form is the semantic spec, not the plan.
+@query("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = []
+    for c in PROFILE_COLS:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__distinct"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return wide.select(
+        F.stack(
+            F.lit(len(PROFILE_COLS)), *stack_args
+        ).alias("column_name", "n_nulls", "n_distinct", "min_value", "max_value"),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# Mergeable-sketch rollup: HLL sketch per source, then a union of SKETCHES
+# (not a re-scan) for the corpus-wide estimate. Rows-only in the driver
+# gate — estimates are implementation-defined — with an error-bound unit
+# test in tests/test_profiling.py.
+@query("sketch_hll_partitioned_union")
+def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("doc_id").cast("string"), 14).alias("sketch"),
+        F.count_distinct("doc_id").alias("exact_distinct"),
+    )
+    global_row = per_source.agg(
+        F.lit("__ALL__").alias("source"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimated_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+    )
+    return per_source.select(
+        "source",
+        F.hll_sketch_estimate("sketch").alias("estimated_distinct"),
+        "exact_distinct",
+    ).unionByName(global_row)

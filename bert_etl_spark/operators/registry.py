@@ -112,6 +112,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        profiling,
         python_surface,
         relational,
         scalars,

@@ -425,3 +425,79 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"),
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+# int8 scalar quantization of the embedding corpus — the storage/serving
+# compression step every vector index at scale runs (4x smaller, SIMD
+# distance kernels). Two passes: (1) calibrate per-dimension symmetric
+# scales s_d = max(|v_d|) — posexplode + 64-group agg, emits 64 rows;
+# (2) quantize q_d = clamp(round(v/s*127)) — a broadcast of one 64-float
+# array and a pure projection, zero shuffle. Per-row checksums + exact
+# reconstruction SSE make the whole path value-checkable: every arithmetic
+# step is deterministic double math (max/abs are exact reductions; the
+# fold over 64 dims is sequential in both engines).
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT i AS pos, MAX(abs(e[i + 1])) AS s
+        FROM e, range({EMBED_DIM}) t(i)
+        GROUP BY 1
+    ),
+    sc AS (SELECT list(s ORDER BY pos) AS s FROM dims),
+    q AS (
+        SELECT vec_id, e.e AS e, sc.s AS s,
+               list_transform(range({EMBED_DIM}), i -> CAST(
+                   GREATEST(-127.0, LEAST(127.0, ROUND(
+                       CASE WHEN sc.s[i + 1] = 0 THEN 0.0
+                            ELSE e.e[i + 1] / sc.s[i + 1] * 127.0 END)))
+                   AS INTEGER)) AS qv
+        FROM e CROSS JOIN sc
+    )
+    SELECT vec_id,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
+           CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max,
+           ROUND(list_aggregate(list_transform(range({EMBED_DIM}), i ->
+               (e[i + 1] - CAST(qv[i + 1] AS DOUBLE) * s[i + 1] / 127.0)
+               * (e[i + 1] - CAST(qv[i + 1] AS DOUBLE) * s[i + 1] / 127.0)),
+               'sum'), 8) AS recon_sse
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    dims = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs("x")).alias("s"))
+    )
+    scales = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    ).select(F.transform("ps", lambda t: t["s"]).alias("s"))
+
+    def quant(x: Column, s: Column) -> Column:
+        raw = F.when(s == 0, F.lit(0.0)).otherwise(x / s * F.lit(127.0))
+        return F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.round(raw))
+        ).cast("int")
+
+    qdf = emb.crossJoin(F.broadcast(scales)).withColumn(
+        "qv", F.zip_with("e", "s", quant)
+    )
+    dequant = F.zip_with("qv", "s", lambda q, s: q.cast("double") * s / F.lit(127.0))
+    sq_err = F.zip_with("e", dequant, lambda x, d: (x - d) * (x - d))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return qdf.select(
+        "vec_id",
+        fold(F.col("qv").cast("array<bigint>")).cast("bigint").alias("q_checksum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(fold(sq_err), 8).alias("recon_sse"),
+    )
