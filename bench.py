@@ -67,6 +67,9 @@ HEADLINE = [
     "corpus_chunk_windows",   # zero-shuffle sliding chunks
     "corpus_pack_sequences",  # windowed-cumsum token packing
     "scd2_dimension_history", # type-2 dimension versioning window
+    "embedding_quantize_int8",  # calibrate-then-quantize two-pass
+    "graph_triangle_count",   # degree-oriented wedge join
+    "profile_columns",        # one-scan multi-column profiling
     "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
     "multimodal_audio_features",  # PCM stub decode via mapInPandas
     "pandas_max_gap",         # applyInPandas grouped Python
