@@ -187,3 +187,32 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_triangle_count_never_nested_loops(spark):
+    # the wedge-closing probe must stay a hash equi-join: the (degree, id)
+    # total order fixes the closing edge's orientation, so no OR-condition
+    # BroadcastNestedLoop should ever appear
+    plan = _plan(spark, "graph_triangle_count")
+    # single-row summary crossJoins print as "...Join BuildRight, Cross" and
+    # are fine; a conditioned nested loop (the OR-join formulation) would
+    # print as Inner and is the 100 TB killer
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" not in plan
+    assert "BroadcastNestedLoopJoin BuildLeft, Inner" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # degree table broadcasts
+
+
+def test_quantize_broadcasts_scales(spark):
+    # pass 2 must consume the 64-float scale vector via broadcast — a
+    # shuffle here would re-partition the whole corpus for one tiny row
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_single_scan(spark):
+    # all five column profiles come from ONE pass over lineitem
+    plan = _plan(spark, "profile_columns")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan  # multi-column exact distinct via Expand
