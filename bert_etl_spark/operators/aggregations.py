@@ -475,3 +475,38 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("o_orderstatus").agg(
         best["v"].alias("mode_value"), best["c"].alias("mode_count")
     )
+
+
+# Weighted mean / stddev per group — the survey-statistics primitive
+# (weight = quantity here). All three reductions go through the exact
+# DECIMAL recipe, so results are order-insensitive and engine-identical;
+# the combining arithmetic (divisions, the variance subtraction, sqrt) is
+# per-GROUP scalar math, deterministic in IEEE double. One partial-agg
+# pass, identical cost profile to any sum/count aggregate at 100 TB.
+@query(
+    "agg_weighted_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_quantity')} AS w_sum,
+           ROUND({sql_dsum('l_extendedprice * l_quantity')}
+                 / {sql_dsum('l_quantity')}, 6) AS w_mean,
+           ROUND(sqrt({sql_dsum('l_extendedprice * l_extendedprice * l_quantity')}
+                      / {sql_dsum('l_quantity')}
+                 - ({sql_dsum('l_extendedprice * l_quantity')}
+                    / {sql_dsum('l_quantity')})
+                 * ({sql_dsum('l_extendedprice * l_quantity')}
+                    / {sql_dsum('l_quantity')})), 6) AS w_std
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    x, w = F.col("l_extendedprice"), F.col("l_quantity")
+    wsum = dsum(w)
+    wmean = dsum(x * w) / dsum(w)
+    wvar = dsum(x * x * w) / dsum(w) - wmean * wmean
+    return li.groupBy("l_returnflag").agg(
+        wsum.alias("w_sum"),
+        F.round(wmean, 6).alias("w_mean"),
+        F.round(F.sqrt(wvar), 6).alias("w_std"),
+    )

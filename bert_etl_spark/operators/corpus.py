@@ -357,3 +357,58 @@ def corpus_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, True)).alias("n_kept"),
         F.sum(F.when(kept, F.col("doc_id"))).alias("kept_checksum"),
     )
+
+
+MIX_ALPHA = 0.3  # temperature exponent (alpha < 1 upweights small sources)
+
+
+# Temperature-scaled source mixing: the multilingual-pretraining recipe
+# (sample source i proportional to p_i^alpha) that flattens the natural
+# size distribution so low-resource sources aren't drowned out. Everything
+# after the per-source count agg runs on |sources| rows, so the whole mix
+# computation is free at any corpus size; the count agg itself is one
+# partial-agg pass. pow() is transcendental (last-bit differs across
+# libm), so weights are rounded to 6 dp BEFORE the normalizing decimal
+# sum — both engines then reduce identical values exactly.
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s),
+    w AS (
+        SELECT source, n_docs,
+               ROUND(POWER(CAST(n_docs AS DOUBLE) / total, {MIX_ALPHA}), 6)
+                   AS w_raw
+        FROM s CROSS JOIN t
+    ),
+    z AS (
+        SELECT CAST(SUM(CAST(w_raw AS DECIMAL(25,6))) AS DOUBLE) AS z FROM w
+    )
+    SELECT source, n_docs,
+           ROUND(w_raw / z, 6) AS mix_weight,
+           CAST(ROUND(w_raw / z * (SELECT total FROM t)) AS BIGINT)
+               AS expected_docs
+    FROM w CROSS JOIN z
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        tbl(spark, sf_dir, "documents").groupBy("source").agg(F.count("*").alias("n_docs"))
+    )
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    w = counts.crossJoin(F.broadcast(total)).withColumn(
+        "w_raw",
+        F.round(F.pow(F.col("n_docs").cast("double") / F.col("total"), MIX_ALPHA), 6),
+    )
+    z = w.agg(F.sum(F.col("w_raw").cast("decimal(25,6)")).cast("double").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
+        F.round(F.col("w_raw") / F.col("z") * F.col("total"))
+        .cast("bigint")
+        .alias("expected_docs"),
+    )

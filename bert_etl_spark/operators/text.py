@@ -545,3 +545,77 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrubbed).alias("scrubbed_chars"),
         F.substring(scrubbed, 1, 80).alias("preview"),
     )
+
+
+# Split-aware n-gram novelty: what fraction of each eval doc's trigrams
+# never appear in the train split — the generalization-vs-memorization
+# probe run after corpus splitting (high overlap = the eval set leaks
+# training text). Reuses the md5-bucket split (train = nibbles 0..b, same
+# rule as corpus_split_train_val_test) so the metric is reproducible.
+# Plan shape: one shingle pass carrying (doc_id, lang, is_train), then a
+# LEFT join of eval shingles against the DISTINCT train-shingle set with a
+# seen-marker, aggregated per lang. The join is linear in shingles (no
+# pair blowup — anti/semi probes don't multiply on hot keys); at 100 TB
+# you'd put a bloom filter on the train set ahead of the shuffle, which
+# Spark injects automatically under runtime filtering for selective sides.
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train,
+               string_split(trim(text), ' ') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, lang, is_train,
+               unnest(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                   AS shingle
+        FROM tok WHERE len(toks) >= 3
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_train),
+    eval_marked AS (
+        SELECT e.lang, t.shingle IS NOT NULL AS seen
+        FROM sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+        WHERE NOT e.is_train
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_shingles,
+           CAST(COUNT(*) FILTER (WHERE NOT seen) AS BIGINT) AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE NOT seen) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_rate
+    FROM eval_marked GROUP BY lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c").alias(
+            "is_train"
+        ),
+        tokenize(F.col("text")).alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+    )
+    sh = toked.select(
+        "doc_id", "lang", "is_train", F.explode(grams).alias("shingle")
+    ).distinct()
+    train_sh = sh.filter(F.col("is_train")).select("shingle").distinct()
+    marked = (
+        sh.filter(~F.col("is_train"))
+        .join(
+            train_sh.withColumn("seen_flag", F.lit(1)), on="shingle", how="left"
+        )
+        .select("lang", F.col("seen_flag").isNotNull().alias("seen"))
+    )
+    novel = F.count(F.when(~F.col("seen"), True))
+    return marked.groupBy("lang").agg(
+        F.count("*").alias("n_eval_shingles"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count("*"), 6).alias("novelty_rate"),
+    )

@@ -802,3 +802,56 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+# Gaps-and-islands: collapse each user's active days into maximal
+# consecutive-day runs via the classic (day - row_number) grouping key —
+# two window-free aggregations around ONE per-user window, no self-join,
+# no sequence materialization. Distinct from `window_sessionize` (timestamp
+# gap threshold): islands are calendar-exact runs, the idiom behind streak
+# features and SLA-coverage reports. At 100 TB: the distinct + window +
+# aggs all share the user_id shuffle key, so AQE plans one exchange.
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS rn
+        FROM d
+    ),
+    g AS (
+        SELECT user_id, day - rn AS grp,
+               CAST(COUNT(*) AS BIGINT) AS streak,
+               MIN(day) AS streak_start
+        FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           MAX(streak) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days,
+           MIN(streak_start) AS first_day
+    FROM g GROUP BY user_id
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        tbl(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    islands = (
+        days.withColumn("grp", F.date_sub(F.col("day"), rn))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak"), F.min("day").alias("streak_start"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("streak").alias("longest_streak"),
+        F.sum("streak").alias("n_active_days"),
+        F.min("streak_start").alias("first_day"),
+    )
