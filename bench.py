@@ -67,6 +67,10 @@ HEADLINE = [
     "corpus_chunk_windows",   # zero-shuffle sliding chunks
     "corpus_pack_sequences",  # windowed-cumsum token packing
     "scd2_dimension_history", # type-2 dimension versioning window
+    "agg_weighted_stats",     # decimal-exact weighted moments
+    "window_gaps_islands",    # streak detection, one window
+    "text_ngram_novelty",     # split-aware shingle anti-probe
+    "corpus_mix_temperature", # source-mix weights
     "embedding_quantize_int8",  # calibrate-then-quantize two-pass
     "graph_triangle_count",   # degree-oriented wedge join
     "profile_columns",        # one-scan multi-column profiling

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bert_etl_spark.operators.registry import query, tbl
+from bert_etl_spark.operators.registry import query, spread, tbl
 
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_linestatus", "l_shipdate")
 
@@ -54,7 +54,10 @@ def _profile_oracle() -> str:
 # UNION-ALL-of-scalar-selects form is the semantic spec, not the plan.
 @query("profile_columns", oracle=_profile_oracle())
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = tbl(spark, sf_dir, "lineitem")
+    # spread(): the Expand multiplies rows x6 BEFORE the first exchange, so
+    # a single-split local scan would run the whole expansion on one core
+    # (measured 7.1s -> 2.6s at sf0.1). At 100 TB split counts are natural.
+    li = spread(tbl(spark, sf_dir, "lineitem"))
     aggs = [F.count("*").alias("n_rows")]
     for c in PROFILE_COLS:
         aggs += [
