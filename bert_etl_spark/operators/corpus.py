@@ -412,3 +412,64 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("expected_docs"),
     )
+
+
+TOKEN_BUDGET = 20_000  # training-token budget for the selection demo
+
+
+# Greedy token-budget selection: rank the corpus by a quality score and
+# keep the best documents until a token budget is exhausted — how a
+# fixed-size pretraining mix is actually filled. The cumulative-sum
+# window runs over a GLOBAL ordering, which is the one legitimate use of
+# a single-partition window at any scale... except it isn't needed: at
+# 100 TB you first aggregate tokens per score-BUCKET (one partial-agg
+# pass), cumsum the few thousand buckets on one task, find the threshold
+# bucket, and only window within it. Here the corpus is small enough to
+# run the direct form; the bucketed form is the documented scale path.
+# Quality score: stopword-free token share (cheap, deterministic).
+@query(
+    "corpus_token_budget_select",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / len(string_split(trim(text), ' ')), 6) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens, score,
+               CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS selected_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS selected_checksum
+    FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+        F.round(
+            F.col("n_chars").cast("double") / F.size(tokenize(F.col("text"))), 6
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_tokens").alias("selected_tokens"),
+            F.sum("doc_id").alias("selected_checksum"),
+        )
+    )

@@ -619,3 +619,71 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         F.round(novel.cast("double") / F.count("*"), 6).alias("novelty_rate"),
     )
+
+
+REPETITION_MAX_RATIO = 0.2  # docs whose top bigram exceeds this share fail
+
+
+# Repetition-based quality filter (the Gopher/RefinedWeb "repetition rules"
+# family): a doc whose single most frequent bigram covers more than 20% of
+# all its bigram slots is boilerplate/spam-like and gets gated. Pure
+# per-doc computation: explode bigrams -> count per (doc, bigram) -> one
+# max-over-doc window — every stage shares the doc_id shuffle key. The
+# deterministic tiebreak (count desc, bigram asc) makes the reported top
+# bigram engine-identical, not just the ratio.
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks) - 1),
+                      i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY doc_id, bigram
+    ),
+    ranked AS (
+        SELECT doc_id, bigram, n,
+               CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, bigram) AS rn
+        FROM cnt
+    )
+    SELECT doc_id, bigram AS top_bigram, n AS top_count, total,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS top_ratio,
+           CAST(n AS DOUBLE) / total > {REPETITION_MAX_RATIO} AS is_repetitive
+    FROM ranked WHERE rn = 1
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice("toks", i + 1, 2), " "),
+    )
+    cnt = (
+        toked.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("doc_id")
+    ranked = cnt.withColumn("total", F.sum("n").over(w)).withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("n"), "bigram"))
+    )
+    ratio = F.col("n").cast("double") / F.col("total")
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("bigram").alias("top_bigram"),
+        F.col("n").alias("top_count"),
+        "total",
+        F.round(ratio, 6).alias("top_ratio"),
+        (ratio > REPETITION_MAX_RATIO).alias("is_repetitive"),
+    )
