@@ -340,3 +340,56 @@ AUDIO_SCHEMA = "doc_id long, n_samples long, duration_s double, rms double, peak
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media(tbl(spark, sf_dir, "documents"))
     return media.mapInPandas(audio_features_batch, AUDIO_SCHEMA)
+
+
+# Two-stage byte-dedup over the opaque media column — the first pass of
+# every image/audio dedup pipeline (perceptual hashing only runs on what
+# survives byte-level collapse). Stage 1 hashes only the HEADER BLOCK
+# (first 64 bytes): at 100 TB this reads a fraction of each blob (or just
+# the stored header chunk) and is the cheap prefilter. Stage 2 confirms
+# candidates with the full-payload sha2 — only rows whose header collided
+# pay for the full hash in a real deployment. Both hashes shuffle by
+# uniformly-distributed digests: no skew by construction. Output: one row
+# per header-collision group with how many members are byte-identical
+# (n_dup_copies = 0 means the prefilter collided but stage 2 cleared it).
+HEADER_BYTES = 64
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle=f"""
+    WITH h AS (
+        -- sha256 over VARCHAR hashes the UTF-8 bytes = sha2(binary) Spark-side
+        SELECT doc_id, sha256(substr(text, 1, {HEADER_BYTES})) AS header_hash,
+               sha256(text) AS content_hash
+        FROM documents
+    )
+    SELECT header_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_payloads,
+           CAST(COUNT(*) - COUNT(DISTINCT content_hash) AS BIGINT)
+               AS n_dup_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM h GROUP BY header_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media(tbl(spark, sf_dir, "documents"))
+    h = media.select(
+        "doc_id",
+        F.sha2(F.expr(f"substring(media, 1, {HEADER_BYTES})"), 256).alias(
+            "header_hash"
+        ),
+        F.sha2(F.col("media"), 256).alias("content_hash"),
+    )
+    return (
+        h.groupBy("header_hash")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.count_distinct("content_hash").alias("n_distinct_payloads"),
+            (F.count("*") - F.count_distinct("content_hash")).alias("n_dup_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_candidates") > 1)
+    )

@@ -501,3 +501,110 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.round(fold(sq_err), 8).alias("recon_sse"),
     )
+
+
+PQ_M = 8      # subspaces
+PQ_DSUB = EMBED_DIM // PQ_M
+PQ_K = 16     # codewords per subspace (first PQ_K vectors' subvectors)
+
+
+# Product quantization + ADC (asymmetric distance computation): the
+# standard billion-scale ANN compression (FAISS IVFPQ's second stage).
+# Encode: each vector becomes M 4-bit codes (argmin-L2 codeword per
+# subspace) — 8 bytes instead of 256, a 32x memory cut. Search: the query
+# stays FLOAT; its per-subspace dot products against the 16 codewords form
+# a lookup table, and a candidate's approximate dot is the sum of M table
+# entries (here expressed as a join + decimal-exact partial sum, which is
+# how the table-lookup formulation distributes). Codebooks are the first
+# PQ_K vectors' subvectors (deterministic init, same idiom as sim_ivf), so
+# encode + search are exactly reproducible in SQL.
+# Scale: codebook is M*K tiny rows (broadcast); encoding is one corpus
+# pass; ADC joins are all on the tiny (m, code) / (m, q) keys with the
+# corpus streaming through once. The per-(q, candidate) partial-sum agg
+# shares the q_id shuffle with the final top-k window.
+@query(
+    "sim_pq_adc",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    sub AS (
+        SELECT vec_id, m, list_slice(e, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sv
+        FROM n, range({PQ_M}) t(m)
+    ),
+    cb AS (
+        SELECT m, vec_id AS cid, sv AS cw FROM sub WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+        SELECT vec_id, m, cid, cw,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY
+                   list_aggregate(list_transform(range({PQ_DSUB}),
+                       i -> (sv[i+1] - cw[i+1]) * (sv[i+1] - cw[i+1])), 'sum'),
+                   cid) AS rn
+        FROM sub JOIN cb USING (m)
+    ),
+    codes AS (SELECT vec_id, m, cid, cw FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, m, sv AS qsub FROM sub WHERE vec_id < {N_QUERIES}),
+    partials AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               list_aggregate(list_transform(range({PQ_DSUB}),
+                   i -> q.qsub[i+1] * c.cw[i+1]), 'sum') AS p
+        FROM codes c JOIN q USING (m)
+        WHERE c.vec_id != q.q_id
+    ),
+    adc AS (
+        SELECT q_id, neighbor_id,
+               ROUND({{dsum}}, 6) AS adc_dot
+        FROM partials GROUP BY q_id, neighbor_id
+    )
+    SELECT * FROM (
+        SELECT q_id, neighbor_id, adc_dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+    """.replace("{dsum}", "CAST(SUM(CAST((p) AS DECIMAL(25,6))) AS DOUBLE)"),
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.deterministic import dsum
+
+    prep = _prepared(spark, sf_dir)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = prep.select("vec_id", "e").select(
+        "vec_id", ms, F.col("e")
+    ).select(
+        "vec_id", "m", F.slice("e", F.col("m") * PQ_DSUB + 1, PQ_DSUB).alias("sv")
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cw")
+    )
+    l2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w_enc = W.partitionBy("vec_id", "m").orderBy("_l2", "cid")
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("_l2", l2)
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid", "cw")
+    )
+    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsub")
+    )
+    partial = F.aggregate(
+        F.zip_with("qsub", "cw", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    adc = (
+        codes.join(F.broadcast(q), "m")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(F.col("q_id"), F.col("vec_id").alias("neighbor_id"), partial.alias("p"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.round(dsum(F.col("p")), 6).alias("adc_dot"))
+    )
+    w_top = W.partitionBy("q_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dot", "rn")
+    )
