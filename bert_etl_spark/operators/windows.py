@@ -855,3 +855,89 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak").alias("n_active_days"),
         F.min("streak_start").alias("first_day"),
     )
+
+
+# Sliding (overlapping) event-time windows, streaming-real: 2h windows
+# every 1h means each event lands in exactly two windows. Spark expands
+# the event against the window grid BEFORE the partial aggregate (same
+# Expand pattern as multi-distinct), so state is per-(window, type) — at
+# 100 TB the overlap factor multiplies shuffle rows, which is why slide
+# granularity is the knob to watch. Complete-mode memory sink drained
+# with availableNow makes the real stream oracle-checkable.
+@query(
+    "streaming_sliding",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                       time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+                   AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '2 hours' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM ex GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_sliding_oracle")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_sliding_oracle")
+
+
+# The custom stateful operator (applyInPandasWithState running per-user
+# counts — the reference's process-shared StreamingQueue/ETLState pattern,
+# SURVEY §2A#16/#19) as a DRIVER-VISIBLE query: real stream, update-mode
+# memory sink, and because the running count is monotone, max-per-user
+# over the drained sink equals the batch COUNT(*) — an exact oracle for a
+# genuinely streaming-stateful computation.
+@query(
+    "streaming_stateful_counts",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        stateful_running_counts,
+    )
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    drained = run_to_memory(
+        stateful_running_counts(stream),
+        "streaming_stateful_counts_sink",
+        output_mode="update",
+    )
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
