@@ -473,3 +473,88 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("selected_checksum"),
         )
     )
+
+
+PREP_CAP_PER_SOURCE = 30  # absolute per-source cap for the pipeline demo
+
+
+# End-to-end corpus preparation THROUGH the pipeline surface: the stages
+# are wired with `pipeline.follow` (the reference's binding.follow chain,
+# SURVEY §2A#1-2) and composed by build_job_chain — a driver-visible proof
+# that the framework surface and the analytics operators are one system.
+# Stage boundaries are pure plan composition (df.transform), so Catalyst
+# fuses them: quality gate's filter pushes INTO the scan even though it
+# was declared three stages upstream of the final aggregate.
+# quality gate -> exact-dedup keep-first -> per-source cap -> mix stats.
+@query(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= 20
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn_dup
+            FROM gated
+        ) WHERE rn_dup = 1
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn_cap
+            FROM deduped
+        ) WHERE rn_cap <= {PREP_CAP_PER_SOURCE}
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM capped GROUP BY source, lang
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark import pipeline as P
+
+    P.clear_registry()
+
+    @P.follow()
+    def gate_quality(df: DataFrame) -> DataFrame:
+        out = df.withColumn("n_tokens", F.size(tokenize(F.col("text"))))
+        return out.filter(F.col("n_tokens") >= 20)
+
+    @P.follow(gate_quality, schema="doc_id bigint, lang string, source string, text string, n_tokens int")
+    def dedup_keep_first(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        return (
+            df.withColumn("rn_dup", F.row_number().over(w))
+            .filter(F.col("rn_dup") == 1)
+            .drop("rn_dup")
+        )
+
+    @P.follow(dedup_keep_first)
+    def cap_per_source(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        return (
+            df.withColumn("rn_cap", F.row_number().over(w))
+            .filter(F.col("rn_cap") <= PREP_CAP_PER_SOURCE)
+            .drop("rn_cap")
+        )
+
+    @P.follow(cap_per_source)
+    def mix_stats(df: DataFrame) -> DataFrame:
+        return df.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+
+    out = tbl(spark, sf_dir, "documents")
+    for stage in P.build_job_chain():
+        out = out.transform(stage)
+    return out
