@@ -510,3 +510,42 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wmean, 6).alias("w_mean"),
         F.round(F.sqrt(wvar), 6).alias("w_std"),
     )
+
+
+# Shannon entropy of each user's event-type distribution — the behavioral
+# diversity feature (bot detection: near-zero entropy = single-action
+# automation). Per-term p*ln(p) is per-row double math (deterministic);
+# the few-term reduction goes through the DECIMAL recipe so the sum is
+# order-free. Two narrow aggregations sharing the user_id shuffle key.
+@query(
+    "agg_entropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT user_id, event_type, n,
+               CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(total) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-{sql_dsum('CAST(n AS DOUBLE) / total * ln(CAST(n AS DOUBLE) / total)')}, 6)
+               AS entropy
+    FROM t GROUP BY user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.withColumn("total", F.sum("n").over(W.partitionBy("user_id")))
+    p = F.col("n").cast("double") / F.col("total")
+    return t.groupBy("user_id").agg(
+        F.max("total").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.round(-dsum(p * F.log(p)), 6).alias("entropy"),
+    )

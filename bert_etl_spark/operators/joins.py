@@ -415,3 +415,62 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("s_name").agg(
         F.count("*").alias("n_items"), dsum("l_extendedprice", "volume")
     )
+
+
+ASOF_TOLERANCE_MS = 3_600_000  # 1 hour
+
+
+# As-of join WITH TOLERANCE (pandas merge_asof(tolerance=...) semantics):
+# the carried match is discarded when it is older than the tolerance
+# window. Same single window carry as join_asof — the stale-match filter
+# is a post-projection, so the tolerance costs nothing extra; the oracle
+# keeps DuckDB's native ASOF join and nulls stale matches after the fact.
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN epoch_ms(e.ts) - epoch_ms(p.ts) <= {ASOF_TOLERANCE_MS}
+                THEN p.value END AS recent_purchase_value
+    FROM errors e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("ts").cast("double") * 1000).cast("long"),
+        ).alias("purchase_ms"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.desc("is_purchase"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried_v = F.last("purchase_value", ignorenulls=True).over(w)
+    carried_ms = F.last("purchase_ms", ignorenulls=True).over(w)
+    gap_ok = (
+        (F.col("ts").cast("double") * 1000).cast("long") - carried_ms
+    ) <= ASOF_TOLERANCE_MS
+    return (
+        tagged.withColumn(
+            "recent_purchase_value", F.when(gap_ok, carried_v)
+        )
+        .filter(F.col("is_purchase") == 0)
+        .select("event_id", "user_id", "ts", "recent_purchase_value")
+    )

@@ -176,3 +176,42 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ewma, 6).alias("ewma"),
         )
     )
+
+
+# First-difference volatility per event type: lag the value series along
+# (ts, event_id), then mean/stddev of the step changes via exact decimal
+# co-moments — the telemetry "rate of change" rollup. One window + one
+# aggregation, both keyed on event_type.
+@query(
+    "timeseries_lag_returns",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               value - LAG(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS diff
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(diff) AS BIGINT) AS n_steps,
+           ROUND({sql_dsum('diff')} / COUNT(diff), 6) AS mean_diff,
+           ROUND(sqrt({sql_dsum('diff * diff')} / COUNT(diff)
+                 - ({sql_dsum('diff')} / COUNT(diff))
+                 * ({sql_dsum('diff')} / COUNT(diff))), 6) AS std_diff
+    FROM d WHERE diff IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def timeseries_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.withColumn("diff", F.col("value") - F.lag("value").over(w)).filter(
+        F.col("diff").isNotNull()
+    )
+    n = F.count("diff")
+    mean = dsum(F.col("diff")) / n
+    var = dsum(F.col("diff") * F.col("diff")) / n - mean * mean
+    return d.groupBy("event_type").agg(
+        n.alias("n_steps"),
+        F.round(mean, 6).alias("mean_diff"),
+        F.round(F.sqrt(var), 6).alias("std_diff"),
+    )

@@ -941,3 +941,39 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# Event-transition matrix: P(next event type | current) per user journey —
+# the Markov-chain view of product analytics (what follows an error?).
+# One lead() window along each user's timeline, then a count aggregate
+# and a per-from-state share; window and both aggs share shuffle keys.
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type"))
+    return c.select("from_type", "to_type", "n", F.round(share, 6).alias("p"))
