@@ -68,6 +68,14 @@ HEADLINE = [
     "corpus_pack_sequences",  # windowed-cumsum token packing
     "scd2_dimension_history", # type-2 dimension versioning window
     "agg_weighted_stats",     # decimal-exact weighted moments
+    "agg_entropy",            # behavioral diversity per user
+    "events_transition_matrix",  # Markov next-event shares
+    "join_asof_tolerance",    # bounded-staleness as-of carry
+    "sim_pq_adc",             # product-quantization ADC probe
+    "multimodal_dedup_exact", # header-hash prefilter + full-hash verify
+    "text_repetition_filter", # Gopher-style top-bigram gate
+    "corpus_token_budget_select",  # budget-capped quality selection
+    "corpus_prep_pipeline",   # follow-chain end-to-end prep
     "window_gaps_islands",    # streak detection, one window
     "text_ngram_novelty",     # split-aware shingle anti-probe
     "corpus_mix_temperature", # source-mix weights

@@ -687,3 +687,63 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("top_ratio"),
         (ratio > REPETITION_MAX_RATIO).alias("is_repetitive"),
     )
+
+
+VOCAB_SIZE = 500  # top-V tokens kept in the demo vocabulary
+
+
+# Vocabulary build + coverage audit: take the top-V tokens by corpus
+# frequency (deterministic tiebreak: count desc, token asc) and report,
+# per language, what fraction of token INSTANCES the vocab covers — the
+# OOV-rate check run before committing to a tokenizer vocab. Plan: one
+# tokenize/explode pass feeds both the global vocab top-V (group-limit
+# window over the compact token-count table) and the per-lang coverage
+# join; the explode pass is the only row-scale stage, everything after
+# runs on |distinct tokens| rows. The vocab side broadcasts.
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY token
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+            FROM cnt
+        ) WHERE rn <= {VOCAB_SIZE}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.token IS NOT NULL) AS BIGINT)
+               AS n_covered,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.token IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    tok = persist_once(
+        docs.select("lang", F.explode(tokenize(F.col("text"))).alias("token"))
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("n"))
+    vocab = (
+        cnt.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("n"), "token"))
+        )
+        .filter(F.col("rn") <= VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), "token", "left")
+    covered = F.count(F.when(F.col("in_vocab").isNotNull(), True))
+    return marked.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        covered.alias("n_covered"),
+        F.round(covered.cast("double") / F.count("*"), 6).alias("coverage"),
+    )
