@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from bert_etl_spark.operators.dedup import (
+    COSINE_THRESHOLD,
     JACCARD_THRESHOLD,
     _SQL_SHINGLES,
     pair_jaccard,
@@ -649,4 +650,65 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.agg(F.count("*").alias("n_edges"))
         .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (blocked by
+# the coarse label, standing in for any quantizer cell) → pointer-doubling
+# connected components → per-cluster membership stats. The text capstone
+# (dedup_corpus_canonical) collapses lexical duplicates; this is its
+# embedding-space sibling that catches paraphrases sharing no n-grams.
+# Reuses the registered cosine-pair operator and the CC library verbatim —
+# composition, not reimplementation. Scale inherits both pieces' designs:
+# blocked pairs (never all-pairs) and O(log diameter) CC rounds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+        FROM v
+    ),
+    edges AS (
+        SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_aggregate(list_transform(range(len(a.e)),
+              i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm)
+              >= {COSINE_THRESHOLD}
+    ),
+    sym AS (
+        SELECT vec_i AS a, vec_j AS b FROM edges
+        UNION SELECT vec_j, vec_i FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS member_checksum
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.dedup import dedup_embedding_cosine
+
+    edges = persist_once(
+        dedup_embedding_cosine(spark, sf_dir).select("vec_i", "vec_j")
+    )
+    comp = connected_components(edges, "vec_i", "vec_j")
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("doc_id")).alias("member_checksum"),
     )
