@@ -516,3 +516,60 @@ def dedup_ledger_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger = ingested.select("identity").distinct()
     incoming = with_identity(docs, ["text"])
     return incoming.join(ledger, "identity", "left_anti").select("doc_id", "source")
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+# Shingle CONTAINMENT — the asymmetric near-dup measure (|Si ∩ Sj| / |Si|):
+# a short excerpt quoted inside a long document scores near 1.0 on
+# containment while its Jaccard stays tiny, so excerpt/quote pairs are
+# invisible to symmetric dedup. Same inverted-index join and df-cap as
+# pair_jaccard (one extra projection — both direction ratios come from the
+# same n_inter/size triple), so the scale profile is identical.
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {{shingles}}
+    SELECT doc_i, doc_j,
+           ROUND(CAST(n_inter AS DOUBLE) / sa.sz, 6) AS contain_i,
+           ROUND(CAST(n_inter AS DOUBLE) / sb.sz, 6) AS contain_j,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_i = sa.doc_id
+    JOIN sizes sb ON doc_j = sb.doc_id
+    WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.sz,
+                   CAST(n_inter AS DOUBLE) / sb.sz) >= {CONTAINMENT_THRESHOLD}
+    """.replace("{shingles}", _SQL_SHINGLES),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    capped = df_cap_shingles(sh, MAX_SHINGLE_DF)
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = capped.select(F.col("doc_id").alias("doc_i"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_j"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_i"), F.col("sz").alias("sz_i"))
+    sb = sizes.select(F.col("doc_id").alias("doc_j"), F.col("sz").alias("sz_j"))
+    n = F.col("n_inter").cast("double")
+    ci, cj = n / F.col("sz_i"), n / F.col("sz_j")
+    return (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .filter(F.greatest(ci, cj) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_i",
+            "doc_j",
+            F.round(ci, 6).alias("contain_i"),
+            F.round(cj, 6).alias("contain_j"),
+            F.round(
+                n / (F.col("sz_i") + F.col("sz_j") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
