@@ -549,3 +549,56 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_types"),
         F.round(-dsum(p * F.log(p)), 6).alias("entropy"),
     )
+
+
+# Robust outlier detection via MAD (median absolute deviation): the
+# median-based z-score that doesn't let the outliers inflate their own
+# threshold (mean/stddev-based z-scores famously mask heavy tails).
+# Three narrow passes — median per type, MAD per type, outlier count —
+# with the per-type statistics broadcast back each time; the event rows
+# themselves never shuffle. Medians interpolate identically (exact
+# percentile) in both engines.
+@query(
+    "anomaly_mad_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN m USING (event_type)
+    ),
+    md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(md.mad), 6) AS mad,
+           CAST(count_if(d.adev > CAST(4.4478 AS DOUBLE) * md.mad) AS BIGINT)
+               AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.registry import persist_once
+
+    ev = tbl(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = persist_once(
+        ev.join(F.broadcast(m), "event_type").select(
+            "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+        )
+    )
+    md = d.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    # 4.4478 = 3 sigma * 1.4826 (the MAD->sigma consistency constant)
+    outlier = F.col("adev") > F.lit(4.4478) * F.col("mad")
+    return (
+        d.join(F.broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count_if(outlier).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )

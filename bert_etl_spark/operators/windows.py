@@ -977,3 +977,58 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
     share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type"))
     return c.select("from_type", "to_type", "n", F.round(share, 6).alias("p"))
+
+
+# DAU / WAU / stickiness: distinct users per day, distinct users over the
+# trailing 7-day window, and their ratio — the canonical engagement
+# metric. The scale-correct formulation never runs a windowed
+# count-distinct over raw events: one pass dedups to (day, user) — the
+# only row-scale stage — and the WAU self-join runs on the tiny
+# (day x user) activity table against a 7-day range, then per-day counts.
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+        FROM days d JOIN du a
+          ON a.day <= d.day AND a.day >= d.day - 6
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.registry import persist_once
+
+    du = persist_once(
+        tbl(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("a"),
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("a.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
