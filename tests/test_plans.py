@@ -216,3 +216,20 @@ def test_profile_single_scan(spark):
     plan = _plan(spark, "profile_columns")
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan  # multi-column exact distinct via Expand
+
+
+def test_containment_joins_stay_hash(spark):
+    # inverted-index + size joins are all equi-keyed; any cartesian here
+    # means the df-cap/indexing structure broke
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dau_wau_nested_loop_is_day_bounded(spark):
+    # the 7-day range join has no equi key, so a nested loop is expected —
+    # but it must BUILD on the tiny day-grid side (BuildLeft), never
+    # degenerate to an unbuilt cartesian over the activity table
+    plan = _plan(spark, "events_dau_wau")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin BuildLeft, Inner" in plan
