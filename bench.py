@@ -76,6 +76,12 @@ HEADLINE = [
     "text_repetition_filter", # Gopher-style top-bigram gate
     "corpus_token_budget_select",  # budget-capped quality selection
     "corpus_prep_pipeline",   # follow-chain end-to-end prep
+    "dedup_containment",      # asymmetric excerpt detection
+    "dedup_semantic_clusters",  # cosine pairs + connected components
+    "text_vocab_coverage",    # top-V vocab OOV audit
+    "anomaly_mad_outliers",   # robust MAD z-score
+    "events_dau_wau",         # stickiness range join
+    "timeseries_lag_returns",  # first-difference volatility
     "window_gaps_islands",    # streak detection, one window
     "text_ngram_novelty",     # split-aware shingle anti-probe
     "corpus_mix_temperature", # source-mix weights
