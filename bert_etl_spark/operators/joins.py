@@ -474,3 +474,67 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase") == 0)
         .select("event_id", "user_id", "ts", "recent_purchase_value")
     )
+
+
+# Fuzzy entity resolution: match dirty names (one character deleted —
+# derived deterministically from an md5-sampled slice) back to the master
+# list by Levenshtein distance, WITHOUT the all-pairs cross join. The
+# blocking key (first 9 chars + length within ±1 via the join condition)
+# is the scale guard: candidates are generated per block, so the edit-
+# distance UDF-free compare runs on O(block²) pairs, not O(n²) — the
+# standard blocking-then-verify shape every dedup/ER system uses. A rank
+# window keeps the single best match per dirty record (deterministic
+# tiebreak on distance then custkey).
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_key,
+               substr(c_name, 1, 10) || substr(c_name, 12) AS dirty_name
+        FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
+    ),
+    cand AS (
+        SELECT d.dirty_key, d.dirty_name, c.c_custkey AS match_key,
+               levenshtein(d.dirty_name, c.c_name) AS dist
+        FROM dirty d JOIN customer c
+          ON substr(d.dirty_name, 1, 9) = substr(c.c_name, 1, 9)
+        WHERE levenshtein(d.dirty_name, c.c_name) <= 2
+    )
+    SELECT dirty_key, dirty_name, match_key, CAST(dist AS INTEGER) AS dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_key
+                                     ORDER BY dist, match_key) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    dirty = cust.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "4"
+    ).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring("c_name", 1, 10), F.expr("substring(c_name, 12)")
+        ).alias("dirty_name"),
+    )
+    cand = (
+        dirty.join(
+            cust.select("c_custkey", "c_name"),
+            F.substring("dirty_name", 1, 9) == F.substring("c_name", 1, 9),
+        )
+        .withColumn("dist", F.levenshtein("dirty_name", "c_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = W.partitionBy("dirty_key").orderBy("dist", "c_custkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            "dirty_name",
+            F.col("c_custkey").alias("match_key"),
+            "dist",
+        )
+    )

@@ -822,3 +822,33 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("sz")).alias("q_sz"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+# String batch 5: positional/codepoint functions + C-style formatting —
+# instr/strpos, ascii, chr, and printf-style templating (Spark
+# format_string ≡ DuckDB printf for %s/%d). Pure projection, codegen,
+# zero shuffle.
+@query(
+    "scalar_string5",
+    oracle="""
+    SELECT c_custkey,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           CAST(ascii(substr(c_mktsegment, 1, 1)) AS INTEGER) AS seg_first_code,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS bucket_letter,
+           printf('%s/%d/%s', c_mktsegment, c_nationkey, c_name) AS tag
+    FROM customer
+    """,
+)
+def scalar_string5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.ascii(F.substring("c_mktsegment", 1, 1)).alias("seg_first_code"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias(
+            "bucket_letter"
+        ),
+        F.format_string("%s/%d/%s", "c_mktsegment", "c_nationkey", "c_name").alias(
+            "tag"
+        ),
+    )
