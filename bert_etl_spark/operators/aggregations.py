@@ -602,3 +602,41 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# Equi-DEPTH histogram via ntile: decile buckets with equal row counts and
+# data-driven boundaries — the complement of histogram_fixed_bins
+# (equi-width) and the shape behind approx-quantile sketch cutpoints. The
+# ntile total order is made deterministic with the event_id tiebreak, so
+# boundary rows land in the same bucket in both engines. One global-order
+# window over (value, id), then a tiny bucket aggregate; at 100 TB the
+# same statistic comes from percentile_approx cutpoints (no global sort) —
+# documented here as the scale path, the exact ntile is the semantic spec.
+@query(
+    "histogram_equi_depth",
+    oracle="""
+    WITH t AS (
+        SELECT value,
+               CAST(ntile(10) OVER (ORDER BY value, event_id) AS INTEGER)
+                   AS decile
+        FROM events
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM t GROUP BY decile
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    t = ev.select(
+        "value", F.ntile(10).over(W.orderBy("value", "event_id")).alias("decile")
+    )
+    return t.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
