@@ -640,3 +640,30 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+# EXACT distinct counting via bitmap aggregation (Spark 3.5 bitmap_*
+# family): each partition builds a fixed-size bucket bitmap of the ids it
+# saw, the exchange merges bitmaps with OR — mergeable like an HLL sketch
+# but exact, the third point in the distinct-count design space
+# (exact-shuffle / approx-sketch / exact-bitmap). The bitmap bytes are
+# engine-internal, but the COUNT they encode is not: the oracle checks
+# the final cardinality against plain COUNT(DISTINCT). Works when ids are
+# dense integers (user_id here); at 100 TB this is the fastest exact
+# distinct for int keys — constant-size state per (group, bucket).
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users")
+    )

@@ -852,3 +852,43 @@ def scalar_string5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tag"
         ),
     )
+
+
+# Math batch 2: trigonometric/inverse functions (DuckDB has no sinh/cosh
+# — inverse functions take sin/cos outputs so their domain is valid). All
+# transcendental (libm last-bit differs across engines), so every output
+# rounds to 6 dp — the documented determinism recipe. atan2 keeps the
+# two-argument quadrant semantics identical in both engines.
+@query(
+    "scalar_math2",
+    oracle="""
+    SELECT event_id,
+           ROUND(sin(value), 6) AS sin_v,
+           ROUND(cos(value), 6) AS cos_v,
+           ROUND(tan(value / CAST(10.0 AS DOUBLE)), 6) AS tan_v,
+           ROUND(atan2(value, CAST(user_id + 1 AS DOUBLE)), 6) AS atan2_v,
+           ROUND(asin(sin(value)), 6) AS asin_v,
+           ROUND(acos(cos(value)), 6) AS acos_v,
+           ROUND(cbrt(value), 6) AS cbrt_v,
+           ROUND(degrees(value), 6) AS deg_v,
+           ROUND(radians(value), 6) AS rad_v
+    FROM events
+    """,
+)
+def scalar_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.sin(v), 6).alias("sin_v"),
+        F.round(F.cos(v), 6).alias("cos_v"),
+        F.round(F.tan(v / 10.0), 6).alias("tan_v"),
+        F.round(F.atan2(v, (F.col("user_id") + 1).cast("double")), 6).alias(
+            "atan2_v"
+        ),
+        F.round(F.asin(F.sin(v)), 6).alias("asin_v"),
+        F.round(F.acos(F.cos(v)), 6).alias("acos_v"),
+        F.round(F.cbrt(v), 6).alias("cbrt_v"),
+        F.round(F.degrees(v), 6).alias("deg_v"),
+        F.round(F.radians(v), 6).alias("rad_v"),
+    )
