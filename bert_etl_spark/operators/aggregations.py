@@ -667,3 +667,49 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users")
     )
+
+
+# Incremental aggregate maintenance: two independently-aggregated batches
+# (here: an even/odd event_id split standing in for "yesterday's rollup"
+# and "today's delta") merge by SUMMING their partial states — count and
+# decimal-sum are mergeable, and avg is re-derived from the merged pair,
+# never averaged-of-averages. The oracle aggregates the full table
+# directly: merged partials must equal the from-scratch answer, which is
+# the correctness contract behind every incremental rollup / foreachBatch
+# upsert in the streaming surface. At 100 TB the "batches" are partitions
+# of a date-partitioned rollup table; the merge never rescans history.
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS total,
+           ROUND({sql_dsum('value')} / COUNT(*), 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("total_dec"),
+        )
+
+    old = partial(ev.filter(F.col("event_id") % 2 == 0))
+    new = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        old.unionByName(new)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        F.round(F.col("total_dec").cast("double") / F.col("n"), 6).alias("mean"),
+    )
