@@ -713,3 +713,43 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_dec").cast("double").alias("total"),
         F.round(F.col("total_dec").cast("double") / F.col("n"), 6).alias("mean"),
     )
+
+
+# Journey endpoints: each user's FIRST and LAST event (type + value) in
+# one aggregate pass via the lexicographic struct min/max idiom — no
+# window, no self-join, deterministic under same-timestamp ties via the
+# event_id tiebreak. The struct min/max state is O(1) per group: the
+# scale-correct way to get "entry page / exit page" style endpoints.
+@query(
+    "agg_first_last_event",
+    oracle="""
+    SELECT user_id,
+           (MIN(struct_pack(ts := ts, id := event_id, t := event_type))).t
+               AS first_type,
+           (MAX(struct_pack(ts := ts, id := event_id, t := event_type))).t
+               AS last_type,
+           (MIN(struct_pack(ts := ts, id := event_id, v := value))).v
+               AS first_value,
+           (MAX(struct_pack(ts := ts, id := event_id, v := value))).v
+               AS last_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    key_t = F.struct(
+        F.col("ts").alias("ts"), F.col("event_id").alias("id"),
+        F.col("event_type").alias("t"),
+    )
+    key_v = F.struct(
+        F.col("ts").alias("ts"), F.col("event_id").alias("id"),
+        F.col("value").alias("v"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.min(key_t)["t"].alias("first_type"),
+        F.max(key_t)["t"].alias("last_type"),
+        F.min(key_v)["v"].alias("first_value"),
+        F.max(key_v)["v"].alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
