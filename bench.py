@@ -82,6 +82,10 @@ HEADLINE = [
     "anomaly_mad_outliers",   # robust MAD z-score
     "events_dau_wau",         # stickiness range join
     "timeseries_lag_returns",  # first-difference volatility
+    "agg_bitmap_distinct",    # exact mergeable bitmap distinct
+    "incremental_agg_merge",  # partial-state rollup maintenance
+    "join_fuzzy_levenshtein", # blocked entity resolution
+    "histogram_equi_depth",   # ntile decile buckets
     "window_gaps_islands",    # streak detection, one window
     "text_ngram_novelty",     # split-aware shingle anti-probe
     "corpus_mix_temperature", # source-mix weights
