@@ -215,3 +215,34 @@ def timeseries_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_diff"),
         F.round(F.sqrt(var), 6).alias("std_diff"),
     )
+
+
+# Hour-of-day x day-of-week seasonality matrix — the load-shape rollup
+# behind capacity planning and anomaly baselines. Dimensions come from the
+# timestamp (no calendar join); output cardinality is fixed at 7x24
+# regardless of input rows, and the single aggregation partials map-side.
+# DuckDB dayofweek is 0-based where Spark's is 1-based — the oracle
+# compensates (+1) so both engines emit the same key.
+@query(
+    "timeseries_seasonality",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
