@@ -27,7 +27,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bert_etl_spark.operators.registry import query, tbl
+from bert_etl_spark.operators.registry import ALL_ORACLES, query, tbl
 
 EMBED_DIM = 64
 N_PLANES = 4  # 16 buckets — sized for the 500-5000 row fixtures
@@ -607,4 +607,49 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "neighbor_id", "adc_dot", "rn")
+    )
+
+
+ALL_ORACLES_BRUTEFORCE = ALL_ORACLES["sim_topk_bruteforce"]
+ALL_ORACLES_IVF = ALL_ORACLES["sim_ivf"]
+
+
+# ANN quality evaluation: recall@k of the IVF probe path against the
+# exact brute-force ground truth — the measurement that justifies (or
+# vetoes) an approximate index before it ships. Pure composition of two
+# registered operators (their oracles compose the same way as subquery
+# blocks), joined on (q_id, neighbor_id); recall = |approx ∩ exact| / k
+# per query plus the corpus-level mean. At scale ground truth comes from
+# a sampled query set — which is exactly what the N_QUERIES slice is.
+@query(
+    "sim_recall_eval",
+    oracle=f"""
+    SELECT e.q_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST({TOP_K} AS BIGINT) AS k,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+               AS recall_at_k
+    FROM ({ALL_ORACLES_BRUTEFORCE}) e
+    LEFT JOIN ({ALL_ORACLES_IVF}) a
+      ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.q_id
+    """,
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = (
+        sim_ivf(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.round(F.count("hit").cast("double") / TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
     )
