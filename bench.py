@@ -86,6 +86,9 @@ HEADLINE = [
     "incremental_agg_merge",  # partial-state rollup maintenance
     "join_fuzzy_levenshtein", # blocked entity resolution
     "histogram_equi_depth",   # ntile decile buckets
+    "agg_first_last_event",   # journey endpoints, single pass
+    "timeseries_seasonality", # hour x dow load shape
+    "sim_recall_eval",        # ANN recall@k vs ground truth
     "window_gaps_islands",    # streak detection, one window
     "text_ngram_novelty",     # split-aware shingle anti-probe
     "corpus_mix_temperature", # source-mix weights
