@@ -558,3 +558,64 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stage in P.build_job_chain():
         out = out.transform(stage)
     return out
+
+
+PASSAGE_SIZE = 16  # tokens per non-overlapping passage
+
+
+# Passage-level dedup (the C4-style sub-document pass): exact dedup at
+# document granularity misses boilerplate repeated INSIDE distinct
+# documents, so the corpus is re-keyed to non-overlapping 16-token
+# passages and deduped by passage hash. One tokenize/slice pass (zero
+# shuffle — same stage shape as corpus_chunk_windows), one groupBy on the
+# uniformly-distributed md5 key. Reports only duplicated passages with
+# their spread (copies vs distinct docs) and the canonical occurrence.
+@query(
+    "corpus_passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[i * {PASSAGE_SIZE} + 1 : i * {PASSAGE_SIZE} + {PASSAGE_SIZE}],
+                   ' ')) AS passage_hash
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(0, (len(t) - 1) // {PASSAGE_SIZE})) AS i
+            FROM toks
+        )
+        WHERE len(t) >= (i + 1) * {PASSAGE_SIZE}
+    )
+    SELECT passage_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM p GROUP BY passage_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") >= PASSAGE_SIZE
+    )
+    passages = F.transform(
+        F.sequence(
+            F.lit(0), (F.floor(F.size("t") / PASSAGE_SIZE) - 1).cast("int")
+        ),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("t"), i * PASSAGE_SIZE + 1, PASSAGE_SIZE), " ")
+        ),
+    )
+    p = toked.select("doc_id", F.explode(passages).alias("passage_hash"))
+    return (
+        p.groupBy("passage_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
