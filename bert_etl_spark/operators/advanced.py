@@ -712,3 +712,66 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum(F.col("doc_id")).alias("member_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal dimension lookup (the SQL-standard companion to the window-carry
+# join_asof): each fact row probes the SCD2 history with
+# key = user AND valid_from <= probe_ts < valid_to — the "which version
+# was active when this happened" join every versioned-dimension warehouse
+# runs. The join stays equi-keyed on user_id with the interval predicate
+# as a residual filter, so it hash-joins; per-key version counts bound the
+# residual scan. At 100 TB the history table is bucketed by the natural
+# key and only open+recent versions are scanned after partition pruning.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_dim_snapshot_asof",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, event_type AS attr,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS INTEGER) AS version_n
+        FROM events
+    ),
+    fact AS (
+        SELECT event_id, user_id, ts + INTERVAL '1 second' AS probe_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.probe_ts, h.version_n,
+           h.attr AS active_attr
+    FROM fact f JOIN hist h
+      ON f.user_id = h.user_id
+     AND h.valid_from <= f.probe_ts
+     AND (h.valid_to IS NULL OR f.probe_ts < h.valid_to)
+    """,
+)
+def join_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version_n"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("probe_ts"),
+    )
+    cond = (
+        (F.col("valid_from") <= F.col("probe_ts"))
+        & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+    )
+    return (
+        fact.join(hist, "user_id")
+        .filter(cond)
+        .select("event_id", "user_id", "probe_ts", "version_n",
+                F.col("attr").alias("active_attr"))
+    )

@@ -246,3 +246,43 @@ def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total_value"),
         )
     )
+
+
+# Time-hierarchy rollup: year / year-month / year-month-day partial
+# aggregates in ONE grouping-sets pass — the hypertable "continuous
+# aggregate" ladder, materialized at three granularities without three
+# scans. GROUPING() flags disambiguate the levels; at 100 TB each level
+# lands in its own partition of the rollup table and serves dashboards
+# without touching raw events.
+@query(
+    "timeseries_hierarchy_rollup",
+    oracle=f"""
+    SELECT CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(GROUPING(month(ts)) AS BIGINT) AS g_month,
+           CAST(GROUPING(day(ts)) AS BIGINT) AS g_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((year(ts)), (year(ts), month(ts)),
+                            (year(ts), month(ts), day(ts)))
+    """,
+)
+def timeseries_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select(
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        "value",
+    )
+    ev.createOrReplaceTempView("_ts_rollup_input")
+    return ev.sparkSession.sql("""
+        SELECT y, m, d,
+               CAST(GROUPING(m) AS BIGINT) AS g_month,
+               CAST(GROUPING(d) AS BIGINT) AS g_day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM _ts_rollup_input
+        GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
+    """)

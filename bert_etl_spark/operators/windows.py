@@ -1032,3 +1032,75 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# RFM segmentation: recency / frequency / monetary quintiles per user —
+# the classic customer-scoring matrix. The row-scale work is ONE pass
+# collapsing events to per-user (last purchase ts, count, decimal sum);
+# the three ntile windows then run over the tiny user table (global-order
+# windows over |users| rows, deterministic via user_id tiebreaks). The
+# corpus max-date anchor broadcasts.
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    r AS (
+        SELECT user_id,
+               CAST(date_diff('second', last_ts, max_ts) AS BIGINT)
+                   AS recency_s,
+               frequency, monetary
+        FROM p CROSS JOIN anchor
+    )
+    SELECT user_id, recency_s, frequency, ROUND(monetary, 6) AS monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_s, user_id) AS INTEGER)
+               AS r_quintile,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+               AS f_quintile,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+               AS m_quintile
+    FROM r
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "monetary"
+            ),
+        )
+    )
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    r = p.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            F.unix_timestamp("max_ts") - F.unix_timestamp("last_ts")
+        ).alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    return r.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        F.ntile(5).over(W.orderBy("recency_s", "user_id")).alias("r_quintile"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_quintile"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m_quintile"),
+    )
