@@ -89,6 +89,9 @@ HEADLINE = [
     "agg_first_last_event",   # journey endpoints, single pass
     "timeseries_seasonality", # hour x dow load shape
     "sim_recall_eval",        # ANN recall@k vs ground truth
+    "join_dim_snapshot_asof", # temporal SCD2 version lookup
+    "timeseries_hierarchy_rollup",  # y/m/d grouping-sets ladder
+    "events_rfm_segments",    # RFM quintile scoring
     "window_gaps_islands",    # streak detection, one window
     "text_ngram_novelty",     # split-aware shingle anti-probe
     "corpus_mix_temperature", # source-mix weights
