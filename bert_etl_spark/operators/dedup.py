@@ -573,3 +573,56 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+LSH_R = 2  # rows per band (8 minhashes / 4 bands)
+LSH_B = 4
+
+
+# LSH banding-curve introspection: for the observed pair-similarity
+# distribution, the probability the current banding (b bands of r rows)
+# catches each pair is p(s) = 1 - (1 - s^r)^b — this query evaluates that
+# S-curve against REAL data, bucketing pairs by exact Jaccard and
+# reporting how many each bucket contributes and the expected catch count.
+# The index-tuning dashboard for the minhash path: if mass sits below the
+# curve's knee, you need more bands (or fewer rows per band). Runs on the
+# pair table (already candidate-pruned + df-capped); per-row pow() is
+# transcendental, so values round to 6 dp and the expected-count
+# reduction goes through the decimal recipe.
+@query(
+    "dedup_lsh_banding_curve",
+    oracle=f"""
+    WITH {{shingles}}
+    SELECT CAST(FLOOR(jaccard * 10) AS INTEGER) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ROUND(1 - POWER(1 - POWER(jaccard, {LSH_R}), {LSH_B}), 6)),
+                 6) AS avg_catch_prob,
+           ROUND(CAST(SUM(CAST(
+               ROUND(1 - POWER(1 - POWER(jaccard, {LSH_R}), {LSH_B}), 6)
+               AS DECIMAL(25,6))) AS DOUBLE), 6) AS expected_caught
+    FROM jac
+    GROUP BY 1
+    """.replace("{shingles}", _SQL_SHINGLES),
+)
+def dedup_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    jac = pair_jaccard(sh)
+    p = F.round(
+        1 - F.pow(1 - F.pow(F.col("jaccard"), F.lit(float(LSH_R))), F.lit(float(LSH_B))),
+        6,
+    )
+    return (
+        jac.withColumn("p", p)
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("int").alias("sim_bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(25,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_catch_prob"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("expected_caught"),
+        )
+    )

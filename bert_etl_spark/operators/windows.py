@@ -1104,3 +1104,63 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("monetary"), "user_id"))
         .alias("m_quintile"),
     )
+
+
+# Bounce rate per day: fraction of sessions with exactly one event —
+# composes the gap-sessionization idiom (flag + running sum, shared
+# user_id shuffle) with a per-day rollup. Session identity never leaves
+# the user partition; only per-session rows reach the day aggregate.
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(count_if(n_events = 1) AS BIGINT) AS n_bounces,
+           ROUND(CAST(count_if(n_events = 1) AS DOUBLE) / COUNT(*), 6)
+               AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.col("ts").cast("double") * 1000 - F.lag(F.col("ts").cast("double") * 1000).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_ms.isNull() | (gap_ms > 1_800_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"), F.count("*").alias("n_events")
+    )
+    bounces = F.count_if(F.col("n_events") == 1)
+    return sessions.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        F.round(bounces.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+    )
