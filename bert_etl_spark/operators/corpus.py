@@ -619,3 +619,51 @@ def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+EPOCH_TARGET_FRAC = 0.1  # every source should supply >= 10% of the mix
+
+
+# Epoch upsampling plan: when a source is smaller than its target share,
+# it is repeated for multiple epochs (the Hoffmann-style "how many times
+# may I repeat this data" knob). Output per source: natural share, the
+# epoch multiplier ceil(target/n), and the docs contributed after
+# repetition — everything computed on the per-source count table, so the
+# whole plan costs one partial-agg pass at any corpus size.
+@query(
+    "corpus_epoch_upsampling",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s)
+    SELECT source, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS natural_share,
+           CAST(CEIL(total * {EPOCH_TARGET_FRAC} / n_docs) AS BIGINT)
+               AS n_epochs,
+           CAST(n_docs * CAST(CEIL(total * {EPOCH_TARGET_FRAC} / n_docs)
+                AS BIGINT) AS BIGINT) AS docs_after_repeat
+    FROM s CROSS JOIN t
+    """,
+)
+def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    j = counts.crossJoin(F.broadcast(total))
+    epochs = F.ceil(
+        F.col("total") * F.lit(EPOCH_TARGET_FRAC) / F.col("n_docs")
+    ).cast("bigint")
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "natural_share"
+        ),
+        epochs.alias("n_epochs"),
+        (F.col("n_docs") * epochs).cast("bigint").alias("docs_after_repeat"),
+    )
