@@ -892,3 +892,51 @@ def scalar_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(v), 6).alias("deg_v"),
         F.round(F.radians(v), 6).alias("rad_v"),
     )
+
+
+# Array batch 4: position lookup, dedup/remove/compact cardinalities,
+# flatten, concat — compared by size where the engines don't guarantee
+# identical element order (list_distinct). The probe array is the doc's
+# first 12 tokens; every expression is a pure projection.
+@query(
+    "scalar_array4",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, string_split(trim(text), ' ')[1:12] AS t
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= 12
+    )
+    SELECT doc_id,
+           CAST(list_position(t, t[3]) AS INTEGER) AS pos_third,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+           CAST(len(list_filter(t, x -> x != t[1])) AS INTEGER) AS n_removed,
+           CAST(len(flatten([t[1:3], t[4:6]])) AS INTEGER) AS n_flat,
+           CAST(len(list_concat(t, t)) AS INTEGER) AS n_doubled,
+           CAST(len(list_filter(list_transform(t, x -> nullif(x, t[2])),
+                                x -> x IS NOT NULL)) AS INTEGER) AS n_compact
+    FROM a
+    """,
+)
+def scalar_array4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.dedup import tokenize
+
+    docs = tbl(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id", F.slice(tokenize(F.col("text")), 1, 12).alias("t")
+    ).filter(F.size(tokenize(F.col("text"))) >= 12)
+    first = F.element_at("t", 1)
+    second = F.element_at("t", 2)
+    third = F.element_at("t", 3)
+    return a.select(
+        "doc_id",
+        F.array_position("t", third).cast("int").alias("pos_third"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.size(F.array_remove("t", first)).alias("n_removed"),
+        F.size(
+            F.flatten(F.array(F.slice("t", 1, 3), F.slice("t", 4, 3)))
+        ).alias("n_flat"),
+        F.size(F.concat(F.col("t"), F.col("t"))).alias("n_doubled"),
+        F.size(
+            F.array_compact(F.transform("t", lambda x: F.nullif(x, second)))
+        ).alias("n_compact"),
+    )
