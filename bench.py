@@ -154,7 +154,11 @@ def main() -> None:
     # it out of the headline. Cache is cleared BETWEEN passes so each pass
     # preserves the intended intra-suite plan-cache sharing (the dedup
     # family reuses the shingle table) while pass 2 never reads pass 1's.
+    # One failing query must not zero out the round's entire evidence
+    # (round 3: a single AnalysisException aborted bench before any number
+    # was printed). Failures are recorded per-query and the run continues.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         spark.catalog.clearCache()
         for name in HEADLINE:
@@ -162,22 +166,28 @@ def main() -> None:
             if fn is None:
                 continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as ex:
+                errors[name] = (
+                    f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                )
+                print(f"QUERY FAILED: {name}: {errors[name]}", file=sys.stderr)
+                continue
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     sys.stdout.flush()
     spark.stop()
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.functions.temporal import epoch_millis
 from bert_etl_spark.operators.registry import query, tbl
 
 
@@ -453,8 +454,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value"
         ),
         F.when(
-            F.col("event_type") == "purchase",
-            (F.col("ts").cast("double") * 1000).cast("long"),
+            F.col("event_type") == "purchase", epoch_millis("ts")
         ).alias("purchase_ms"),
     )
     w = (
@@ -464,9 +464,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     carried_v = F.last("purchase_value", ignorenulls=True).over(w)
     carried_ms = F.last("purchase_ms", ignorenulls=True).over(w)
-    gap_ok = (
-        (F.col("ts").cast("double") * 1000).cast("long") - carried_ms
-    ) <= ASOF_TOLERANCE_MS
+    gap_ok = (epoch_millis("ts") - carried_ms) <= ASOF_TOLERANCE_MS
     return (
         tagged.withColumn(
             "recent_purchase_value", F.when(gap_ok, carried_v)

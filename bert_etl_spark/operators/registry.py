@@ -67,9 +67,13 @@ def persist_once(df: DataFrame) -> DataFrame:
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for a named test table.
 
-    The events table carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and integer-divide to microseconds (integer
-    `div`, not `/` — ns-since-epoch overflows double precision).
+    The events table's ``ts`` column has drifted across writer/reader
+    versions — TIMESTAMP(NANOS) (rejected by the vectorized reader unless
+    ``nanosAsLong`` maps it to bigint), µs TIMESTAMP_NTZ (Spark 4.x default
+    inference), or plain µs TIMESTAMP. Whatever arrives is normalized here
+    to ONE canonical type, TIMESTAMP (LTZ) under a pinned UTC session
+    timezone, so no downstream operator ever sees the physical drift.
+    Nanos-as-long uses integer `div` (ns-since-epoch overflows double).
     """
     try:
         # determinism on foreign sessions (the driver builds its own):
@@ -85,8 +89,11 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

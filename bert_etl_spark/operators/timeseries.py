@@ -34,6 +34,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.functions.temporal import epoch_micros
 from bert_etl_spark.operators.registry import query, tbl
 
 EWMA_ALPHA = 0.5  # exact in binary floating point
@@ -119,7 +120,7 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast back to BIGINT or the driver's type-sensitive hash diverges.
     """
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    dur = epoch_micros(F.lead("ts").over(w)) - epoch_micros("ts")
     return (
         tbl(spark, sf_dir, "events")
         .withColumn("dur_us", dur)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.functions.temporal import epoch_micros, epoch_millis
 from bert_etl_spark.operators.registry import query, tbl
 
 _DEC = "decimal(25,6)"
@@ -344,7 +345,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    gap_ms = epoch_millis("ts") - epoch_millis(F.lag("ts").over(w))
     return (
         tbl(spark, sf_dir, "events")
         .withColumn(
@@ -698,7 +699,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("last_click.id").alias("attributed_click_id"),
             (
-                (F.unix_micros("ts") - F.unix_micros("last_click.ts"))
+                (epoch_micros("ts") - epoch_micros("last_click.ts"))
                 / F.lit(60000000)
             )
             .cast("bigint")
@@ -1146,7 +1147,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ms = F.col("ts").cast("double") * 1000 - F.lag(F.col("ts").cast("double") * 1000).over(w)
+    gap_ms = epoch_millis("ts") - F.lag(epoch_millis("ts")).over(w)
     flagged = ev.withColumn(
         "new_session",
         F.when(gap_ms.isNull() | (gap_ms > 1_800_000), 1).otherwise(0),

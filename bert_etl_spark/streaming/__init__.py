@@ -1,5 +1,5 @@
 from bert_etl_spark.streaming.events import (
-    EVENTS_FILE_SCHEMA,
+    EVENTS_SCHEMA_TEMPLATE,
     enrich_with_dim,
     events_stream,
     run_to_memory,
@@ -12,7 +12,7 @@ from bert_etl_spark.streaming.events import (
 )
 
 __all__ = [
-    "EVENTS_FILE_SCHEMA",
+    "EVENTS_SCHEMA_TEMPLATE",
     "events_stream",
     "tumbling_counts",
     "stream_dedup",

@@ -21,10 +21,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# physical schema of events.parquet (ts is TIMESTAMP(NANOS) → read as long)
-EVENTS_FILE_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+# logical schema of events.parquet; the physical type of ``ts`` varies by
+# writer (ns / µs-NTZ / µs-UTC) and is sniffed per directory — see
+# _ts_physical_type. {ts} is filled in with the sniffed declaration.
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id long, ts {ts}, user_id long, event_type string, value double, props string"
 )
+
+
+def _ts_physical_type(path: str, glob: str | None) -> str:
+    """Sniff the parquet footer and return the Spark type to DECLARE for ts.
+
+    A file-source stream requires an explicit schema, which silently
+    overrides whatever the files contain — declaring ``long`` against µs
+    timestamps shears every value 1000× (the round-3 failure mode). So the
+    declaration must come from the footer, exactly like batch inference:
+
+    - ns timestamps  → ``long`` (vectorized reader rejects NANOS; the
+      ``nanosAsLong`` flag maps them to int64, shimmed to µs after read)
+    - µs/ms, no tz   → ``timestamp_ntz``
+    - µs/ms, tz      → ``timestamp``
+    """
+    import glob as globmod
+    import os
+
+    import pyarrow.parquet as pq
+
+    pattern = os.path.join(path, glob or "*.parquet")
+    files = sorted(globmod.glob(pattern)) or sorted(
+        globmod.glob(os.path.join(path, "**", glob or "*.parquet"), recursive=True)
+    )
+    if not files:
+        return "timestamp_ntz"  # empty dir: modern writer default
+    field = pq.read_schema(files[0]).field("ts")
+    t = field.type
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return "long"
+        return "timestamp" if t.tz is not None else "timestamp_ntz"
+    return "long"  # raw int64: ns-since-epoch wire convention
 
 
 def events_stream(
@@ -33,23 +70,31 @@ def events_stream(
     max_files_per_trigger: int | None = None,
     glob: str | None = None,
 ) -> DataFrame:
-    """File-source stream over events-shaped parquet (ns → µs timestamps).
+    """File-source stream over events-shaped parquet, normalized to one
+    canonical event-time type (TIMESTAMP LTZ, UTC session tz) regardless of
+    the files' physical ts encoding.
 
     ``path`` must be a directory (file-source contract); ``glob`` filters
     files within it — e.g. ``events_stream(spark, sf_dir, glob="events.parquet")``
     streams the events table out of a mixed-table directory.
     """
     try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    ts_decl = _ts_physical_type(path, glob)
+    reader = spark.readStream.schema(EVENTS_SCHEMA_TEMPLATE.format(ts=ts_decl))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_decl == "long":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_decl == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(

@@ -109,3 +109,76 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "isnotnull(day" in plan
     assert back.count() == target["count"] and target["count"] > 0
+
+
+# --- physical-type drift: ns-as-long / µs-NTZ / µs-UTC timestamps ----------
+#
+# The same logical events table has shipped with three physical ts
+# encodings across writer/Spark versions. Round 3's regression was a
+# streaming reader that assumed one of them and silently sheared every
+# timestamp 1000x on another. Both boundaries (batch tbl(), streaming
+# events_stream()) must normalize all three to identical wall-clock values.
+
+_DRIFT_ROWS = [
+    (1, "2024-03-01 00:00:00", 10, "click", 1.0, "{}"),
+    (2, "2024-03-01 01:30:00", 10, "purchase", 2.0, "{}"),
+    (3, "2024-03-02 12:00:00", 20, "view", 3.0, "{}"),
+]
+
+
+def _write_events_variant(tmp_path, unit: str, tz: str | None) -> str:
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"ev_{unit}_{tz or 'ntz'}"
+    d.mkdir()
+    tzinfo = dt.timezone.utc if tz else None
+    ts = [
+        dt.datetime.strptime(r[1], "%Y-%m-%d %H:%M:%S").replace(tzinfo=tzinfo)
+        for r in _DRIFT_ROWS
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _DRIFT_ROWS], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp(unit, tz=tz)),
+            "user_id": pa.array([r[2] for r in _DRIFT_ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _DRIFT_ROWS], pa.string()),
+            "value": pa.array([r[4] for r in _DRIFT_ROWS], pa.float64()),
+            "props": pa.array([r[5] for r in _DRIFT_ROWS], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"), version="2.6")
+    return str(d)
+
+
+def _wallclock(df):
+    return sorted(
+        (r["event_id"], r["w"])
+        for r in df.select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("w")
+        ).collect()
+    )
+
+
+def test_ts_physical_drift_batch_and_streaming(spark, tmp_path):
+    from bert_etl_spark.operators.registry import tbl
+    from bert_etl_spark.streaming.events import events_stream, run_to_memory
+
+    expected = sorted((r[0], r[1]) for r in _DRIFT_ROWS)
+    variants = [
+        _write_events_variant(tmp_path, "ns", None),   # ns -> nanosAsLong shim
+        _write_events_variant(tmp_path, "us", None),   # µs NTZ (Spark 4 default)
+        _write_events_variant(tmp_path, "us", "UTC"),  # µs adjusted-to-UTC
+    ]
+    for i, d in enumerate(variants):
+        batch = tbl(spark, d, "events")
+        assert dict(batch.dtypes)["ts"] == "timestamp", d
+        assert _wallclock(batch) == expected, f"batch drift on {d}"
+        stream = events_stream(spark, d, glob="events.parquet")
+        assert dict(stream.dtypes)["ts"] == "timestamp", d
+        drained = run_to_memory(
+            stream.select("event_id", "ts"), f"drift_sink_{i}", output_mode="append"
+        )
+        assert _wallclock(drained) == expected, f"streaming drift on {d}"
