@@ -101,6 +101,9 @@ HEADLINE = [
     "multimodal_decode",      # Arrow-batched Pandas-UDF boundary
     "multimodal_audio_features",  # PCM stub decode via mapInPandas
     "pandas_max_gap",         # applyInPandas grouped Python
+    "source_bucketed_join",   # bucketed write + zero-exchange co-located join
+    "window_distribution",    # distributed exact percent_rank/cume_dist
+    "source_json_scan",       # JSON shard round-trip scan
 ]
 
 

@@ -604,14 +604,15 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Equi-DEPTH histogram via ntile: decile buckets with equal row counts and
+# Equi-DEPTH histogram: decile buckets with equal row counts and
 # data-driven boundaries — the complement of histogram_fixed_bins
 # (equi-width) and the shape behind approx-quantile sketch cutpoints. The
-# ntile total order is made deterministic with the event_id tiebreak, so
-# boundary rows land in the same bucket in both engines. One global-order
-# window over (value, id), then a tiny bucket aggregate; at 100 TB the
-# same statistic comes from percentile_approx cutpoints (no global sort) —
-# documented here as the scale path, the exact ntile is the semantic spec.
+# total order is made deterministic with the event_id tiebreak, so
+# boundary rows land in the same bucket in both engines. The oracle states
+# the spec as a plain ntile window; the Spark plan computes the SAME exact
+# tiles distributed — range exchange + per-partition rank + metadata-scale
+# offsets (operators/global_order.py) — so no single task ever sees the
+# full ordering. Then a tiny bucket aggregate.
 @query(
     "histogram_equi_depth",
     oracle="""
@@ -629,11 +630,11 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from bert_etl_spark.operators.global_order import with_ntile
 
     ev = tbl(spark, sf_dir, "events")
-    t = ev.select(
-        "value", F.ntile(10).over(W.orderBy("value", "event_id")).alias("decile")
+    t = with_ntile(
+        ev.select("value", "event_id"), 10, [F.asc("value"), F.asc("event_id")], "decile"
     )
     return t.groupBy("decile").agg(
         F.count("*").alias("n"),

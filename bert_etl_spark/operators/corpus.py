@@ -419,13 +419,11 @@ TOKEN_BUDGET = 20_000  # training-token budget for the selection demo
 
 # Greedy token-budget selection: rank the corpus by a quality score and
 # keep the best documents until a token budget is exhausted — how a
-# fixed-size pretraining mix is actually filled. The cumulative-sum
-# window runs over a GLOBAL ordering, which is the one legitimate use of
-# a single-partition window at any scale... except it isn't needed: at
-# 100 TB you first aggregate tokens per score-BUCKET (one partial-agg
-# pass), cumsum the few thousand buckets on one task, find the threshold
-# bucket, and only window within it. Here the corpus is small enough to
-# run the direct form; the bucketed form is the documented scale path.
+# fixed-size pretraining mix is actually filled. The cumulative sum runs
+# over a GLOBAL ordering, but not through a single-task window: the
+# distributed exact prefix-sum (operators/global_order.py — range
+# exchange + per-partition running sum + metadata-scale partition
+# offsets) gives identical results with every core participating.
 # Quality score: stopword-free token share (cheap, deterministic).
 @query(
     "corpus_token_budget_select",
@@ -460,10 +458,11 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.size(tokenize(F.col("text"))), 6
         ).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from bert_etl_spark.operators.global_order import with_global_cumsum
+
+    ranked = with_global_cumsum(
+        scored, [F.desc("score"), F.asc("doc_id")], "n_tokens", "cum_tokens"
     )
-    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .groupBy("lang")

@@ -85,11 +85,11 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Mergeable-sketch rollup: HLL sketch per source, then a union of SKETCHES
-# (not a re-scan) for the corpus-wide estimate. Rows-only in the driver
-# gate — estimates are implementation-defined — with an error-bound unit
-# test in tests/test_profiling.py.
-@query("sketch_hll_partitioned_union")
-def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+# (not a re-scan) for the corpus-wide estimate.
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-source + unioned HLL estimates next to exact counts
+    (numeric estimates are implementation-defined — unit-tested against an
+    error bound in tests/test_profiling.py, not hash-compared)."""
     docs = tbl(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.hll_sketch_agg(F.col("doc_id").cast("string"), 14).alias("sketch"),
@@ -105,3 +105,33 @@ def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sketch").alias("estimated_distinct"),
         "exact_distinct",
     ).unionByName(global_row)
+
+
+# Driver-gate form: the estimate itself is engine-internal, but its error
+# BOUND is not — lgK=14 gives ~0.8% relative standard error, so the 5%
+# acceptance flag is deterministic for a fixed implementation and input.
+# The oracle states the exact distincts and expects every flag TRUE,
+# turning the sketch rollup into a hash-checkable query instead of a
+# rows-only smoke test.
+@query(
+    "sketch_hll_partitioned_union",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__ALL__' AS source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM documents
+    """,
+)
+def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est_ok = (
+        F.abs(F.col("estimated_distinct") - F.col("exact_distinct"))
+        <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_distinct"))
+    )
+    return hll_rollup(spark, sf_dir).select(
+        "source", "exact_distinct", est_ok.alias("est_within_5pct")
+    )

@@ -559,6 +559,115 @@ def pipeline_generate_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain.run(spark.range(200))
 
 
+# JSON scan as a REGISTERED query: the reference's dataset layer stores
+# shards as JSON documents (bert/etl/__init__.py:166-236 analog), so JSON
+# ingestion is a day-one operation for its users. The query materializes
+# the customer table as JSON shards, reads them back schema-FIRST (no
+# inference pass — at 100 TB a schema-inference scan doubles the read),
+# and aggregates; the oracle runs the same aggregate on the parquet
+# source, so the round-trip is value-checked end to end.
+@query(
+    "source_json_scan",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from bert_etl_spark.sources.readers import read_json
+
+    cust = tbl(spark, sf_dir, "customer")
+    out = "/tmp/bert_etl_spark_scratch/json_scan_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:8]
+    cust.write.mode("overwrite").json(out)
+    back = read_json(spark, out, schema=cust.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal", "total_acctbal")
+    )
+
+
+# CSV scan as a registered query — same write-then-read shape as
+# source_json_scan. Explicit schema (no inferSchema pass) and header mode;
+# doubles survive the text round-trip exactly because Spark prints
+# shortest-round-trip representations.
+@query(
+    "source_csv_scan",
+    oracle=f"""
+    SELECT n_nationkey, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM nation GROUP BY n_nationkey, n_name
+    """,
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from bert_etl_spark.sources.readers import read_csv
+
+    nat = tbl(spark, sf_dir, "nation")
+    out = "/tmp/bert_etl_spark_scratch/csv_scan_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:8]
+    nat.write.mode("overwrite").option("header", True).csv(out)
+    back = read_csv(spark, out, schema=nat.schema, header=True)
+    return back.groupBy("n_nationkey", "n_name").agg(F.count("*").alias("n_rows"))
+
+
+# Bucketed-write capability: both fact tables are written bucketBy the
+# join key into the SAME bucket count, then joined — the physical layout
+# already co-partitions the sides, so the join plan has NO Exchange on
+# either input (asserted by tests/test_plans.py). At 100 TB this is THE
+# lever for a repeatedly-joined fact pair: pay the orderkey shuffle once
+# at write time, never again at read time. The merge hint pins the
+# sort-merge strategy so the co-location is visible even at test SFs
+# where a broadcast would hide it; the oracle value-checks the join
+# through the bucketed round-trip.
+@query(
+    "source_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lt, ot = f"bkt_lineitem_{h}", f"bkt_orders_{h}"
+    (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(lt)
+    )
+    (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(ot)
+    )
+    return (
+        spark.table(lt)
+        .hint("merge")
+        .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"), dsum("l_extendedprice", "total_price")
+        )
+    )
+
+
 # TPC-H Q4 shape: correlated EXISTS with a date-window filter on the
 # outer. Catalyst decorrelates to a left-semi join; the orders date
 # filter prunes partitions BEFORE the semi-join probe at scale.

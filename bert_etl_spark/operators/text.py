@@ -732,11 +732,11 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = persist_once(
         docs.select("lang", F.explode(tokenize(F.col("text"))).alias("token"))
     )
+    from bert_etl_spark.operators.global_order import with_global_rank
+
     cnt = tok.groupBy("token").agg(F.count("*").alias("n"))
     vocab = (
-        cnt.withColumn(
-            "rn", F.row_number().over(W.orderBy(F.desc("n"), "token"))
-        )
+        with_global_rank(cnt, [F.desc("n"), F.asc("token")], "rn")
         .filter(F.col("rn") <= VOCAB_SIZE)
         .select("token", F.lit(1).alias("in_vocab"))
     )

@@ -165,12 +165,23 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.orderBy("s_acctbal", "s_suppkey")
-    return tbl(spark, sf_dir, "supplier").select(
+    # percent_rank/cume_dist over a UNIQUE total order reduce to closed
+    # forms of the global rank ((r-1)/(N-1) and r/N, no peer groups), so
+    # the distributed exact rank replaces the single-task global window.
+    from bert_etl_spark.operators.global_order import with_global_rank
+
+    d = with_global_rank(
+        tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal"),
+        [F.asc("s_acctbal"), F.asc("s_suppkey")],
+        "_r",
+        keep_total="_n",
+    )
+    denom = F.greatest(F.col("_n") - 1, F.lit(1))
+    return d.select(
         "s_suppkey",
         "s_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round((F.col("_r") - 1) / denom, 6).alias("pct_rank"),
+        F.round(F.col("_r") / F.col("_n"), 6).alias("cume"),
     )
 
 
@@ -434,6 +445,39 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("streaming_dedup_sink")
+
+
+# Watermark-BOUNDED streaming dedup — the ETLState ledger
+# (bert/etl/__init__.py:57-80 analog) for unbounded key spaces: state
+# holds a key only until the watermark passes its event time + horizon,
+# so memory is O(rate x horizon) instead of O(distinct keys). The events
+# table arrives as one file -> one availableNow micro-batch, so no key
+# expires mid-run and the result is exactly DISTINCT — which is what
+# makes a real dropDuplicatesWithinWatermark run oracle-checkable.
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream, stream_dedup
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet").select(
+        "ts", "user_id", "event_type"
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type"], watermark="2 hours"
+    ).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("streaming_dedup_wm_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_dedup_wm_sink")
 
 
 # Rolling 7-day revenue per customer: RANGE frame over epoch-days, so a
@@ -1038,9 +1082,10 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM segmentation: recency / frequency / monetary quintiles per user —
 # the classic customer-scoring matrix. The row-scale work is ONE pass
 # collapsing events to per-user (last purchase ts, count, decimal sum);
-# the three ntile windows then run over the tiny user table (global-order
-# windows over |users| rows, deterministic via user_id tiebreaks). The
-# corpus max-date anchor broadcasts.
+# the three exact quintile assignments then run over the user table via
+# the distributed ntile (operators/global_order.py — no single-task
+# global window even at billions of users), deterministic via user_id
+# tiebreaks. The corpus max-date anchor broadcasts.
 @query(
     "events_rfm_segments",
     oracle="""
@@ -1092,18 +1137,17 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+    from bert_etl_spark.operators.global_order import with_ntile
+
+    r = r.select(
+        "user_id", "recency_s", "frequency", F.round("monetary", 6).alias("monetary")
+    )
+    r = with_ntile(r, 5, [F.asc("recency_s"), F.asc("user_id")], "r_quintile")
+    r = with_ntile(r, 5, [F.desc("frequency"), F.asc("user_id")], "f_quintile")
+    r = with_ntile(r, 5, [F.desc("monetary"), F.asc("user_id")], "m_quintile")
     return r.select(
-        "user_id",
-        "recency_s",
-        "frequency",
-        F.round("monetary", 6).alias("monetary"),
-        F.ntile(5).over(W.orderBy("recency_s", "user_id")).alias("r_quintile"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("frequency"), "user_id"))
-        .alias("f_quintile"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("monetary"), "user_id"))
-        .alias("m_quintile"),
+        "user_id", "recency_s", "frequency", "monetary",
+        "r_quintile", "f_quintile", "m_quintile",
     )
 
 

@@ -233,3 +233,53 @@ def test_dau_wau_nested_loop_is_day_bounded(spark):
     plan = _plan(spark, "events_dau_wau")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin BuildLeft, Inner" in plan
+
+
+def _empty_partition_windows(df) -> list[str]:
+    """Walk the optimized logical plan and return every Window/
+    WindowGroupLimit node whose partition spec is EMPTY — the
+    one-task-gets-every-row shape that serializes a 1000-executor
+    cluster onto a single core."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name in ("Window", "WindowGroupLimit"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    bad.append(name)
+            except Exception:
+                pass
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_no_global_windows_anywhere(spark):
+    """NO registered query may contain a window with an empty partition
+    spec. Global-order semantics (exact ntile / global rank / global
+    cumsum) must route through operators/global_order.py, which computes
+    them distributed. Streaming queries are excluded only because invoking
+    them executes the stream; their windows are keyed by construction."""
+    offenders = {}
+    for name in sorted(registry.ALL_QUERIES):
+        if name.startswith("streaming_"):
+            continue
+        df = registry.ALL_QUERIES[name](spark, SF)
+        bad = _empty_partition_windows(df)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"global single-task windows found: {offenders}"
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark):
+    """The REGISTERED bucketed-join query (not just the capability test
+    above) must join its bucketed tables with zero Exchange on either
+    side — the bucketed layout satisfies the join distribution."""
+    df = registry.ALL_QUERIES["source_bucketed_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_section = plan.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_section, plan

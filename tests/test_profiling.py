@@ -24,9 +24,9 @@ def test_profile_columns_shape(spark, sf_small):
 
 
 def test_hll_estimates_within_bound(spark, sf_small):
-    rows = registry.ALL_QUERIES["sketch_hll_partitioned_union"](
-        spark, sf_small
-    ).collect()
+    from bert_etl_spark.operators.profiling import hll_rollup
+
+    rows = hll_rollup(spark, sf_small).collect()
     # lgK=14 gives a relative standard error ~0.8%; 5% is a generous bound
     for r in rows:
         assert abs(r.estimated_distinct - r.exact_distinct) <= max(
