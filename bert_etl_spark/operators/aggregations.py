@@ -237,21 +237,61 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL / KLL sketches: engine-specific internals, so no cross-engine oracle —
-# driver records the rows-only check. Correct usage at scale: cardinality
-# estimation without the exact-distinct shuffle.
-@query("agg_approx", oracle=None)
+# HLL / KLL sketches: the estimates are engine-specific internals, but
+# their error BOUNDS are not — so the query emits exact statistics plus
+# acceptance flags (approx within the sketch's documented error of exact),
+# which an exact-SQL oracle CAN check. approx_count_distinct defaults to
+# 5% rsd (15% flag = 3 sigma); percentile_approx at accuracy 1000 has
+# ~0.1% rank error (flag: inside the exact 45th–55th percentile band).
+# Correct usage at scale: cardinality estimation without the
+# exact-distinct shuffle — the exact columns here exist to adjudicate the
+# sketch, not to replace it.
+@query(
+    "agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_15pct,
+           TRUE AS orders_within_15pct,
+           TRUE AS median_within_decile
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    g = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
             # accuracy 1000 ≈ 0.1% rank error — the sketch-size/latency
             # tradeoff that makes this op cheaper than exact percentile
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+                "approx_median_price"
+            ),
+            F.percentile("l_extendedprice", 0.45).alias("p45"),
+            F.percentile("l_extendedprice", 0.55).alias("p55"),
         )
+    )
+
+    def _within(approx, exact, tol):
+        return F.abs(F.col(approx) - F.col(exact)) <= F.greatest(
+            F.lit(1.0), tol * F.col(exact)
+        )
+
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        _within("approx_parts", "exact_parts", 0.15).alias("parts_within_15pct"),
+        _within("approx_orders", "exact_orders", 0.15).alias("orders_within_15pct"),
+        (
+            (F.col("approx_median_price") >= F.col("p45"))
+            & (F.col("approx_median_price") <= F.col("p55"))
+        ).alias("median_within_decile"),
     )
 
 

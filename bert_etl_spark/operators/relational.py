@@ -638,14 +638,24 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import shutil
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     lt, ot = f"bkt_lineitem_{h}", f"bkt_orders_{h}"
+    # external tables at an explicit scratch path: a managed table's
+    # directory outlives the session's metastore, and a later session then
+    # dies with LOCATION_ALREADY_EXISTS on the orphaned dir — drop both
+    # the catalog entries and the location before rebuilding
+    base = f"/tmp/bert_etl_spark_scratch/bkt_{h}"
+    spark.sql(f"DROP TABLE IF EXISTS {lt}")
+    spark.sql(f"DROP TABLE IF EXISTS {ot}")
+    shutil.rmtree(base, ignore_errors=True)
     (
         tbl(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem")
         .mode("overwrite")
         .saveAsTable(lt)
     )
@@ -654,6 +664,7 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus")
         .write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
+        .option("path", f"{base}/orders")
         .mode("overwrite")
         .saveAsTable(ot)
     )

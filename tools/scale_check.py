@@ -1,0 +1,87 @@
+"""Scale spot-check: time representative heavy queries at sf0.1 vs the
+10x synthetic replica (tools/make_scale10.py) and report per-query scaling
+exponents alpha = log(t_10x / t_1x) / log(10).
+
+alpha ~ 1 is linear scaling (ideal for scan/agg), < 1 means fixed overhead
+still dominates, > 1.2 flags super-linear growth worth a design review.
+Results land in SCALING.md's scale-exponent table.
+
+Usage: python tools/scale_check.py [ten_x_dir]   (default /tmp/scale10)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+from bert_etl_spark.operators import registry
+from bert_etl_spark.session import get_spark
+
+QUERIES = [
+    "revenue_by_nation",
+    "pricing_summary",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume",
+    "window_sessionize",
+    "events_dau_wau",
+    "profile_columns",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "graph_triangle_count",
+    "sim_topk_bruteforce",
+    "text_tfidf_top_terms",
+    "corpus_token_budget_select",
+    "histogram_equi_depth",
+]
+
+
+def time_all(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for _pass in range(2):
+        spark.catalog.clearCache()
+        for name in QUERIES:
+            fn = registry.ALL_QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
+    return out
+
+
+def main() -> None:
+    big = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    registry.load_all()
+    spark = get_spark(app_name="scale_check")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm codegen per plan shape at the tiny SF
+    for name in QUERIES:
+        try:
+            registry.ALL_QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as ex:
+            print(f"warmup failed: {name}: {ex}", file=sys.stderr)
+    spark.catalog.clearCache()
+
+    t_small = time_all(spark, "/root/testdata/sf0.1")
+    t_big = time_all(spark, big)
+    report = {
+        name: {
+            "t_sf0.1": t_small[name],
+            "t_10x": t_big[name],
+            "alpha": round(
+                math.log(max(t_big[name], 1e-3) / max(t_small[name], 1e-3))
+                / math.log(10),
+                3,
+            ),
+        }
+        for name in QUERIES
+    }
+    print(json.dumps(report, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
