@@ -352,13 +352,120 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SimHash: engine-specific 64-bit hashing (xxhash64) → no cross-engine SQL
 # oracle; exactness is covered by a numpy-oracle unit test instead
-# (tests/test_dedup.py). Rows-only check from the driver.
+# (tests/test_dedup.py). Rows-only check from the driver. The
+# dedup_simhash_md5 variant below trades xxhash64 for a portable token
+# hash and IS fully oracle-checked.
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     # 8 consumers (4 band self-join sides) — materialize the signatures once
     sigs = persist_once(simhash_signatures(docs))
     return simhash_near_pairs(sigs, max_hamming=3)
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in both engines
+
+
+# Portable-hash SimHash: identical algorithm, but the per-token hash is the
+# top 60 bits of md5 — computable bit-identically in DuckDB ('0x'||hex →
+# BIGINT cast), so the ENTIRE pipeline (token hash → per-bit vote → sign →
+# 60-bit signature → banded blocking → Hamming filter) is value-checked
+# against an all-pairs SQL oracle. Blocking: 4 exact 15-bit bands; any pair
+# with Hamming ≤ 3 shares ≥ 1 band (pigeonhole), so the banded plan finds
+# EXACTLY the oracle's all-pairs answer. xxhash64 (dedup_simhash) remains
+# the throughput path — one fused JVM hash vs md5's bytes+hex round trip.
+@query(
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(range({SIMHASH_BITS})) AS b) bits
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+        FROM votes GROUP BY doc_id
+    )
+    SELECT doc_i, doc_j, hamming FROM (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .distinct()
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    votes = F.array(
+        *[
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    summed = (
+        tok.select("doc_id", votes.alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+            ).alias("votes")
+        )
+    )
+    bits = F.transform(F.col("votes"), lambda v: F.when(v > 0, 1).otherwise(0))
+    # sig = sum(bit_b << b): fold MSB-first over the reversed bit array
+    sig = F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    )
+    band = lambda i: F.aggregate(  # noqa: E731
+        F.slice(bits, i * 15 + 1, 15), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    )
+    sigs = persist_once(
+        summed.select(
+            "doc_id", sig.alias("sig"), *[band(i).alias(f"b{i}") for i in range(4)]
+        )
+    )
+    pairs = None
+    for i in range(4):
+        a = sigs.select(
+            F.col("doc_id").alias("doc_i"),
+            F.col(f"b{i}").alias("h"),
+            F.col("sig").alias("sig_i"),
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("doc_j"),
+            F.col(f"b{i}").alias("h"),
+            F.col("sig").alias("sig_j"),
+        )
+        p = a.join(b, "h").filter(F.col("doc_i") < F.col("doc_j")).drop("h")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j"))).cast("long")
+    return (
+        pairs.dropDuplicates(["doc_i", "doc_j"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_i", "doc_j", "hamming")
+    )
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

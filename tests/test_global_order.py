@@ -1,0 +1,122 @@
+"""Distributed exact global-order primitives vs single-task window truth.
+
+The helpers must agree with Spark's own global windows bit-for-bit — the
+whole point is identical semantics with a scalable plan — so each test
+computes the reference answer WITH the (test-only) empty-partition window
+and compares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bert_etl_spark.operators.global_order import (
+    with_global_cumsum,
+    with_global_rank,
+    with_ntile,
+)
+
+
+def _df(spark, rows, schema="k long, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_global_rank_matches_window(spark):
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    df = _df(spark, rows)
+    got = {
+        r["k"]: r["r"]
+        for r in with_global_rank(df, [F.asc("v"), F.asc("k")], "r").collect()
+    }
+    want = {
+        r["k"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(W.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_matches_window(spark):
+    # integer value column: the helper's contract (corpus token budgets);
+    # float cumsums are fold-order-sensitive in ANY distributed plan
+    rows = [(i, (i * 11) % 7 + 1) for i in range(300)]
+    df = _df(spark, rows, "k long, v long")
+    got = {
+        r["k"]: r["c"]
+        for r in with_global_cumsum(df, [F.desc("v"), F.asc("k")], "v", "c").collect()
+    }
+    want = {
+        r["k"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                W.orderBy(F.desc("v"), "k").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_matches_window_all_bucket_counts(spark):
+    rows = [(i, float((i * 13) % 29)) for i in range(101)]  # N=101: uneven tiles
+    df = _df(spark, rows)
+    for n in (2, 5, 10, 7):
+        got = {
+            r["k"]: r["t"]
+            for r in with_ntile(df, n, [F.asc("v"), F.asc("k")], "t").collect()
+        }
+        want = {
+            r["k"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(n).over(W.orderBy("v", "k"))
+            ).collect()
+        }
+        assert got == want, f"ntile({n}) diverges"
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    df = _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    got = sorted(
+        (r["k"], r["t"])
+        for r in with_ntile(df, 10, [F.asc("v"), F.asc("k")], "t").collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]  # each row its own tile, q=0 branch
+
+
+def test_empty_input(spark):
+    df = _df(spark, [], "k long, v double")
+    assert with_global_rank(df, [F.asc("v"), F.asc("k")], "r").count() == 0
+    assert with_global_cumsum(df, [F.asc("v")], "v", "c").count() == 0
+    assert with_ntile(df, 4, [F.asc("v")], "t").count() == 0
+
+
+def test_rank_plan_has_no_global_window(spark):
+    from tests.test_plans import _empty_partition_windows
+
+    df = _df(spark, [(i, float(i)) for i in range(50)])
+    ranked = with_global_rank(df, [F.asc("v"), F.asc("k")], "r")
+    assert _empty_partition_windows(ranked) == []
+
+
+def test_two_level_prefix_across_blocks(spark):
+    """More range partitions than one offset block (600 > _BLOCK=256): the
+    block-offset + within-block-offset composition must still reproduce
+    exact global ranks."""
+    from bert_etl_spark.operators.global_order import _BLOCK
+
+    df = _df(spark, [(i, float((i * 37) % 997)) for i in range(5000)])
+    got = {
+        r["k"]: r["r"]
+        for r in with_global_rank(
+            df, [F.asc("v"), F.asc("k")], "r", partitions=2 * _BLOCK + 88
+        ).collect()
+    }
+    want = {
+        r["k"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(W.orderBy("v", "k"))).collect()
+    }
+    assert got == want

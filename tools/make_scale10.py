@@ -52,28 +52,27 @@ def main() -> None:
     copy("nation", f"SELECT * FROM {src('nation')}")
     copy(
         "customer",
-        f"""SELECT c_custkey + i*{SHIFT} AS c_custkey, c_name, c_address,
-                   c_nationkey, c_phone, c_acctbal, c_mktsegment, c_comment
+        f"""SELECT c_custkey + i*{SHIFT} AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
             FROM {src('customer')}, {rng}""",
     )
     copy(
         "supplier",
-        f"""SELECT s_suppkey + i*{SHIFT} AS s_suppkey, s_name, s_address,
-                   s_nationkey, s_phone, s_acctbal, s_comment
+        f"""SELECT s_suppkey + i*{SHIFT} AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
             FROM {src('supplier')}, {rng}""",
     )
     copy(
         "part",
-        f"""SELECT p_partkey + i*{SHIFT} AS p_partkey, p_name, p_mfgr, p_brand,
-                   p_type, p_size, p_container, p_retailprice, p_comment
+        f"""SELECT p_partkey + i*{SHIFT} AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice
             FROM {src('part')}, {rng}""",
     )
     copy(
         "orders",
         f"""SELECT o_orderkey + i*{SHIFT} AS o_orderkey,
                    o_custkey + i*{SHIFT} AS o_custkey,
-                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-                   o_clerk, o_shippriority, o_comment
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM {src('orders')}, {rng}""",
     )
     copy(
@@ -82,7 +81,7 @@ def main() -> None:
                    l_partkey + i*{SHIFT} AS l_partkey,
                    l_suppkey + i*{SHIFT} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
-                   l_tax, l_returnflag, l_linestatus, l_shipdate, l_comment
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
             FROM {src('lineitem')}, {rng}""",
     )
     copy(

@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bert_etl_spark.operators import registry
 from bert_etl_spark.session import get_spark
