@@ -104,6 +104,7 @@ HEADLINE = [
     "source_bucketed_join",   # bucketed write + zero-exchange co-located join
     "window_distribution",    # distributed exact percent_rank/cume_dist
     "source_json_scan",       # JSON shard round-trip scan
+    "dedup_simhash_md5",      # portable-hash simhash, banded Hamming pairs
 ]
 
 

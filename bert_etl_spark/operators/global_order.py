@@ -33,38 +33,55 @@ _OFF = "__go_offset"
 _TOTAL = "__go_total"
 
 
-def _ranged(df: DataFrame, order_cols: list[Column], partitions: int | None) -> DataFrame:
+def _ranged(
+    df: DataFrame, order_cols: list[Column], partitions: int | None
+) -> tuple[DataFrame, int]:
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     from bert_etl_spark.operators.registry import persist_once
 
     # persist: the partition stats pass and the main pass must see the SAME
     # physical partitioning (spark_partition_id is plan-sensitive)
-    return persist_once(
-        df.repartitionByRange(n, *order_cols).withColumn(_PID, F.spark_partition_id())
+    return (
+        persist_once(
+            df.repartitionByRange(n, *order_cols).withColumn(
+                _PID, F.spark_partition_id()
+            )
+        ),
+        n,
     )
 
 
 _BLOCK = 256  # two-level prefix block width (see _offsets)
 
 
-def _offsets(d: DataFrame, agg: Column) -> DataFrame:
+def _offsets(d: DataFrame, agg: Column, n_partitions: int) -> DataFrame:
     """Per-partition exclusive prefix of ``agg`` (count/sum of rows in all
     earlier partitions) + the grand total, over the metadata-scale
     per-partition table. The prefix keeps the aggregate's natural sum type
     — casting here would silently truncate fractional value columns.
 
-    Two-level prefix sum: a naive triangular self-join is O(P²) pairs in
-    partition count P — irrelevant at P=32, real at P=200k (a 100 TB scan).
-    Grouping partitions into blocks of B bounds the work at
+    A naive triangular self-join is O(P²) pairs in partition count P —
+    irrelevant at P≤256 (the common case, taken as a single triangular
+    join since P is known at plan time), real at P=200k (a 100 TB scan).
+    There, grouping partitions into blocks of B bounds the work at
     P·B + (P/B)² pairs (≈5·10⁷ at P=200k, B=256): block offsets come from
     a triangular join over P/B block totals, within-block offsets from a
-    same-block triangular join, and the final offset is their sum. Still
-    never a data-scale single task, and no empty-partition-spec window."""
-    per = d.groupBy(_PID).agg(agg.alias("_v")).withColumn(
-        "_blk", F.floor(F.col(_PID) / _BLOCK)
-    )
+    same-block triangular join, and the final offset is their sum. Either
+    way: never a data-scale single task, no empty-partition-spec window."""
+    per = d.groupBy(_PID).agg(agg.alias("_v"))
     zero = F.lit(0).cast(dict(per.dtypes)["_v"])
+    total = per.agg(F.sum("_v").alias(_TOTAL))
 
+    if n_partitions <= _BLOCK:
+        a, b = per.alias("a"), per.alias("b")
+        off = (
+            a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+            .groupBy(F.col(f"a.{_PID}").alias(_PID))
+            .agg(F.coalesce(F.sum("b._v"), zero).alias(_OFF))
+        )
+        return off.crossJoin(total)
+
+    per = per.withColumn("_blk", F.floor(F.col(_PID) / _BLOCK))
     bt = per.groupBy("_blk").agg(F.sum("_v").alias("_bv"))
     ba, bb = bt.alias("ba"), bt.alias("bb")
     block_off = (
@@ -72,7 +89,6 @@ def _offsets(d: DataFrame, agg: Column) -> DataFrame:
         .groupBy(F.col("ba._blk").alias("_blk"))
         .agg(F.coalesce(F.sum("bb._bv"), zero).alias("_boff"))
     )
-
     a, b = per.alias("a"), per.alias("b")
     within_off = (
         a.join(
@@ -84,12 +100,10 @@ def _offsets(d: DataFrame, agg: Column) -> DataFrame:
         .groupBy(F.col(f"a.{_PID}").alias(_PID), F.col("a._blk").alias("_blk"))
         .agg(F.coalesce(F.sum("b._v"), zero).alias("_woff"))
     )
-
     off = (
         within_off.join(F.broadcast(block_off), "_blk")
         .select(_PID, (F.col("_boff") + F.col("_woff")).alias(_OFF))
     )
-    total = per.agg(F.sum("_v").alias(_TOTAL))
     return off.crossJoin(total)
 
 
@@ -101,10 +115,10 @@ def with_global_rank(
     keep_total: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global row_number over a total order, distributed."""
-    d = _ranged(df, order_cols, partitions)
+    d, n = _ranged(df, order_cols, partitions)
     w = W.partitionBy(_PID).orderBy(*order_cols)
     out = (
-        d.join(F.broadcast(_offsets(d, F.count(F.lit(1)))), _PID)
+        d.join(F.broadcast(_offsets(d, F.count(F.lit(1)), n)), _PID)
         .withColumn(rank_col, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
     )
     if keep_total:
@@ -120,14 +134,14 @@ def with_global_cumsum(
     partitions: int | None = None,
 ) -> DataFrame:
     """Exact inclusive running SUM(value) over a total order, distributed."""
-    d = _ranged(df, order_cols, partitions)
+    d, n = _ranged(df, order_cols, partitions)
     w = (
         W.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        d.join(F.broadcast(_offsets(d, F.sum(value_col))), _PID)
+        d.join(F.broadcast(_offsets(d, F.sum(value_col), n)), _PID)
         .withColumn(cumsum_col, F.sum(value_col).over(w) + F.col(_OFF))
         .drop(_PID, _OFF, _TOTAL)
     )
