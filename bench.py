@@ -105,6 +105,8 @@ HEADLINE = [
     "window_distribution",    # distributed exact percent_rank/cume_dist
     "source_json_scan",       # JSON shard round-trip scan
     "dedup_simhash_md5",      # portable-hash simhash, banded Hamming pairs
+    "events_path_trigrams",   # next-event path analysis
+    "corpus_importance_resample",  # target-mix importance resampling
 ]
 
 

@@ -666,3 +666,67 @@ def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("n_epochs"),
         (F.col("n_docs") * epochs).cast("bigint").alias("docs_after_repeat"),
     )
+
+
+# Importance resampling toward a TARGET mixture (the DSIR/DoReMi-family
+# reweighting step, reduced to its deterministic core): each doc's
+# acceptance weight is min(1, target_share / corpus_share) for its group,
+# and acceptance itself is a deterministic md5-uniform draw on doc_id —
+# reproducible across engines and runs, no RNG state. One agg for shares
+# (broadcast back), one scan for the accept flag: nothing here grows
+# super-linear. The target is uniform-over-langs; swap the constant for
+# any target vector in production.
+@query(
+    "corpus_importance_resample",
+    oracle="""
+    WITH s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs FROM s),
+    w AS (
+        SELECT lang, n_docs,
+               LEAST(1.0, (CAST(total AS DOUBLE) / n_langs) / n_docs) AS w
+        FROM s CROSS JOIN t
+    )
+    SELECT d.lang, w.n_docs,
+           ROUND(w.w, 6) AS accept_rate,
+           CAST(count_if(
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) / 4294967296.0 < w.w
+           ) AS BIGINT) AS n_selected
+    FROM documents d JOIN w ON d.lang = w.lang
+    GROUP BY d.lang, w.n_docs, w.w
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    w = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"),
+        ).alias("w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(w), "lang")
+        .groupBy("lang", "n_docs", "w")
+        .agg(F.count_if(u < F.col("w")).alias("n_selected"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("w", 6).alias("accept_rate"),
+            "n_selected",
+        )
+    )

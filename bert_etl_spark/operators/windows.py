@@ -1209,3 +1209,47 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounces.alias("n_bounces"),
         F.round(bounces.cast("double") / F.count("*"), 6).alias("bounce_rate"),
     )
+
+
+# Path analysis: the top navigation trigrams (event_type -> next -> next)
+# per user journey — the product-analytics "what do users do next"
+# query. One partitioned window (user_id) produces both lookaheads in a
+# single WindowExec; the path aggregate then runs on trigram-cardinality
+# rows. Emitting the full deterministic path->count table (no top-k
+# cutoff) keeps the result order-insensitively hashable.
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
