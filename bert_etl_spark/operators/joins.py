@@ -253,6 +253,54 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Forward as-of join (pandas merge_asof direction='forward'): for each
+# 'error' event, the value of the user's NEXT 'purchase' at-or-after it.
+# Mirror image of join_asof — the carry flips to first(ignorenulls) over
+# [current row, unbounded following]; still ONE shuffle on user_id, no
+# pairwise time join. Tie rule: errors sort before purchases at equal ts
+# (is_purchase ascending) so a simultaneous purchase is visible forward.
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events WHERE event_type IN ('error', 'purchase')
+    )
+    SELECT event_id, user_id, ts, next_purchase_value FROM (
+        SELECT event_id, user_id, ts, is_purchase,
+               FIRST_VALUE(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_value
+        FROM tagged
+    ) WHERE is_purchase = 0
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "next_purchase_value", F.first("pv", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 0)
+        .select("event_id", "user_id", "ts", "next_purchase_value")
+    )
+
+
 # Pure non-equi join (no equi key at all) → BroadcastNestedLoopJoin with the
 # small side as build. Legitimate ONLY when one side is dim-sized; at 100 TB
 # you either find a blocking key (see join_theta) or bucketize the range.
