@@ -283,3 +283,10 @@ def test_bucketed_join_query_has_no_join_exchange(spark):
     join_section = plan.split("HashAggregate")[-1]
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in join_section, plan
+
+
+def test_path_trigrams_single_window(spark):
+    """Both lead() lookaheads share one window spec — the plan must contain
+    exactly one Window node (a second would mean a duplicated sort)."""
+    plan = _plan(spark, "events_path_trigrams")
+    assert plan.count("Window ") == 1, plan
