@@ -104,6 +104,7 @@ HEADLINE = [
     "source_bucketed_join",   # bucketed write + zero-exchange co-located join
     "window_distribution",    # distributed exact percent_rank/cume_dist
     "source_json_scan",       # JSON shard round-trip scan
+    "source_jdbc_scan",       # partitioned JDBC range scan (embedded Derby)
     "dedup_simhash_md5",      # portable-hash simhash, banded Hamming pairs
     "events_path_trigrams",   # next-event path analysis
     "corpus_importance_resample",  # target-mix importance resampling
@@ -113,6 +114,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those headline queries
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
     registry.load_all()
     spark = get_spark(app_name="bert_etl_spark_bench")
 
@@ -138,7 +144,7 @@ def main() -> None:
     # compile cost is excluded, as in any steady-state throughput benchmark.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             fn = registry.ALL_QUERIES.get(name)
             if fn is None:
                 continue
@@ -149,10 +155,11 @@ def main() -> None:
                 # included) — surface it so the timing isn't misread
                 print(
                     f"WARMUP FAILED: {name}: {type(ex).__name__}: "
-                    f"{str(ex).splitlines()[0][:200]}",
+                    f"{(str(ex).splitlines() or [''])[0][:200]}",
                     file=sys.stderr,
                 )
         # drop sf0.001 caches so the timed pass measures sf_dir work only
+        registry.release_internals()
         spark.catalog.clearCache()
 
     # Two full suite passes, per-query minimum: this box exhibits a random
@@ -167,7 +174,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for _pass in range(2):
         spark.catalog.clearCache()
-        for name in HEADLINE:
+        for name in headline:
             fn = registry.ALL_QUERIES.get(name)
             if fn is None:
                 continue
@@ -175,13 +182,20 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as ex:
+                # (str(ex).splitlines() or ['']): an empty exception message
+                # must not make the error handler itself raise IndexError
                 errors[name] = (
-                    f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                    f"{type(ex).__name__}: {(str(ex).splitlines() or [''])[0][:200]}"
                 )
                 print(f"QUERY FAILED: {name}: {errors[name]}", file=sys.stderr)
+                registry.release_internals()
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+            # free per-query persisted internals (global-order ranged
+            # copies, LSH bands, ...) outside the timed region; the O(1)
+            # family-shared tables (shingles/jaccard edges) stay cached
+            registry.release_internals()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -362,11 +362,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair_jaccard reads the shingle table 3×, and the symmetric edge
     # union reads the edge list 2× — persist both or the whole shingle
     # pipeline re-runs up to 6 times.
-    sh = persist_once(shingles_df(docs))
+    sh = persist_once(shingles_df(docs), shared=True)
     edges = persist_once(
         pair_jaccard(sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_i", "doc_j")
+        .select("doc_i", "doc_j"),
+        shared=True,
     )
     return connected_components(edges, "doc_i", "doc_j")
 
@@ -485,11 +486,12 @@ def connected_components(
 )
 def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    sh = persist_once(shingles_df(docs))
+    sh = persist_once(shingles_df(docs), shared=True)
     edges = persist_once(
         pair_jaccard(sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_i", "doc_j")
+        .select("doc_i", "doc_j"),
+        shared=True,
     )
     comp = connected_components(edges, "doc_i", "doc_j")
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")

@@ -459,7 +459,13 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     from bert_etl_spark.operators.global_order import with_global_cumsum
+    from bert_etl_spark.operators.registry import persist_once
 
+    # the cumsum's range exchange reads its input twice (boundary sampling
+    # + shuffle map); cache the 4-column scored projection so the regex
+    # tokenize — the expensive part — runs once, not twice. Released at
+    # the next release_internals().
+    scored = persist_once(scored)
     ranked = with_global_cumsum(
         scored, [F.desc("score"), F.asc("doc_id")], "n_tokens", "cum_tokens"
     )

@@ -296,11 +296,11 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers of the shingle table (two join sides + sizes)
-    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")), shared=True)
     # persisting jac too lets downstream pipeline stages in the same
     # session (e.g. dedup_cluster_components) cache-hit the identical
     # canonical subplan instead of re-running the inverted-index join
-    jac = persist_once(pair_jaccard(sh))
+    jac = persist_once(pair_jaccard(sh), shared=True)
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard")
     )
@@ -321,7 +321,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse each consumer re-runs the whole upstream lineage. persist() is
     # the single-query form of the stage materialization a production LSH
     # pipeline does between phases.
-    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")), shared=True)
     # bands is a 4-way union consumed by both sides of the candidate
     # self-join — without reuse the 8-way MIN aggregate underneath runs 8×.
     bands = persist_once(lsh_bands(minhash_signatures(sh)))
@@ -651,7 +651,7 @@ CONTAINMENT_THRESHOLD = 0.8
     """.replace("{shingles}", _SQL_SHINGLES),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")), shared=True)
     capped = df_cap_shingles(sh, MAX_SHINGLE_DF)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = capped.select(F.col("doc_id").alias("doc_i"), "shingle")
@@ -712,7 +712,7 @@ LSH_B = 4
     """.replace("{shingles}", _SQL_SHINGLES),
 )
 def dedup_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")), shared=True)
     jac = pair_jaccard(sh)
     p = F.round(
         1 - F.pow(1 - F.pow(F.col("jaccard"), F.lit(float(LSH_R))), F.lit(float(LSH_B))),

@@ -13,10 +13,20 @@ does it:
    (runs on all cores);
 3. a partition-offset table — ONE row per partition (count / sum of the
    rows before it) — joined back via broadcast. Offsets are
-   metadata-scale: |shuffle partitions| rows, not |data| rows. The
-   offset prefix-sum itself is a triangular self-join over that tiny
-   table, so the final plan contains NO window with an empty partition
-   spec (enforced by tests/test_plans.py).
+   metadata-scale: |shuffle partitions| rows, not |data| rows. For
+   P ≤ 256 (the common case) the offset prefix is computed with ARRAY
+   expressions over a single collected-list row — zero joins, so the
+   whole offsets branch is one tiny aggregation; above 256 a two-level
+   blocked triangular join bounds the work (see _offsets). Either way
+   the final plan contains NO window with an empty partition spec
+   (enforced by tests/test_plans.py).
+
+The post-exchange copy is persisted (tracked via registry.persist_once,
+released between queries by registry.release_internals): the offsets
+branch and the main branch MUST observe the same physical partitioning,
+and Spark does not guarantee exchange reuse across the two subtrees —
+measured on 4.1.2, the two range exchanges sample independently, which
+would silently mis-align partition ids.
 
 Requirement: the order key must be a TOTAL order (add a unique tiebreak
 column), otherwise ranks are nondeterministic across engines.
@@ -51,35 +61,57 @@ def _ranged(
     )
 
 
-_BLOCK = 256  # two-level prefix block width (see _offsets)
+_BLOCK = 256  # array-prefix / two-level switchover (see _offsets)
 
 
 def _offsets(d: DataFrame, agg: Column, n_partitions: int) -> DataFrame:
     """Per-partition exclusive prefix of ``agg`` (count/sum of rows in all
     earlier partitions) + the grand total, over the metadata-scale
     per-partition table. The prefix keeps the aggregate's natural sum type
-    — casting here would silently truncate fractional value columns.
+    — casting to a narrower type here would silently truncate fractional
+    value columns.
 
-    A naive triangular self-join is O(P²) pairs in partition count P —
-    irrelevant at P≤256 (the common case, taken as a single triangular
-    join since P is known at plan time), real at P=200k (a 100 TB scan).
-    There, grouping partitions into blocks of B bounds the work at
-    P·B + (P/B)² pairs (≈5·10⁷ at P=200k, B=256): block offsets come from
-    a triangular join over P/B block totals, within-block offsets from a
-    same-block triangular join, and the final offset is their sum. Either
-    way: never a data-scale single task, no empty-partition-spec window."""
+    P ≤ 256: collect the P stat rows into ONE array and compute every
+    exclusive prefix with array expressions (transform + slice +
+    aggregate). O(P²) expression work on metadata-scale values — ~65k
+    adds at P=256 — but ZERO joins, so the offsets branch is a single
+    two-stage aggregation instead of a triangular-join cascade (measured:
+    the join form cost ~10 extra AQE stage-jobs per call on local[32]).
+
+    P > 256 (a 100 TB scan can carry 200k partitions): grouping
+    partitions into blocks of B bounds the work at P·B + (P/B)² pairs
+    (≈5·10⁷ at P=200k, B=256): block offsets come from a triangular join
+    over P/B block totals, within-block offsets from a same-block
+    triangular join, and the final offset is their sum. Either way:
+    never a data-scale single task, no empty-partition-spec window."""
     per = d.groupBy(_PID).agg(agg.alias("_v"))
-    zero = F.lit(0).cast(dict(per.dtypes)["_v"])
-    total = per.agg(F.sum("_v").alias(_TOTAL))
+    vt = dict(per.dtypes)["_v"]
+    zero = F.lit(0).cast(vt)
 
     if n_partitions <= _BLOCK:
-        a, b = per.alias("a"), per.alias("b")
-        off = (
-            a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
-            .groupBy(F.col(f"a.{_PID}").alias(_PID))
-            .agg(F.coalesce(F.sum("b._v"), zero).alias(_OFF))
+        arr = per.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(_PID).alias("p"), F.col("_v").alias("v")))
+            ).alias("a")
         )
-        return off.crossJoin(total)
+        # SQL-string lambdas: one py4j round-trip instead of dozens (the
+        # Column-API form measurably inflates driver-side build time).
+        # The merge result is cast back to the zero type each step:
+        # higher-order aggregate needs a stable accumulator type (decimal
+        # addition would otherwise widen per step).
+        prefix = (
+            "transform(a, (s, i) -> struct(s.p as p, "
+            f"aggregate(slice(a, 1, i), cast(0 as {vt}), "
+            f"(acc, x) -> cast(acc + x.v as {vt})) as o))"
+        )
+        total = (
+            f"aggregate(a, cast(0 as {vt}), (acc, x) -> cast(acc + x.v as {vt}))"
+        )
+        return arr.select(
+            F.explode(F.expr(prefix)).alias("s"), F.expr(total).alias(_TOTAL)
+        ).select(
+            F.col("s.p").alias(_PID), F.col("s.o").alias(_OFF), _TOTAL
+        )
 
     per = per.withColumn("_blk", F.floor(F.col(_PID) / _BLOCK))
     bt = per.groupBy("_blk").agg(F.sum("_v").alias("_bv"))
@@ -100,6 +132,7 @@ def _offsets(d: DataFrame, agg: Column, n_partitions: int) -> DataFrame:
         .groupBy(F.col(f"a.{_PID}").alias(_PID), F.col("a._blk").alias("_blk"))
         .agg(F.coalesce(F.sum("b._v"), zero).alias("_woff"))
     )
+    total = per.agg(F.sum("_v").alias(_TOTAL))
     off = (
         within_off.join(F.broadcast(block_off), "_blk")
         .select(_PID, (F.col("_boff") + F.col("_woff")).alias(_OFF))
@@ -147,6 +180,24 @@ def with_global_cumsum(
     )
 
 
+def _tile_expr(rank: Column, total: Column, n_tiles: int) -> Column:
+    """Standard SQL ntile bucket math from an exact 1-based global rank.
+
+    Both Spark and DuckDB implement it: with N rows, q = N div n and
+    rem = N mod n, the first ``rem`` buckets hold q+1 rows, the rest q.
+    """
+    q = F.floor(total / n_tiles)
+    rem = total % n_tiles
+    big = q + 1
+    small = F.greatest(q, F.lit(1))  # guard: q=0 branch is never selected
+    boundary = rem * big  # ranks <= boundary land in the big buckets
+    return (
+        F.when(rank <= boundary, F.ceil(rank / big))
+        .otherwise(rem + F.ceil((rank - boundary) / small))
+        .cast("int")
+    )
+
+
 def with_ntile(
     df: DataFrame,
     n_tiles: int,
@@ -154,21 +205,95 @@ def with_ntile(
     tile_col: str,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Exact ntile(n) over a total order, distributed.
-
-    Standard SQL ntile bucket math (both Spark and DuckDB implement it):
-    with N rows, q = N div n and rem = N mod n, the first ``rem`` buckets
-    hold q+1 rows, the rest q — derived here arithmetically from the exact
-    global rank instead of a single-task window.
-    """
+    """Exact ntile(n) over a total order, distributed (see _tile_expr)."""
     rank = "__go_rank"
     d = with_global_rank(df, order_cols, rank, partitions, keep_total="__go_n")
-    q = F.floor(F.col("__go_n") / n_tiles)
-    rem = F.col("__go_n") % n_tiles
-    big = q + 1
-    small = F.greatest(q, F.lit(1))  # guard: q=0 branch is never selected
-    boundary = rem * big  # ranks <= boundary land in the big buckets
-    tile = F.when(
-        F.col(rank) <= boundary, F.ceil(F.col(rank) / big)
-    ).otherwise(rem + F.ceil((F.col(rank) - boundary) / small))
-    return d.withColumn(tile_col, tile.cast("int")).drop(rank, "__go_n")
+    return d.withColumn(
+        tile_col, _tile_expr(F.col(rank), F.col("__go_n"), n_tiles)
+    ).drop(rank, "__go_n")
+
+
+def with_ntile_multi(
+    df: DataFrame,
+    n_tiles: int,
+    metrics: list[tuple[str, Column]],
+    tiebreak: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact ntile(n) under SEVERAL orderings in ONE distributed pass.
+
+    ``metrics``: (tile_col, key) pairs where ``key`` is a numeric column
+    ASCENDING-encoded for the desired order (negate for DESC — exact for
+    integers below 2^53 and all non-NaN doubles; Spark normalizes -0.0).
+    ``tiebreak``: a unique column completing the total order, ascending.
+
+    Chaining M with_ntile calls costs M range exchanges and M cached
+    copies, and each pass re-reads the previous pass's output twice
+    (boundary sampling + shuffle map). Here the frame is unpivoted to
+    (metric, key) rows — M·N rows, one range exchange on
+    (metric, key, tiebreak), one cached copy, one offsets pass with
+    per-metric prefixes, then a fold back to one row per input row. The
+    M orderings ride the SAME machinery because range partitioning on
+    (metric, key) keeps each metric's rows contiguous and ordered.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    from bert_etl_spark.operators.registry import persist_once
+
+    payload = df.columns
+    stacked = df.select(
+        *payload,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"), key.cast("double").alias("k")
+                    )
+                    for i, (_, key) in enumerate(metrics)
+                ]
+            )
+        ).alias("__go_mk"),
+    ).select(*payload, F.col("__go_mk.m").alias("__go_m"), F.col("__go_mk.k").alias("__go_k"))
+
+    d = persist_once(
+        stacked.repartitionByRange(
+            n, F.col("__go_m"), F.col("__go_k"), F.col(tiebreak)
+        ).withColumn(_PID, F.spark_partition_id())
+    )
+
+    # per-(partition, metric) counts -> per-metric exclusive prefixes over
+    # partition order, with the same one-array-row trick as _offsets. A
+    # partition straddling two metrics is handled by grouping on both.
+    per = d.groupBy("__go_m", _PID).agg(F.count(F.lit(1)).alias("_v"))
+    arr = per.groupBy("__go_m").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(_PID).alias("p"), F.col("_v").alias("v")))
+        ).alias("a")
+    )
+    prefix = (
+        "transform(a, (s, i) -> struct(s.p as p, "
+        "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.v) as o))"
+    )
+    off = arr.select(
+        "__go_m",
+        F.explode(F.expr(prefix)).alias("s"),
+        F.expr("aggregate(a, 0L, (acc, x) -> acc + x.v)").alias(_TOTAL),
+    ).select(
+        "__go_m", F.col("s.p").alias(_PID), F.col("s.o").alias(_OFF), _TOTAL
+    )
+
+    w = W.partitionBy(_PID, "__go_m").orderBy("__go_k", tiebreak)
+    ranked = d.join(F.broadcast(off), ["__go_m", _PID]).withColumn(
+        "__go_rank", (F.row_number().over(w) + F.col(_OFF)).cast("long")
+    )
+    tiled = ranked.withColumn(
+        "__go_tile", _tile_expr(F.col("__go_rank"), F.col(_TOTAL), n_tiles)
+    )
+    # fold the M tile rows per input row back to one row. The payload is
+    # functionally dependent on the unique tiebreak, so grouping on all
+    # payload columns is exact (and avoids a join back to df).
+    return tiled.groupBy(*payload).agg(
+        *[
+            F.max(F.when(F.col("__go_m") == i, F.col("__go_tile"))).alias(tile_col)
+            for i, (tile_col, _) in enumerate(metrics)
+        ]
+    )

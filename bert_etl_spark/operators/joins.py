@@ -396,7 +396,9 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = tbl(spark, sf_dir, "region").select("r_name")
     segs = tbl(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-    return r.crossJoin(segs)
+    # explicit broadcast: segs is a handful of distinct values; BroadcastNLJ
+    # keeps the cross product shuffle-free regardless of stats availability
+    return r.crossJoin(F.broadcast(segs))
 
 
 # Self-join: same-customer order pairs in the same calendar month.

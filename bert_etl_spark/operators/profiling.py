@@ -18,8 +18,10 @@ Scale notes:
   global estimate — the canonical two-level sketch rollup. Sketch size is
   O(2^lgK) bytes regardless of input rows, so the shuffle payload is
   constant per group. DuckDB's approx_distinct uses a different HLL
-  implementation, so this query is registered rows-only; the unit test
-  bounds estimate error vs the exact count instead.
+  implementation, so the oracle checks bounded-error FLAGS (estimate
+  within the configured relative-error band of the exact count) rather
+  than raw estimates — the query is fully oracle-green; the unit test
+  additionally bounds the numeric error.
 """
 
 from __future__ import annotations

@@ -50,7 +50,18 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
-def persist_once(df: DataFrame) -> DataFrame:
+# Per-query persisted internals, tracked for scoped release. Without this,
+# every global-order/ntile/LSH build pins a MEMORY_AND_DISK copy for the
+# session — harmless at sf0.01, a memory-pressure source in a long-lived
+# service session. Callers release BETWEEN queries (bench.py does, after
+# each timed action), never while a returned DataFrame might still be
+# re-executed: an in-flight plan survives unpersist (Spark recomputes),
+# but global-order plans rely on the cache for partition-id stability
+# between their offsets and main branches.
+_TRACKED: list[DataFrame] = []
+
+
+def persist_once(df: DataFrame, shared: bool = False) -> DataFrame:
     """Persist unless an identical canonical plan is already cached.
 
     Spark's CacheManager matches by canonical plan, so a second query
@@ -58,10 +69,37 @@ def persist_once(df: DataFrame) -> DataFrame:
     dedup family) would re-persist and log "Asked to cache already cached
     data". ``df.storageLevel`` consults the CacheManager, making the guard
     a cheap lookup — cross-query cache sharing keeps working, silently.
+
+    ``shared=False`` (the default) marks the persist as a PER-QUERY
+    temporary: it is registered for ``release_internals()`` and freed at
+    the next between-queries release point. ``shared=True`` is reserved
+    for the O(1) set of genuinely cross-query tables (the dedup family's
+    shingle/jaccard-edge chain) that stay for the session — their count is
+    bounded by the code, not the number of queries run.
     """
     if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
         df.persist()
+        if not shared:
+            _TRACKED.append(df)
     return df
+
+
+def release_internals() -> int:
+    """Unpersist every tracked per-query internal; returns how many.
+
+    Safe to call between queries in any harness (bench, tests, a service
+    loop). Already-unpersisted entries (operators with their own lifecycle,
+    e.g. connected_components' iteration state) no-op.
+    """
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _TRACKED.clear()
+    return n
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

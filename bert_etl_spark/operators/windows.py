@@ -1137,14 +1137,31 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    from bert_etl_spark.operators.global_order import with_ntile
+    from bert_etl_spark.operators.global_order import with_ntile_multi
+    from bert_etl_spark.operators.registry import persist_once
 
     r = r.select(
         "user_id", "recency_s", "frequency", F.round("monetary", 6).alias("monetary")
     )
-    r = with_ntile(r, 5, [F.asc("recency_s"), F.asc("user_id")], "r_quintile")
-    r = with_ntile(r, 5, [F.desc("frequency"), F.asc("user_id")], "f_quintile")
-    r = with_ntile(r, 5, [F.desc("monetary"), F.asc("user_id")], "m_quintile")
+    # materialize the per-user rollup ONCE: the quintile pass re-reads its
+    # input twice (range-boundary sampling + the shuffle map), so without
+    # the cache the events scan + groupBy + anchor join would re-run. The
+    # cached table is per-user (metadata-scale next to events) and is
+    # released at the next release_internals(). All THREE quintile
+    # orderings then ride ONE range exchange (with_ntile_multi) instead of
+    # three chained with_ntile passes — DESC orders are encoded by
+    # negating the (numeric, < 2^53) metrics, user_id breaks ties.
+    r = persist_once(r)
+    r = with_ntile_multi(
+        r,
+        5,
+        [
+            ("r_quintile", F.col("recency_s")),
+            ("f_quintile", -F.col("frequency")),
+            ("m_quintile", -F.col("monetary")),
+        ],
+        "user_id",
+    )
     return r.select(
         "user_id", "recency_s", "frequency", "monetary",
         "r_quintile", "f_quintile", "m_quintile",

@@ -53,15 +53,33 @@ def _ts_physical_type(path: str, glob: str | None) -> str:
     )
     if not files:
         return "timestamp_ntz"  # empty dir: modern writer default
-    field = pq.read_schema(files[0]).field("ts")
-    t = field.type
+
     import pyarrow as pa
 
-    if pa.types.is_timestamp(t):
-        if t.unit == "ns":
-            return "long"
-        return "timestamp" if t.tz is not None else "timestamp_ntz"
-    return "long"  # raw int64: ns-since-epoch wire convention
+    def decl(f: str) -> str:
+        t = pq.read_schema(f).field("ts").type
+        if pa.types.is_timestamp(t):
+            if t.unit == "ns":
+                return "long"
+            return "timestamp" if t.tz is not None else "timestamp_ntz"
+        return "long"  # raw int64: ns-since-epoch wire convention
+
+    # sniff EVERY matched file, not just the first: a directory mixing ts
+    # encodings (e.g. later shards from a newer writer) would otherwise be
+    # silently decoded with the first file's declaration — the same silent
+    # 1000x shear class this sniffing exists to prevent. Mixed encodings
+    # cannot be declared with one schema, so fail loudly with the per-file
+    # breakdown instead.
+    decls = {f: decl(f) for f in files}
+    distinct = sorted(set(decls.values()))
+    if len(distinct) > 1:
+        sample = {d: next(f for f, v in decls.items() if v == d) for d in distinct}
+        raise ValueError(
+            f"mixed ts physical types under {path!r}: {sample} — "
+            "rewrite the stream directory with one writer version or split "
+            "it into per-encoding directories"
+        )
+    return distinct[0]
 
 
 def events_stream(

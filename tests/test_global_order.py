@@ -120,3 +120,44 @@ def test_two_level_prefix_across_blocks(spark):
         for r in df.withColumn("r", F.row_number().over(W.orderBy("v", "k"))).collect()
     }
     assert got == want
+
+
+def test_ntile_multi_matches_three_windows(spark):
+    """with_ntile_multi under three orderings (asc, desc via negation) must
+    equal three independent ntile windows — one range exchange replacing
+    three chained passes is a plan change, not a semantics change."""
+    from bert_etl_spark.operators.global_order import with_ntile_multi
+
+    rows = [(i, float((i * 13) % 29), (i * 7) % 11, float((i * 31) % 17)) for i in range(101)]
+    df = spark.createDataFrame(rows, "k long, a double, b long, c double")
+    got = {
+        r["k"]: (r["ta"], r["tb"], r["tc"])
+        for r in with_ntile_multi(
+            df,
+            5,
+            [("ta", F.col("a")), ("tb", -F.col("b")), ("tc", -F.col("c"))],
+            "k",
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["ta"], r["tb"], r["tc"])
+        for r in df.withColumn("ta", F.ntile(5).over(W.orderBy("a", "k")))
+        .withColumn("tb", F.ntile(5).over(W.orderBy(F.desc("b"), "k")))
+        .withColumn("tc", F.ntile(5).over(W.orderBy(F.desc("c"), "k")))
+        .collect()
+    }
+    assert got == want
+
+
+def test_ntile_multi_keeps_payload_and_plan_clean(spark):
+    from bert_etl_spark.operators.global_order import with_ntile_multi
+    from tests.test_plans import _empty_partition_windows
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), i * 2) for i in range(40)], "k long, a double, pay long"
+    )
+    out = with_ntile_multi(df, 4, [("t", F.col("a"))], "k")
+    assert set(out.columns) == {"k", "a", "pay", "t"}
+    assert _empty_partition_windows(out) == []
+    # payload survives the fold intact
+    assert {r["k"]: r["pay"] for r in out.collect()} == {i: i * 2 for i in range(40)}

@@ -1,0 +1,67 @@
+"""Persist lifecycle: a full queries() sweep must not accumulate cached
+relations.
+
+Every per-query internal persist (global-order ranged copies, LSH
+bands/candidates, signature tables, ...) registers itself with
+registry.persist_once and is freed by registry.release_internals() between
+queries. Only the O(1) family-shared tables (the dedup family's
+shingle/jaccard-edge chain, marked shared=True) may stay for the session —
+their count is bounded by the code, not by how many queries ran. The
+reference never faces this: its state lives per-record in Redis/DynamoDB
+(bert/queues.py), while a long-lived Spark service session would otherwise
+pin one MEMORY_AND_DISK copy per query forever.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bert_etl_spark.operators import registry
+
+# shared shingle/jac/edges plans + connected-components' localCheckpoint
+# results (lineage-truncated, must stay materialized for their own
+# re-execution) — everything else must drain
+_SHARED_BOUND = 16
+
+
+def _persisted_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_persisted_footprint_flat_after_full_sweep(spark, sf_small):
+    registry.load_all()
+    counts: dict[str, int] = {}
+    for name in sorted(registry.ALL_QUERIES):
+        fn = registry.ALL_QUERIES[name]
+        fn(spark, sf_small).write.format("noop").mode("overwrite").save()
+        registry.release_internals()
+        counts[name] = _persisted_rdd_count(spark)
+
+    peak = max(counts.values())
+    worst = max(counts, key=counts.get)
+    assert peak <= _SHARED_BOUND, (
+        f"cached-relation footprint grew to {peak} (at {worst!r}) — "
+        f"a per-query internal is not being released"
+    )
+
+
+def test_release_internals_idempotent_and_returns_count(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    registry.persist_once(df)
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    released = registry.release_internals()
+    assert released >= 1
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    assert registry.release_internals() == 0
+
+
+def test_shared_persist_survives_release(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).withColumn("v", F.col("id") % 3)
+    registry.persist_once(df, shared=True)
+    registry.release_internals()
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    df.unpersist()

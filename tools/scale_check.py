@@ -40,14 +40,27 @@ QUERIES = [
 ]
 
 
-def time_all(spark, sf_dir: str) -> dict[str, float]:
+def time_all(
+    spark, sf_dir: str, queries: list[str] | None = None
+) -> dict[str, float]:
     out: dict[str, float] = {}
     for _pass in range(2):
+        registry.release_internals()
         spark.catalog.clearCache()
-        for name in QUERIES:
+        for name in queries or QUERIES:
             fn = registry.ALL_QUERIES[name]
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as ex:
+                # one failing query must not zero out the whole scale report
+                # (same isolation bench.py applies); report it and move on
+                print(
+                    f"QUERY FAILED: {name}@{sf_dir}: {type(ex).__name__}: "
+                    f"{(str(ex).splitlines() or [''])[0][:200]}",
+                    file=sys.stderr,
+                )
+                continue
             dt = round(time.perf_counter() - t0, 3)
             out[name] = min(out.get(name, dt), dt)
     return out
@@ -70,18 +83,48 @@ def main() -> None:
 
     t_small = time_all(spark, "/root/testdata/sf0.1")
     t_big = time_all(spark, big)
+
+    # Two-level offset path (global_order._offsets, P > 256): P=32 runs the
+    # one-array-row prefix, P=2048 the blocked triangular join a 100 TB
+    # scan's ~200k partitions would use. Flat overhead between the two =
+    # the offsets machinery is metadata-scale, not data-scale.
+    offsets_report = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from bert_etl_spark.operators.global_order import with_ntile
+
+        ev = registry.tbl(spark, big, "events").select("value", "event_id")
+        order = [F.asc("value"), F.asc("event_id")]
+        for p in (32, 2048):
+            best = float("inf")
+            for _ in range(2):
+                registry.release_internals()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                with_ntile(ev, 10, order, "decile", partitions=p).groupBy(
+                    "decile"
+                ).count().write.format("noop").mode("overwrite").save()
+                best = min(best, round(time.perf_counter() - t0, 3))
+            offsets_report[f"ntile_partitions_{p}"] = best
+    except Exception as ex:
+        print(f"offsets stress failed: {ex}", file=sys.stderr)
     report = {
         name: {
-            "t_sf0.1": t_small[name],
-            "t_10x": t_big[name],
+            "t_sf0.1": t_small.get(name),
+            "t_10x": t_big.get(name),
             "alpha": round(
                 math.log(max(t_big[name], 1e-3) / max(t_small[name], 1e-3))
                 / math.log(10),
                 3,
-            ),
+            )
+            if name in t_small and name in t_big
+            else None,
         }
         for name in QUERIES
     }
+    if offsets_report:
+        report["_two_level_offsets_10x"] = offsets_report
     print(json.dumps(report, indent=2))
     spark.stop()
 
