@@ -191,11 +191,43 @@ def main() -> None:
                 registry.release_internals()
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
+            # per-pass raw timing on stderr: the headline JSON keeps only the
+            # min, but diagnosing a within-session slowdown needs the trend
+            print(f"PASS {_pass} {name} {elapsed}", file=sys.stderr)
             timings[name] = min(timings.get(name, elapsed), elapsed)
             # free per-query persisted internals (global-order ranged
             # copies, LSH bands, ...) outside the timed region; the O(1)
             # family-shared tables (shingles/jaccard edges) stay cached
             registry.release_internals()
+
+    # Stall-robust retry: this box exhibits random multi-second stalls that
+    # can land on BOTH passes of one query (observed: a 3 s query timed at
+    # 37 s with min-of-2). Any query whose min is still above the threshold
+    # gets ONE more attempt — cheap, because only the handful of genuinely-
+    # heavy queries qualify. Exactly one attempt: a second back-to-back
+    # attempt of the same query would see the shared caches (shingles) its
+    # first attempt built and under-report the family builder's real cost.
+    # The retry phase is a PARTIAL PASS: cache cleared once up front and
+    # queries processed in headline order, so the dedup family's
+    # build-shingles-once-reuse-thrice semantics match the timed passes
+    # (clearing per retry would instead time every family member cold).
+    RETRY_ABOVE_S = 2.5
+    if any(t > RETRY_ABOVE_S for t in timings.values()):
+        spark.catalog.clearCache()
+    for name in headline:
+        if timings.get(name, 0.0) <= RETRY_ABOVE_S:
+            continue
+        fn = registry.ALL_QUERIES.get(name)
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            registry.release_internals()
+            continue
+        elapsed = round(time.perf_counter() - t0, 3)
+        print(f"RETRY {name} {elapsed}", file=sys.stderr)
+        registry.release_internals()
+        timings[name] = min(timings[name], elapsed)
 
     total = round(sum(timings.values()), 3)
     result = {

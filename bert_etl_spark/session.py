@@ -69,6 +69,12 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for key, value in _BASE_CONFS.items():
         builder = builder.config(key, value)
+    # A/B hook for perf experiments: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v"
+    # overrides any base conf without code edits (used by the bench bisects)
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in pair:
+            key, _, value = pair.partition("=")
+            builder = builder.config(key.strip(), value.strip())
     if extra_confs:
         for key, value in extra_confs.items():
             builder = builder.config(key, value)

@@ -1,20 +1,26 @@
-"""Synthesize a 10x replica of sf0.1 (~sf1) for the scale spot-check.
+"""Synthesize an Nx replica of sf0.1 (default 10x ~ sf1) for scale checks.
 
 No sf1 testdata ships with the harness, so the scaling experiment derives
-one: each fact table is unioned 10 times with copy-shifted keys so key
+one: each fact table is unioned N times with copy-shifted keys so key
 cardinality grows with volume (a pure row-copy would instead multiply the
 duplicate rate and skew every dedup/join measurement). Content columns are
 perturbed per copy for the same reason:
 
 - documents.text: per-copy ``translate`` of two frequent letters — token
   sets diverge across copies, so near-dup density stays ~constant instead
-  of exploding 10x.
+  of exploding Nx. The target letter pair is distinct per copy for any N.
 - embeddings.embedding: per-copy cyclic rotation — rotated vectors are
-  decorrelated, preserving the neighborhood structure's density.
+  decorrelated, preserving the neighborhood structure's density. Rotation
+  repeats at the vector dimension (64), so copies ≥ 64 are additionally
+  sign-flipped: (rotation, sign) stays injective up to N = 128 and a
+  negated rotation is anti-correlated with its positive twin, never a
+  spurious near-duplicate.
 
 Dims (nation, region) keep their real-world fixed cardinality.
 
-Usage: python tools/make_scale10.py [out_dir]  (default /tmp/scale10)
+Usage: python tools/make_scale10.py [out_dir] [copies]
+       (defaults: /tmp/scale10, 10; the round-5 100x dedup validation
+        uses  python tools/make_scale10.py /tmp/scale100 100)
 """
 
 from __future__ import annotations
@@ -26,12 +32,17 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+EMB_DIM = 64
 # key shift: far above any real key at sf0.1
 SHIFT = 100_000_000
 
 
 def main() -> None:
+    global COPIES
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
+    assert COPIES <= 2 * EMB_DIM, "embedding (rotation, sign) injective only to 2*dim"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"SET threads TO {os.cpu_count() or 8}")
@@ -101,12 +112,19 @@ def main() -> None:
                    lang, source, n_chars
             FROM {src('documents')}, {rng}""",
     )
+    # rotate by i mod dim; sign-flip the second 64 copies so the (rotation,
+    # sign) pair is injective per copy and no two copies are near-duplicates
     copy(
         "embeddings",
         f"""SELECT vec_id + i*{SHIFT} AS vec_id,
                    CASE WHEN i = 0 THEN embedding
-                        ELSE embedding[CAST(i AS INT)+1:]
+                        WHEN i < {EMB_DIM} THEN
+                             embedding[CAST(i AS INT)+1:]
                              || embedding[:CAST(i AS INT)]
+                        ELSE list_transform(
+                             embedding[CAST(i % {EMB_DIM} AS INT)+1:]
+                             || embedding[:CAST(i % {EMB_DIM} AS INT)],
+                             x -> -x)
                    END AS embedding,
                    label
             FROM {src('embeddings')}, {rng}""",

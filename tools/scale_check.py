@@ -1,12 +1,15 @@
-"""Scale spot-check: time representative heavy queries at sf0.1 vs the
-10x synthetic replica (tools/make_scale10.py) and report per-query scaling
-exponents alpha = log(t_10x / t_1x) / log(10).
+"""Scale spot-check: time representative heavy queries at sf0.1 vs an
+Nx synthetic replica (tools/make_scale10.py) and report per-query scaling
+exponents alpha = log(t_Nx / t_1x) / log(N).
 
 alpha ~ 1 is linear scaling (ideal for scan/agg), < 1 means fixed overhead
 still dominates, > 1.2 flags super-linear growth worth a design review.
-Results land in SCALING.md's scale-exponent table.
+Results land in SCALING.md's scale-exponent tables.
 
-Usage: python tools/scale_check.py [ten_x_dir]   (default /tmp/scale10)
+Usage: python tools/scale_check.py [big_dir] [factor] [queries_csv]
+       (defaults: /tmp/scale10, 10, the built-in QUERIES list; the
+        round-5 100x dedup/similarity validation runs
+        python tools/scale_check.py /tmp/scale100 100 dedup_minhash_lsh,...)
 """
 
 from __future__ import annotations
@@ -68,11 +71,13 @@ def time_all(
 
 def main() -> None:
     big = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
     registry.load_all()
     spark = get_spark(app_name="scale_check")
     spark.range(1000).selectExpr("sum(id)").collect()
     # warm codegen per plan shape at the tiny SF
-    for name in QUERIES:
+    for name in queries:
         try:
             registry.ALL_QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
                 "noop"
@@ -81,47 +86,49 @@ def main() -> None:
             print(f"warmup failed: {name}: {ex}", file=sys.stderr)
     spark.catalog.clearCache()
 
-    t_small = time_all(spark, "/root/testdata/sf0.1")
-    t_big = time_all(spark, big)
+    t_small = time_all(spark, "/root/testdata/sf0.1", queries)
+    t_big = time_all(spark, big, queries)
 
     # Two-level offset path (global_order._offsets, P > 256): P=32 runs the
     # one-array-row prefix, P=2048 the blocked triangular join a 100 TB
     # scan's ~200k partitions would use. Flat overhead between the two =
-    # the offsets machinery is metadata-scale, not data-scale.
+    # the offsets machinery is metadata-scale, not data-scale. (Only in the
+    # default full report — a custom query list asks for just those alphas.)
     offsets_report = {}
-    try:
-        from pyspark.sql import functions as F
+    if len(sys.argv) <= 3:
+        try:
+            from pyspark.sql import functions as F
 
-        from bert_etl_spark.operators.global_order import with_ntile
+            from bert_etl_spark.operators.global_order import with_ntile
 
-        ev = registry.tbl(spark, big, "events").select("value", "event_id")
-        order = [F.asc("value"), F.asc("event_id")]
-        for p in (32, 2048):
-            best = float("inf")
-            for _ in range(2):
-                registry.release_internals()
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                with_ntile(ev, 10, order, "decile", partitions=p).groupBy(
-                    "decile"
-                ).count().write.format("noop").mode("overwrite").save()
-                best = min(best, round(time.perf_counter() - t0, 3))
-            offsets_report[f"ntile_partitions_{p}"] = best
-    except Exception as ex:
-        print(f"offsets stress failed: {ex}", file=sys.stderr)
+            ev = registry.tbl(spark, big, "events").select("value", "event_id")
+            order = [F.asc("value"), F.asc("event_id")]
+            for p in (32, 2048):
+                best = float("inf")
+                for _ in range(2):
+                    registry.release_internals()
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    with_ntile(ev, 10, order, "decile", partitions=p).groupBy(
+                        "decile"
+                    ).count().write.format("noop").mode("overwrite").save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+                offsets_report[f"ntile_partitions_{p}"] = best
+        except Exception as ex:
+            print(f"offsets stress failed: {ex}", file=sys.stderr)
     report = {
         name: {
             "t_sf0.1": t_small.get(name),
-            "t_10x": t_big.get(name),
+            f"t_{factor:g}x": t_big.get(name),
             "alpha": round(
                 math.log(max(t_big[name], 1e-3) / max(t_small[name], 1e-3))
-                / math.log(10),
+                / math.log(factor),
                 3,
             )
             if name in t_small and name in t_big
             else None,
         }
-        for name in QUERIES
+        for name in queries
     }
     if offsets_report:
         report["_two_level_offsets_10x"] = offsets_report
