@@ -407,30 +407,10 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in both engines
 )
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    tok = (
-        spread(docs)
-        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-        .distinct()
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-        )
-    )
-    votes = F.array(
-        *[
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    summed = (
-        tok.select("doc_id", votes.alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("v"),
-                F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
-            ).alias("votes")
-        )
+    summed = _simhash_votes(
+        docs,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        SIMHASH_BITS,
     )
     bits = F.transform(F.col("votes"), lambda v: F.when(v > 0, 1).otherwise(0))
     # sig = sum(bit_b << b): fold MSB-first over the reversed bit array
@@ -460,76 +440,109 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = a.join(b, "h").filter(F.col("doc_i") < F.col("doc_j")).drop("h")
         pairs = p if pairs is None else pairs.unionByName(p)
     hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j"))).cast("long")
+    # Hamming filter BEFORE the pair dedup: the dropDuplicates exchange then
+    # carries only true near-pairs instead of every band-bucket candidate
     return (
-        pairs.dropDuplicates(["doc_i", "doc_j"])
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_i", "doc_j"])
         .select("doc_i", "doc_j", "hamming")
     )
+
+
+def _simhash_votes(
+    docs: DataFrame,
+    hash_fn,
+    nbits: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc SimHash vote vector: votes[b] = Σ over distinct tokens of
+    (bit_b(hash(token)) ? +1 : -1). Output: (doc_id, votes array<long>).
+
+    ONE shuffle, and it carries TOKEN SETS, not vote arrays. The former
+    plan shuffled an nbits-element ±1 array per (doc, token) row — a ~64×
+    payload amplification of the 8-byte hash that filled the disk with
+    spill at the 100× replica (a 500k-doc corpus shuffled ~78 GB of vote
+    arrays). Here ``spread()`` keeps each doc's rows in one partition, so
+    the map-side partial ``collect_set`` already emits one row per doc and
+    the exchange carries each token string exactly once; hashing and the
+    vote fold run post-shuffle, inside codegen, on group-cardinality rows.
+    ``collect_set(token)`` == DISTINCT (doc, token) — oracle semantics
+    unchanged. Hashes are materialized into an array BEFORE the bit fold:
+    Catalyst does not CSE inside lambdas, so referencing hash_fn(t) in the
+    per-bit expression would recompute the hash nbits times per token.
+    """
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    sets = toks.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
+    bits_of = lambda h: F.array(  # noqa: E731
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for b in range(nbits)
+        ]
+    )
+    votes = F.aggregate(
+        F.transform(F.col("toks"), hash_fn),
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, x: a + x),
+    )
+    return sets.select("doc_id", votes.alias("votes"))
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc from distinct-token xxhash64 values.
 
     For each bit b: sum over tokens of (bit_b(hash) ? +1 : -1); sign → bit.
-    Computed columnar: explode tokens → per-(doc, bit) vote via a 64-element
-    array transform → aggregate. One shuffle (groupBy doc).
+    One token-set shuffle (see _simhash_votes), vote fold post-shuffle.
     """
-    tok = (
-        spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
-        .distinct()
-        .withColumn("h", F.xxhash64("token"))
-    )
-    # votes: array[64] of ±1 per token, folded element-wise per doc.
-    # (Measured: this array fold beats a 64-column SUM aggregate 2× — the
-    # wide HashAggregate falls out of efficient codegen.)
-    votes = F.array(
-        *[
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            for b in range(64)
-        ]
-    )
-    summed = (
-        tok.select("doc_id", votes.alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("v"),
-                F.array_repeat(F.lit(0).cast("long"), 64),
-                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
-            ).alias("votes")
-        )
-    )
-    # sign → bits; pack 4×16-bit bands for blocking
+    summed = _simhash_votes(docs, lambda t: F.xxhash64(t), 64, text_col, id_col)
+    # sign → bits; pack 4×16-bit bands for blocking plus ONE 64-bit packed
+    # signature for the Hamming check. The pack uses shift/or, not
+    # arithmetic: bit 63 would overflow a signed multiply-accumulate (an
+    # error under ANSI mode, which the driver's vanilla sessions run).
     bits = F.transform(F.col("votes"), lambda v: F.when(v > 0, 1).otherwise(0))
     band = lambda i: F.aggregate(  # noqa: E731
         F.slice(bits, i * 16 + 1, 16), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
     )
+    sig = F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")),
+    )
     return summed.select(
         "doc_id",
         *[band(i).alias(f"b{i}") for i in range(4)],
+        sig.alias("sig"),
         bits.alias("bits"),
     )
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs within Hamming distance via band blocking: any pair with ≤3
-    differing bits shares ≥1 of the 4 exact 16-bit bands (pigeonhole)."""
+    differing bits shares ≥1 of the 4 exact 16-bit bands (pigeonhole).
+
+    The join sides carry only (doc_id, band value, 64-bit packed sig) —
+    NOT the 64-element bits array. Candidate volume is quadratic in the
+    band-bucket sizes (378M pairs on the 100× replica), so per-pair width
+    decides whether the join output is ~15 GB or ~400 GB; the bits-array
+    form was the latter and filled the disk. Hamming = bit_count(sig XOR
+    sig) on the packed longs, and the filter runs BEFORE dropDuplicates so
+    the dedup exchange only carries true near-pairs, not all candidates.
+    """
     pairs = None
     for i in range(4):
-        a = sigs.select(F.col("doc_id").alias("doc_i"), F.col(f"b{i}").alias("h"), F.col("bits").alias("bits_i"))
-        b = sigs.select(F.col("doc_id").alias("doc_j"), F.col(f"b{i}").alias("h"), F.col("bits").alias("bits_j"))
+        a = sigs.select(F.col("doc_id").alias("doc_i"), F.col(f"b{i}").alias("h"), F.col("sig").alias("sig_i"))
+        b = sigs.select(F.col("doc_id").alias("doc_j"), F.col(f"b{i}").alias("h"), F.col("sig").alias("sig_j"))
         p = a.join(b, "h").filter(F.col("doc_i") < F.col("doc_j")).drop("h")
         pairs = p if pairs is None else pairs.unionByName(p)
-    hamming = F.aggregate(
-        F.zip_with(F.col("bits_i"), F.col("bits_j"), lambda x, y: F.abs(x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j"))).cast("long")
     return (
-        pairs.dropDuplicates(["doc_i", "doc_j"])
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_i", "doc_j"])
         .select("doc_i", "doc_j", "hamming")
     )
 

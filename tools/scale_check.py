@@ -47,7 +47,9 @@ def time_all(
     spark, sf_dir: str, queries: list[str] | None = None
 ) -> dict[str, float]:
     out: dict[str, float] = {}
-    for _pass in range(2):
+    # SCALE_CHECK_PASSES=1 for big-replica runs where a second pass would
+    # blow the wall-clock budget (the alpha estimate tolerates one sample)
+    for _pass in range(int(os.environ.get("SCALE_CHECK_PASSES", "2"))):
         registry.release_internals()
         spark.catalog.clearCache()
         for name in queries or QUERIES:
@@ -65,6 +67,9 @@ def time_all(
                 )
                 continue
             dt = round(time.perf_counter() - t0, 3)
+            # progress on stderr: the 100x pass runs minutes per query, so a
+            # silent 30-minute run is indistinguishable from a hang without it
+            print(f"PASS {_pass} {name}@{sf_dir} {dt}", file=sys.stderr, flush=True)
             out[name] = min(out.get(name, dt), dt)
     return out
 
