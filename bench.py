@@ -108,6 +108,9 @@ HEADLINE = [
     "dedup_simhash_md5",      # portable-hash simhash, banded Hamming pairs
     "events_path_trigrams",   # next-event path analysis
     "corpus_importance_resample",  # target-mix importance resampling
+    "dedup_embedding_cosine", # 2-D tiled Arrow-batch cosine near-pairs
+    "dedup_minhash_incremental",  # batch-vs-index LSH probe (no self-join)
+    "corpus_global_shuffle",  # deterministic training-order permutation
 ]
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bert_etl_spark.operators.dedup import shingles_df, tokenize
+from bert_etl_spark.operators.global_order import with_global_rank
 from bert_etl_spark.operators.registry import query, spread, tbl
 
 # eval-set membership: 1 doc in ~41 (survives sf0.001's 50-doc corpus)
@@ -736,3 +737,44 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_selected",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle: assign every document a reproducible
+# pseudo-random training-order rank. Pretraining dataloaders need the
+# corpus in a fixed shuffled order (same order every restart, different
+# order per epoch salt); driver-side shuffling or seeded RNG can't give
+# that across engines or cluster sizes. md5 over the stable key IS the
+# shuffle: ordering by the digest is a uniform permutation, the epoch
+# salt re-permutes per epoch, and both engines agree bit-for-bit.
+# Scale: rides with_global_rank (range exchange + per-partition windows +
+# metadata-scale offsets — no single-task global window); the writer
+# would then repartitionByRange(shuffle_rank) so downstream readers get
+# contiguous shards in training order. Reference parity: the reference
+# has no ordering surface at all (items drain from Redis/Dynamo queues
+# in arrival order, bert/queues.py) — this is new capability its users
+# gain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch1'), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    keyed = spread(docs).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1"))
+        ).alias("_shuf"),
+    )
+    out = with_global_rank(keyed, [F.asc("_shuf"), F.asc("doc_id")], "shuffle_rank")
+    return out.select("doc_id", "source", "shuffle_rank")

@@ -350,6 +350,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# INCREMENTAL minhash dedup: the production shape at 100 TB. A steady-state
+# corpus never re-deduplicates itself — each ingest batch is checked
+# against the existing index only: candidates are band collisions BETWEEN
+# the new batch and the corpus (never batch×batch here, never
+# corpus×corpus), so per-ingest cost is O(batch × collision rate), not
+# O(corpus²). This is the LSH generalization of the reference's ETLState
+# incremental ledger (bert/etl/__init__.py:57-80 contain()/contains() —
+# exact-identity only); the band index plays the ledger's role for NEAR
+# duplicates. At 100 TB the corpus band table is a bucketed table on
+# (band, h); each ingest shuffles only its own bands to the bucket
+# locations. The batch here is the deterministic doc_id % 7 == 0 slice so
+# both engines agree on the split.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH},
+    xcand AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+        WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+    )
+    SELECT x.new_doc, x.corpus_doc, ROUND(j.jaccard, 6) AS jaccard
+    FROM xcand x JOIN jac j
+      ON j.doc_i = least(x.new_doc, x.corpus_doc)
+     AND j.doc_j = greatest(x.new_doc, x.corpus_doc)
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    sh = persist_once(shingles_df(docs), shared=True)
+    bands = persist_once(lsh_bands(minhash_signatures(sh)))
+    is_new = F.col("doc_id") % 7 == 0
+    batch = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc"), "band", "h"
+    )
+    corpus = bands.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "h"
+    )
+    cand = persist_once(
+        batch.join(corpus, ["band", "h"]).select("new_doc", "corpus_doc").distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("new_doc").alias("doc_id"))
+        .unionByName(cand.select(F.col("corpus_doc").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = persist_once(
+        df_cap_shingles(sh).join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    )
+    jac = pair_jaccard(sh_cand, max_doc_freq=None)
+    oriented = cand.select(
+        "new_doc",
+        "corpus_doc",
+        F.least("new_doc", "corpus_doc").alias("doc_i"),
+        F.greatest("new_doc", "corpus_doc").alias("doc_j"),
+    )
+    return (
+        oriented.join(jac, ["doc_i", "doc_j"])
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # SimHash: engine-specific 64-bit hashing (xxhash64) → no cross-engine SQL
 # oracle; exactness is covered by a numpy-oracle unit test instead
 # (tests/test_dedup.py). Rows-only check from the driver. The
@@ -547,9 +615,148 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def cosine_tile_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """All within-block pairs with cosine ≥ threshold, via 2-D tiling.
+
+    Exact all-pairs similarity is inherently quadratic in the block size
+    (at threshold 0.4 on 64-dim near-random embeddings the survivors sit
+    ~3σ into the cosine noise, so no lossless geometric prune bites) — the
+    engine question is only HOW the quadratic work runs. A plain
+    blocked self-join materializes one shuffle row per CANDIDATE pair,
+    each carrying two 64-double arrays (~1 KB): 2·10⁹ pairs ≈ 2 TB of
+    exchange on the 100× replica, evaluated per-pair by interpreted
+    higher-order folds — measured >45 min on local[32] before timeout.
+
+    Here each block is hash-chunked into √-scale chunks of ≤ chunk_rows
+    vectors, the (ci ≤ cj) chunk-pair TILES are enumerated as a
+    metadata-scale broadcast table, each vector is replicated to its
+    tiles (replication factor n/chunk — linear, not quadratic), and one
+    Arrow batch per tile computes the full cosine matrix vectorized in
+    numpy. Shuffled bytes drop from O(pairs) to O(n²/chunk) — ~1 GB at
+    100× — and the per-pair math runs at C speed. Tasks are independent
+    and bounded (chunk² cosines, ~33 MB per tile), so a 1000-executor
+    cluster eats the tile grid embarrassingly parallel; the sub-quadratic
+    escape hatches for genuinely unbounded corpora are the LSH/IVF paths
+    (`sim_lsh_bucketed`, `sim_ivf`).
+
+    Oracle parity: the dot and the squared norms accumulate per-DIMENSION
+    in index order (64 vectorized outer-product accumulations), i.e. the
+    exact float-addition order of the oracle's sequential list_aggregate
+    fold — cosines stay bit-identical to DuckDB's, not merely close
+    (BLAS GEMM's pairwise/SIMD summation order would not be).
+    Reference parity: the reference's only near-dup surface is the
+    per-item identity loop (bert/etl/__init__.py ETLState); embedding
+    near-dup generalizes it to semantic identity.
+    """
+    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(block_col).alias("_blk"),
+        to_double.alias("_e"),
+    )
+    counts = (
+        v.groupBy("_blk")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_nc",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_n") / F.lit(chunk_rows))
+            ).cast("int"),
+        )
+    )
+    chunked = v.join(F.broadcast(counts.select("_blk", "_nc")), "_blk").withColumn(
+        "_chunk", F.pmod(F.xxhash64("_id"), F.col("_nc")).cast("int")
+    )
+    tiles = counts.select(
+        "_blk",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, _nc - 1), "
+                "i -> transform(sequence(i, _nc - 1), "
+                "j -> struct(CAST(i AS INT) AS ci, CAST(j AS INT) AS cj))))"
+            )
+        ).alias("_t"),
+    ).select(F.col("_blk").alias("_tblk"), F.col("_t.ci"), F.col("_t.cj"))
+    lhs = chunked.join(
+        F.broadcast(tiles),
+        (chunked["_blk"] == tiles["_tblk"]) & (chunked["_chunk"] == tiles["ci"]),
+    ).select("_blk", "ci", "cj", "_id", "_e", F.lit(0).alias("_side"))
+    rhs = chunked.join(
+        F.broadcast(tiles.filter(F.col("ci") != F.col("cj"))),
+        (chunked["_blk"] == tiles["_tblk"]) & (chunked["_chunk"] == tiles["cj"]),
+    ).select("_blk", "ci", "cj", "_id", "_e", F.lit(1).alias("_side"))
+    rep = lhs.unionByName(rhs)
+
+    th = float(threshold)
+
+    def _tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_i": pd.Series(dtype="int64"),
+                "vec_j": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        a = pdf[pdf["_side"] == 0]
+        diag = not (pdf["_side"] == 1).any()
+        b = a if diag else pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ea = np.stack(a["_e"].to_numpy())
+        eb = ea if diag else np.stack(b["_e"].to_numpy())
+        na, nb = len(a), len(b)
+        dot = np.zeros((na, nb))
+        sq_a = np.zeros(na)
+        sq_b = sq_a if diag else np.zeros(nb)
+        # per-dimension accumulation == the oracle fold's addition order
+        for k in range(ea.shape[1]):
+            ak = ea[:, k]
+            bk = ak if diag else eb[:, k]
+            dot += np.multiply.outer(ak, bk)
+            sq_a += ak * ak
+            if not diag:
+                sq_b += bk * bk
+        cos = dot / np.multiply.outer(np.sqrt(sq_a), np.sqrt(sq_b))
+        ii, jj = np.nonzero(cos >= th)
+        if len(ii) == 0:
+            return empty
+        vi = a["_id"].to_numpy()[ii]
+        vj = b["_id"].to_numpy()[jj]
+        c = cos[ii, jj]
+        if diag:
+            keep = vi < vj
+            vi, vj, c = vi[keep], vj[keep], c[keep]
+        else:
+            lo = np.minimum(vi, vj)
+            vj = np.maximum(vi, vj)
+            vi = lo
+        return pd.DataFrame(
+            {
+                "vec_i": vi.astype("int64"),
+                "vec_j": vj.astype("int64"),
+                "cosine": c,
+            }
+        )
+
+    return rep.groupBy("_blk", "ci", "cj").applyInPandas(
+        _tile, "vec_i long, vec_j long, cosine double"
+    )
+
+
 # Embedding-cosine near-dup, blocked by label (stand-in for any coarse
-# quantizer): pairwise only within a block. Same sequential fold on both
-# engines → bit-identical cosines.
+# quantizer): 2-D tiled Arrow-batch cosine matrices (cosine_tile_pairs);
+# per-dimension accumulation keeps cosines bit-identical to the oracle's
+# sequential fold.
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -573,32 +780,8 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
-    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    v = emb.select("vec_id", "label", to_double.alias("e")).withColumn("nrm", norm)
-    a = v.select(
-        F.col("vec_id").alias("vec_i"), F.col("label"),
-        F.col("e").alias("e_i"), F.col("nrm").alias("nrm_i"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_j"), F.col("label"),
-        F.col("e").alias("e_j"), F.col("nrm").alias("nrm_j"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("e_i"), F.col("e_j"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("nrm_i") * F.col("nrm_j"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_i") < F.col("vec_j"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .select("vec_i", "vec_j", F.round("cosine", 6).alias("cosine"))
-    )
+    pairs = cosine_tile_pairs(emb, COSINE_THRESHOLD)
+    return pairs.select("vec_i", "vec_j", F.round("cosine", 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
