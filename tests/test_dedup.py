@@ -78,3 +78,108 @@ def test_exact_dedup_idempotent(spark):
     assert twice.count() == 2
     # re-ingesting the same batch and deduping again yields the same table
     assert dedup_exact_rows(df.union(df), cols=["text"]).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# cosine_tile_pairs: the 2-D tiled Arrow-batch pair generator
+# ---------------------------------------------------------------------------
+
+
+def _bruteforce_pairs(rows, threshold):
+    import math
+
+    out = set()
+    for i, (ida, blka, ea) in enumerate(rows):
+        for idb, blkb, eb in rows[i + 1 :]:
+            if blka != blkb:
+                continue
+            dot = sq_a = sq_b = 0.0
+            for x, y in zip(ea, eb):
+                dot += x * y
+                sq_a += x * x
+                sq_b += y * y
+            cos = dot / (math.sqrt(sq_a) * math.sqrt(sq_b))
+            if cos >= threshold:
+                out.add((min(ida, idb), max(ida, idb), round(cos, 6)))
+    return out
+
+
+def test_cosine_tile_pairs_matches_bruteforce_across_chunkings(spark):
+    """The tile decomposition is a plan choice — results must be identical
+    for every chunk size, including chunk=1 (all off-diagonal tiles) and
+    chunk >= n (one diagonal tile per block)."""
+    import random
+
+    from bert_etl_spark.operators.dedup import cosine_tile_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(60):
+        blk = vid % 3
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((vid, blk, base))
+        # plant a near-duplicate for every 10th vector (same block)
+        if vid % 10 == 0:
+            dup = [x + rng.uniform(-0.01, 0.01) for x in base]
+            rows.append((1000 + vid, blk, dup))
+    df = spark.createDataFrame(
+        [(i, b, e) for i, b, e in rows],
+        "vec_id long, label int, embedding array<double>",
+    )
+    expected = _bruteforce_pairs(rows, 0.8)
+    assert expected, "fixture must plant at least one near-pair"
+    for chunk in (1, 4, 16, 1000):
+        got = {
+            (r.vec_i, r.vec_j, round(r.cosine, 6))
+            for r in cosine_tile_pairs(
+                df, 0.8, chunk_rows=chunk
+            ).collect()
+        }
+        assert got == expected, f"chunk_rows={chunk} diverged"
+
+
+def test_cosine_tile_pairs_never_crosses_blocks(spark):
+    from bert_etl_spark.operators.dedup import cosine_tile_pairs
+
+    # identical vectors in DIFFERENT blocks must not pair
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0]), (3, 1, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = cosine_tile_pairs(df, 0.99).collect()
+    assert [(r.vec_i, r.vec_j) for r in got] == [(2, 3)]
+
+
+def test_cosine_tile_pairs_empty_and_singleton_blocks(spark):
+    from bert_etl_spark.operators.dedup import cosine_tile_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0])], "vec_id long, label int, embedding array<double>"
+    )
+    assert cosine_tile_pairs(df, 0.5).count() == 0
+
+
+def test_minhash_incremental_only_cross_side_pairs(spark, sf_small):
+    """The incremental probe must never emit batch x batch or
+    corpus x corpus pairs — that is the whole point of the shape."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["dedup_minhash_incremental"](spark, sf_small).collect()
+    for r in rows:
+        assert r.new_doc % 7 == 0, r
+        assert r.corpus_doc % 7 != 0, r
+        assert r.jaccard >= 0.5
+
+
+def test_global_shuffle_is_a_deterministic_permutation(spark, sf_small):
+    import __spark_entry__ as e
+
+    q = e.queries()["corpus_global_shuffle"]
+    a = q(spark, sf_small).collect()
+    ranks = sorted(r.shuffle_rank for r in a)
+    assert ranks == list(range(1, len(a) + 1))  # exact permutation
+    b = q(spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # and genuinely shuffled: not simply ordered by doc_id
+    by_rank = sorted(a, key=lambda r: r.shuffle_rank)
+    assert [r.doc_id for r in by_rank] != sorted(r.doc_id for r in a)
