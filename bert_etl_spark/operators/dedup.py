@@ -707,8 +707,11 @@ def cosine_tile_pairs(
                 "cosine": pd.Series(dtype="float64"),
             }
         )
+        # Diagonal-ness comes from the GROUP KEY, never from side presence:
+        # an off-diagonal tile whose cj chunk happens to be empty would
+        # otherwise be misread as diagonal and re-emit ci's self-pairs.
         a = pdf[pdf["_side"] == 0]
-        diag = not (pdf["_side"] == 1).any()
+        diag = int(pdf["ci"].iloc[0]) == int(pdf["cj"].iloc[0])
         b = a if diag else pdf[pdf["_side"] == 1]
         if len(a) == 0 or len(b) == 0:
             return empty

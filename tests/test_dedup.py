@@ -129,13 +129,32 @@ def test_cosine_tile_pairs_matches_bruteforce_across_chunkings(spark):
     expected = _bruteforce_pairs(rows, 0.8)
     assert expected, "fixture must plant at least one near-pair"
     for chunk in (1, 4, 16, 1000):
-        got = {
+        # MULTISET compare: a duplicate-pair emission bug (e.g. an empty
+        # off-diagonal tile misread as diagonal) must fail, not collapse
+        # away in a set.
+        got = sorted(
             (r.vec_i, r.vec_j, round(r.cosine, 6))
             for r in cosine_tile_pairs(
                 df, 0.8, chunk_rows=chunk
             ).collect()
-        }
-        assert got == expected, f"chunk_rows={chunk} diverged"
+        )
+        assert got == sorted(expected), f"chunk_rows={chunk} diverged"
+
+
+def test_cosine_tile_pairs_no_duplicates_on_empty_cj_chunks(spark):
+    """Regression: 40 identical vectors at chunk_rows=1 creates many
+    off-diagonal tiles whose cj chunk is hash-empty; the old side-presence
+    diagonal inference re-emitted ci self-pairs there (826 rows vs the 780
+    distinct pairs). Each unordered pair must appear exactly once."""
+    from bert_etl_spark.operators.dedup import cosine_tile_pairs
+
+    df = spark.createDataFrame(
+        [(i, 0, [1.0, 2.0, 3.0]) for i in range(40)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    rows = cosine_tile_pairs(df, 0.99, chunk_rows=1).collect()
+    pairs = [(r.vec_i, r.vec_j) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 40 * 39 // 2
 
 
 def test_cosine_tile_pairs_never_crosses_blocks(spark):
