@@ -30,17 +30,67 @@ would silently mis-align partition ids.
 
 Requirement: the order key must be a TOTAL order (add a unique tiebreak
 column), otherwise ranks are nondeterministic across engines.
+
+ADAPTIVE FAST PATH: the distributed form pays a fixed tax — boundary
+sampling, a second persisted copy, the offsets branch, a broadcast join —
+that only amortizes when the input is big enough that a one-task sort
+would actually choke. Every public helper therefore persists its input,
+counts it (one cheap job over the cache — the input is re-read by either
+branch anyway), and below ``spark.bert_etl.globalOrder.smallRows``
+(default 8M rows) collapses to the classic plan: one exchange to a single
+partition + an ordinary window PARTITIONED BY the (constant) physical
+partition id. That is a DELIBERATE single task over a measured-small
+input — the plan invariant tests/test_plans.py enforces (no
+empty-partition-spec window) still holds on both branches, and stays
+meaningful: an accidental global window has an empty spec; this one
+does not. Above the threshold the distributed machinery is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 _PID = "__go_pid"
 _LOCAL = "__go_local"
 _OFF = "__go_offset"
 _TOTAL = "__go_total"
+
+# Below this many input rows the single-partition window wins: the sort is
+# seconds of one-core work, while the distributed form's fixed stage tax
+# (sampling + offsets + broadcast) dominates. 8M rows of slim order
+# columns is ~100-200 MB — comfortably one task. Tests force the
+# distributed branch by setting the conf to "0" (strict < comparison).
+SMALL_ROWS_CONF = "spark.bert_etl.globalOrder.smallRows"
+SMALL_ROWS_DEFAULT = 8_000_000
+
+
+def _small_threshold(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get(SMALL_ROWS_CONF, str(SMALL_ROWS_DEFAULT)))
+    except Exception:
+        return SMALL_ROWS_DEFAULT
+
+
+def _prepared(df: DataFrame) -> tuple[DataFrame, int]:
+    """Persist the input (released at the next release_internals()) and
+    count it. Both branches re-read the input at least once more, and the
+    distributed branch reads it twice (boundary sampling + shuffle map),
+    so the cache replaces recomputation the old code paid anyway; the
+    count is then one cheap pass over cached slim columns and buys the
+    branch decision."""
+    from bert_etl_spark.operators.registry import persist_once
+
+    d = persist_once(df)
+    return d, d.count()
+
+
+def _single(df: DataFrame) -> DataFrame:
+    """Deliberate one-task layout for measured-small inputs: an exchange
+    to ONE partition (upstream stays parallel — never coalesce(1), which
+    would collapse the input computation too) plus the physical partition
+    id as a real, non-foldable partition column for the window."""
+    return df.repartition(1).withColumn(_PID, F.spark_partition_id())
 
 
 def _ranged(
@@ -147,9 +197,19 @@ def with_global_rank(
     partitions: int | None = None,
     keep_total: str | None = None,
 ) -> DataFrame:
-    """Exact 1-based global row_number over a total order, distributed."""
-    d, n = _ranged(df, order_cols, partitions)
+    """Exact 1-based global row_number over a total order; adaptive
+    (single-partition window below the smallRows threshold, distributed
+    range-exchange + offsets form above)."""
+    d0, n_rows = _prepared(df)
     w = W.partitionBy(_PID).orderBy(*order_cols)
+    if n_rows < _small_threshold(df.sparkSession):
+        out = _single(d0).withColumn(
+            rank_col, F.row_number().over(w).cast("long")
+        )
+        if keep_total:
+            out = out.withColumn(keep_total, F.lit(n_rows).cast("long"))
+        return out.drop(_PID)
+    d, n = _ranged(d0, order_cols, partitions)
     out = (
         d.join(F.broadcast(_offsets(d, F.count(F.lit(1)), n)), _PID)
         .withColumn(rank_col, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
@@ -166,13 +226,21 @@ def with_global_cumsum(
     cumsum_col: str,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Exact inclusive running SUM(value) over a total order, distributed."""
-    d, n = _ranged(df, order_cols, partitions)
+    """Exact inclusive running SUM(value) over a total order; adaptive
+    (see with_global_rank)."""
+    d0, n_rows = _prepared(df)
     w = (
         W.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    if n_rows < _small_threshold(df.sparkSession):
+        return (
+            _single(d0)
+            .withColumn(cumsum_col, F.sum(value_col).over(w))
+            .drop(_PID)
+        )
+    d, n = _ranged(d0, order_cols, partitions)
     return (
         d.join(F.broadcast(_offsets(d, F.sum(value_col), n)), _PID)
         .withColumn(cumsum_col, F.sum(value_col).over(w) + F.col(_OFF))
@@ -236,6 +304,22 @@ def with_ntile_multi(
     M orderings ride the SAME machinery because range partitioning on
     (metric, key) keeps each metric's rows contiguous and ordered.
     """
+    d0, n_rows = _prepared(df)
+    if n_rows < _small_threshold(df.sparkSession):
+        # measured-small: M ordinary windows over ONE deliberate partition
+        # — no explode to M·N rows, no offsets pass, no fold-back groupBy.
+        out = _single(d0)
+        total = F.lit(n_rows).cast("long")
+        for tile_col, key in metrics:
+            w = W.partitionBy(_PID).orderBy(
+                key.cast("double").asc(), F.col(tiebreak).asc()
+            )
+            out = out.withColumn(
+                tile_col, _tile_expr(F.row_number().over(w), total, n_tiles)
+            )
+        return out.drop(_PID)
+
+    df = d0
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     from bert_etl_spark.operators.registry import persist_once
 

@@ -260,9 +260,14 @@ def _empty_partition_windows(df) -> list[str]:
 def test_no_global_windows_anywhere(spark):
     """NO registered query may contain a window with an empty partition
     spec. Global-order semantics (exact ntile / global rank / global
-    cumsum) must route through operators/global_order.py, which computes
-    them distributed. Streaming queries are excluded only because invoking
-    them executes the stream; their windows are keyed by construction."""
+    cumsum) must route through operators/global_order.py, which is
+    adaptive: the small branch is a DELIBERATE single-partition window
+    partitioned by the physical partition id (non-empty spec, so this
+    invariant stays meaningful — an accidental global window still has an
+    empty spec), the large branch is fully distributed and is swept by
+    test_no_global_windows_distributed_branch below. Streaming queries
+    are excluded only because invoking them executes the stream; their
+    windows are keyed by construction."""
     offenders = {}
     for name in sorted(registry.ALL_QUERIES):
         if name.startswith("streaming_"):
@@ -271,6 +276,38 @@ def test_no_global_windows_anywhere(spark):
         bad = _empty_partition_windows(df)
         if bad:
             offenders[name] = bad
+    assert not offenders, f"global single-task windows found: {offenders}"
+
+
+# every registered query routing through operators/global_order.py — the
+# distributed-branch sweep below must cover each of them
+GLOBAL_ORDER_QUERIES = (
+    "window_distribution",
+    "histogram_equi_depth",
+    "events_rfm_segments",
+    "text_vocab_coverage",
+    "corpus_token_budget_select",
+    "corpus_global_shuffle",
+)
+
+
+def test_no_global_windows_distributed_branch(spark):
+    """Force the adaptive smallRows threshold to 0 so every global-order
+    consumer builds its DISTRIBUTED plan, and re-check the no-empty-
+    partition-window invariant there — the branch the sf0.001 sweep above
+    no longer reaches."""
+    from bert_etl_spark.operators.global_order import SMALL_ROWS_CONF
+
+    spark.conf.set(SMALL_ROWS_CONF, "0")
+    try:
+        offenders = {}
+        for name in GLOBAL_ORDER_QUERIES:
+            df = registry.ALL_QUERIES[name](spark, SF)
+            bad = _empty_partition_windows(df)
+            if bad:
+                offenders[name] = bad
+    finally:
+        spark.conf.unset(SMALL_ROWS_CONF)
     assert not offenders, f"global single-task windows found: {offenders}"
 
 
