@@ -443,12 +443,69 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash: engine-specific 64-bit hashing (xxhash64) → no cross-engine SQL
-# oracle; exactness is covered by a numpy-oracle unit test instead
-# (tests/test_dedup.py). Rows-only check from the driver. The
-# dedup_simhash_md5 variant below trades xxhash64 for a portable token
-# hash and IS fully oracle-checked.
-@query("dedup_simhash", oracle=None)
+# Uncapped variant of _SQL_MINHASH for the STREAMING ledger oracle: inside
+# one micro-batch the corpus-wide document frequency is unknowable, so the
+# ledger signs RAW shingles — which makes signatures arrival-order-invariant
+# and the streamed pair union equal to this batch candidate set exactly.
+_SQL_MINHASH_UNCAPPED = _SQL_MINHASH.replace("FROM shc)", "FROM sh)")
+
+
+@query(
+    "streaming_lsh_ledger",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH_UNCAPPED}
+    SELECT doc_i, doc_j FROM cand
+    """,
+)
+def streaming_lsh_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GENUINE Structured Streaming run of the LSH band ledger: the
+    documents table is re-sharded into 3 files, streamed one file per
+    micro-batch through streaming.events.lsh_band_ledger_stream (batch
+    bands ⋈ persisted prior-band ledger + within-batch collisions, both
+    epoch-idempotent), and the union of per-epoch candidate emissions is
+    value-checked against the whole-corpus batch candidate set — which it
+    must equal for ANY batch split, because uncapped per-doc signatures
+    don't depend on arrival grouping. The engine analog of the reference's
+    always-on ingest pipeline (bert/runner/manager.py:90-241) wrapped
+    around its ETLState ledger (bert/etl/__init__.py:57-80)."""
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import lsh_band_ledger_stream
+
+    tmp = tempfile.mkdtemp(prefix="lsh_ledger_")
+    try:
+        docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = lsh_band_ledger_stream(
+            stream, f"{tmp}/ledger", f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        q.awaitTermination()
+        # localCheckpoint: materialize the result off the temp dir so it
+        # can be deleted before the caller consumes the DataFrame
+        return (
+            spark.read.parquet(f"{tmp}/out")
+            .select("doc_i", "doc_j")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# SimHash, xxhash64 throughput path: engine-specific 64-bit hashing → no
+# cross-engine SQL oracle is possible, so this variant is LIBRARY-ONLY —
+# deliberately NOT registered in queries(). It was the registry's one
+# rows-only entry; every driver-checkable contract the pipeline has lives
+# in dedup_simhash_md5 below, which runs the identical signature → banding
+# → Hamming plan on a portable hash and is value-checked against an
+# all-pairs SQL oracle. Exactness of THIS variant is pinned by the numpy
+# oracle in tests/test_dedup.py; callers use it when xxhash64's fused JVM
+# hash matters (one hash vs md5's bytes+hex round trip at 100 TB).
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     # 8 consumers (4 band self-join sides) — materialize the signatures once

@@ -280,6 +280,95 @@ def streaming_tumbling_from_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_tumbling_oracle")
 
 
+def lsh_band_ledger_stream(
+    docs_stream: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    query_name: str = "lsh_ledger",
+):
+    """Always-on NEAR-dup ingest: the streaming form of
+    dedup_minhash_incremental — the LSH generalization of the reference's
+    ETLState exact-identity ledger (bert/etl/__init__.py:57-80) running as
+    the reference's always-on queue pipeline does
+    (bert/runner/manager.py:90-241).
+
+    Per micro-batch of documents (``doc_id``, ``text``):
+    1. shingle → minhash → LSH bands for the batch only;
+    2. candidates = batch bands ⋈ LEDGER bands on (band, h)  — the
+       persisted band table of every PRIOR batch — plus the batch's
+       within-batch band collisions. Never corpus×corpus: per-ingest cost
+       is O(batch × collision rate);
+    3. append the batch's bands to the ledger and the candidate pairs to
+       ``out_dir``.
+
+    Exactly-once: both writes land in an ``epoch=<id>`` partition dir with
+    mode=overwrite, so a replayed epoch (foreachBatch is at-least-once)
+    rewrites its own partition instead of duplicating, and the ledger read
+    filters ``epoch < current`` so a retry never joins against its own
+    partial output. At 100 TB the ledger is a bucketed table on (band, h);
+    each ingest shuffles only its own bands to the bucket locations.
+
+    Signatures are computed over the batch's RAW shingles (no df-cap): the
+    corpus-wide document frequency is unknowable inside one micro-batch,
+    and a batch-local cap would make a document's signature depend on what
+    it arrived with. Uncapped signatures are arrival-order-invariant, so
+    the union of emitted pairs over any batch split equals the batch
+    pipeline's uncapped candidate set; downstream verification prunes.
+    """
+    from bert_etl_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = lsh_bands(minhash_signatures(shingles_df(batch_df))).persist()
+        within = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "h"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+            )
+        )
+        try:
+            ledger = spark.read.parquet(ledger_dir).filter(
+                F.col("epoch") < epoch_id
+            )
+        except Exception:  # first epoch: no ledger yet
+            ledger = None
+        cand = within
+        if ledger is not None:
+            cross = (
+                bands.join(
+                    ledger.select(
+                        F.col("doc_id").alias("prior_doc"), "band", "h"
+                    ),
+                    ["band", "h"],
+                )
+                .select(
+                    F.least("doc_id", "prior_doc").alias("doc_i"),
+                    F.greatest("doc_id", "prior_doc").alias("doc_j"),
+                )
+            )
+            cand = cand.unionByName(cross)
+        cand.distinct().write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+        bands.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
+        bands.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_stream_parquet(
     df: DataFrame, out_path: str, checkpoint: str, query_name: str = "sink"
 ):

@@ -26,7 +26,9 @@ def test_cli_list_and_unknown_query():
     )
     assert out.returncode == 0
     assert "revenue_by_nation  [oracle]" in out.stdout
-    assert "dedup_simhash  [rows-only]" in out.stdout
+    # every registered entry is oracle-checked: the one rows-only entry
+    # (xxhash64 simhash) was retired to library-only in round 7
+    assert "[rows-only]" not in out.stdout
 
     bad = subprocess.run(
         [sys.executable, "-m", "bert_etl_spark", "run", "not_a_query"],

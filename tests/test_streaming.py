@@ -269,3 +269,122 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _ledger_docs(spark):
+    """Small corpus with planted near-dups: three exact-ish families whose
+    members share most shingles (guaranteed band collisions) plus unique
+    filler docs."""
+    fam_a = "the quick brown fox jumps over the lazy dog again and again"
+    fam_b = "spark structured streaming processes micro batches of documents"
+    rows = [
+        (0, fam_a),
+        (1, fam_a + " tail"),
+        (2, fam_a),
+        (3, fam_b),
+        (4, fam_b + " with state"),
+        (5, "completely unrelated text about volcanic rock formations"),
+        (6, "another singleton document mentioning medieval manuscripts"),
+        (7, fam_b),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_ledger_stream_equals_batch_candidates(spark, tmp_path):
+    """The union of per-epoch ledger emissions must equal the batch
+    pipeline's (uncapped) candidate set for ANY batch split — per-doc
+    signatures don't depend on arrival grouping."""
+    from bert_etl_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles_df,
+    )
+    from bert_etl_spark.streaming.events import lsh_band_ledger_stream
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    # 4 files -> 4 micro-batches, deliberately splitting each family across
+    # batches so candidates MUST come from the cross (ledger) path
+    for lo, hi in ((0, 2), (2, 4), (4, 6), (6, 8)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = lsh_band_ledger_stream(
+        stream,
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.doc_i, r.doc_j)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_i", "doc_j")
+        .collect()
+    )
+    want = sorted(
+        (r.doc_i, r.doc_j)
+        for r in candidate_pairs(
+            lsh_bands(minhash_signatures(shingles_df(docs)))
+        ).collect()
+    )
+    assert got == want
+    # the planted families must actually collide (non-vacuous test)
+    assert (0, 2) in want and (3, 7) in want
+    # cross-batch pairs exist: (0,2) spans batches 1 and 2 by construction
+    # — they can only be emitted through the persisted ledger join
+    assert len(spark.read.parquet(str(tmp_path / "ledger")).columns) == 4
+
+
+def test_lsh_ledger_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the ledger stream from its checkpoint must not re-emit
+    prior epochs' pairs; a late-arriving file is checked against the FULL
+    persisted ledger (including pre-restart epochs)."""
+    from bert_etl_spark.streaming.events import lsh_band_ledger_stream
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "out")
+    docs.filter(F.col("doc_id") < 6).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = lsh_band_ledger_stream(
+            stream, str(tmp_path / "ledger"), out, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(
+        (r.doc_i, r.doc_j) for r in spark.read.parquet(out).collect()
+    )
+    assert (0, 2) in first  # within the first file's batch
+
+    # restart with no new input: nothing re-emitted, nothing lost
+    run()
+    assert (
+        sorted((r.doc_i, r.doc_j) for r in spark.read.parquet(out).collect())
+        == first
+    )
+
+    # doc 7 (family b) arrives after restart: only the delta is processed,
+    # and it pairs with docs 3 and 4 from the PRE-restart ledger epochs
+    docs.filter(F.col("doc_id") >= 6).coalesce(1).write.mode("append").parquet(src)
+    run()
+    after = sorted(
+        (r.doc_i, r.doc_j) for r in spark.read.parquet(out).collect()
+    )
+    assert set(first) <= set(after)
+    assert (3, 7) in after and (4, 7) in after
