@@ -111,6 +111,10 @@ HEADLINE = [
     "dedup_embedding_cosine", # 2-D tiled Arrow-batch cosine near-pairs
     "dedup_minhash_incremental",  # batch-vs-index LSH probe (no self-join)
     "corpus_global_shuffle",  # deterministic training-order permutation
+    "streaming_lsh_ledger",   # always-on LSH ingest (foreachBatch epochs)
+    "dedup_substring_spans",  # exact substring dedup (Lee et al. k-windows)
+    "dedup_substring_doc_stats",  # per-doc duplicated-token budget
+    "dedup_substring_remove",  # span cut via higher-order filter (no explode)
 ]
 
 

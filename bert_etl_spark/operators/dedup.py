@@ -1013,3 +1013,241 @@ def dedup_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_caught"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated k-token windows → maximal per-doc spans)
+# ---------------------------------------------------------------------------
+
+# Window width for exact substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", uses 50 BPE tokens on web
+# corpora; 8 fits the 10-99-token synthetic docs while exercising the same
+# machinery). A window is "duplicated" when its exact k-token text occurs
+# MORE THAN ONCE anywhere in the corpus — including a second position inside
+# the same document, matching the paper's suffix-array criterion.
+SUBSTR_K = 8
+
+
+def window_hashes(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Every k-token window per document: (doc_id, pos, h).
+
+    ``pos`` is the 0-based token offset; ``h`` the md5 of the window's text.
+    Narrow transformation — tokenize, per-row transform, posexplode — zero
+    shuffles; the md5 runs JVM-side inside whole-stage codegen. This is the
+    distributed stand-in for the paper's suffix array: a suffix array finds
+    duplicated substrings of ANY length in O(n log n) but is inherently
+    sequential to build; fixed-k window hashing finds every duplicated run
+    of >= k tokens (any such run contains a duplicated k-window at each
+    offset, so span-merging recovers it) with nothing but one partial-agg
+    shuffle — the shape that survives 100 TB.
+    """
+    toked = spread(docs).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.md5(F.array_join(F.slice("toks", i + 1, k), " ")),
+    )
+    return toked.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+
+
+def duplicated_spans(win: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Merge duplicated k-windows into maximal per-doc spans.
+
+    Shape: (1) one fixed-width-key shuffle with map-side partial agg finds
+    hashes occurring >1 time corpus-wide (a mega-hot boilerplate window is
+    just a large partial count — no row fan-out anywhere, the semi-join
+    keeps each (doc, pos) at most once); (2) a per-doc window does the
+    gaps-and-islands merge: two duplicated windows [p, p+k-1] and [q, ...]
+    with q <= p + k overlap or touch, so their coverage is contiguous and
+    they fuse — every token in an output span is covered by some duplicated
+    window. Positions within a doc are distinct and sorted, so the running
+    max end IS the previous row's end and a LAG test suffices.
+    """
+    from pyspark.sql.window import Window
+
+    dup = win.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    dw = win.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    return (
+        dw.withColumn("brk", brk)
+        .withColumn("g", F.sum("brk").over(w))
+        .groupBy("doc_id", "g")
+        .agg(
+            # long, matching the oracle's BIGINT positions
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("g")
+    )
+
+
+_SQL_SUBSTR_SPANS = f"""
+tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+win AS (
+    SELECT doc_id,
+           unnest(range(len(toks) - {SUBSTR_K} + 1)) AS pos,
+           unnest(list_transform(range(len(toks) - {SUBSTR_K} + 1),
+                  i -> md5(array_to_string(toks[i+1:i+{SUBSTR_K}], ' ')))) AS h
+    FROM tok WHERE len(toks) >= {SUBSTR_K}
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+dw AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+flag AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos > LAG(pos) OVER w + {SUBSTR_K} THEN 1 ELSE 0 END AS brk
+    FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM flag
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {SUBSTR_K} - 1 AS span_end,
+           MAX(pos) + {SUBSTR_K} - MIN(pos) AS span_tokens,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, g
+)
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_SPANS}
+    SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: maximal duplicated token spans per document.
+
+    The span list is what a remove-duplicated-text pass consumes (cut the
+    spans, keep the rest) — the reference has no analog (its dedup is
+    whole-item identity, bert/etl/__init__.py:57-80); this is the
+    document-INTERNAL generalization a 100 TB text pipeline needs.
+    """
+    win = persist_once(window_hashes(tbl(spark, sf_dir, "documents")))
+    return persist_once(duplicated_spans(win), shared=True)
+
+
+@query(
+    "dedup_substring_doc_stats",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_SPANS},
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           COALESCE(p.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+           ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / CAST(len(t.toks) AS DOUBLE), 6) AS dup_fraction
+    FROM tok t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token budget: the filter signal for dropping
+    or trimming mostly-duplicated documents (every doc appears, zero rows
+    included — a quality-gate join key, not just a report).
+
+    Cache-hits `dedup_substring_spans`' shared span table when both run in
+    one session (canonical-plan match via persist_once).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    spans = persist_once(
+        duplicated_spans(persist_once(window_hashes(docs))), shared=True
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
+    n_tok = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        n_tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_remove",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_SPANS},
+    toks_pos AS (
+        SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+        FROM tok
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tok, t.pos FROM toks_pos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end)
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass: documents with every duplicated span cut out.
+
+    Removes EVERY occurrence of a duplicated span (the behavior of Lee et
+    al.'s released ExactSubstr tool; a keep-one variant would exempt the
+    minimum (doc_id, span_start) occurrence per duplicate class). Documents
+    whose every token sits in a duplicated span disappear from the output —
+    there is nothing left to train on.
+
+    Scale shape: the span table groups per doc (collect_list is bounded at
+    n_tokens/k entries per doc), one equi join back to the corpus, and the
+    cut itself is a higher-order filter over the token array — JVM-side,
+    zero explode, zero extra shuffle. The oracle unnests tokens and
+    anti-range-joins instead (row-explode is fine at oracle scale); both
+    reduce to identical (doc, kept-token-sequence) sets.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    spans = persist_once(
+        duplicated_spans(persist_once(window_hashes(docs))), shared=True
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    joined = toked.join(per_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("toks"), lambda t, i: F.struct(t.alias("tok"), i.alias("pos"))
+        ),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: s["pos"].cast("long").between(
+                sp["span_start"], sp["span_end"]
+            ),
+        ),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.array_join(
+                F.transform(kept, lambda s: s["tok"]), " "
+            ).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+        )
+        .filter(F.col("n_tokens_kept") > 0)
+    )

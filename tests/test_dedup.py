@@ -202,3 +202,109 @@ def test_global_shuffle_is_a_deterministic_permutation(spark, sf_small):
     # and genuinely shuffled: not simply ordered by doc_id
     by_rank = sorted(a, key=lambda r: r.shuffle_rank)
     assert [r.doc_id for r in by_rank] != sorted(r.doc_id for r in a)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated k-window spans)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, texts, k=8):
+    from bert_etl_spark.operators.dedup import duplicated_spans, window_hashes
+
+    df = _docs(spark, texts)
+    return sorted(
+        map(tuple, duplicated_spans(window_hashes(df, k=k), k=k).collect())
+    )
+
+
+def test_substring_span_recovers_shared_run(spark):
+    shared = " ".join(f"P{i}" for i in range(10))
+    out = _spans(
+        spark,
+        [
+            f"u0 u1 {shared} u2 u3",  # run at token offsets 2..11
+            f"v0 {shared} v1 v2 v3",  # run at token offsets 1..10
+            " ".join(f"z{i}" for i in range(14)),  # all unique
+        ],
+    )
+    # 3 duplicated 8-windows inside each 10-token run merge to one span/doc
+    assert out == [(0, 2, 11, 10, 3), (1, 1, 10, 10, 3)]
+
+
+def test_substring_within_doc_repetition_is_duplicated(spark):
+    q = " ".join(f"Q{i}" for i in range(8))
+    # the run repeats INSIDE one document, separated by w1: two disjoint
+    # spans (gap 10 > 1+8 breaks the island)
+    out = _spans(spark, [f"w0 {q} w1 {q} w2"])
+    assert out == [(0, 1, 8, 8, 1), (0, 10, 17, 8, 1)]
+
+
+def test_substring_adjacent_windows_merge(spark):
+    q = " ".join(f"Q{i}" for i in range(8))
+    # doubled run with no separator: duplicated windows at pos 1 and 9
+    # touch (9 <= 1+8) and fuse into one 16-token span
+    out = _spans(spark, [f"w0 {q} {q} w2"])
+    assert out == [(0, 1, 16, 16, 2)]
+
+
+def test_substring_doc_stats_includes_clean_docs(spark, sf_small, tmp_path):
+    import __spark_entry__ as e
+
+    rows = e.queries()["dedup_substring_doc_stats"](spark, sf_small).collect()
+    n_docs = e.queries()["dedup_exact"](spark, sf_small).agg(
+        {"n_docs": "sum"}
+    ).collect()[0][0]
+    assert len(rows) == n_docs  # every document appears
+    assert any(r.dup_tokens == 0 and r.dup_fraction == 0.0 for r in rows)
+    assert any(r.dup_tokens > 0 for r in rows)
+    for r in rows:
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.dup_tokens <= r.n_tokens
+
+
+def test_substring_remove_cuts_exactly_the_spans(spark):
+    from bert_etl_spark.operators.dedup import (
+        duplicated_spans,
+        window_hashes,
+    )
+    from bert_etl_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    shared = " ".join(f"P{i}" for i in range(10))
+    texts = [
+        f"u0 u1 {shared} u2 u3",          # span covers tokens 2..11
+        f"v0 {shared} v1 v2 v3",          # span covers tokens 1..10
+        " ".join(f"z{i}" for i in range(14)),  # untouched
+        shared,                            # fully duplicated vs docs 0/1? (10 tokens)
+    ]
+    df = _docs(spark, texts)
+    spans = duplicated_spans(window_hashes(df, k=8), k=8)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toked = df.select("doc_id", D.tokenize(F.col("text")).alias("toks"))
+    joined = toked.join(per_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("toks"), lambda t, i: F.struct(t.alias("tok"), i.alias("pos"))
+        ),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: s["pos"].cast("long").between(
+                sp["span_start"], sp["span_end"]
+            ),
+        ),
+    )
+    out = {
+        r.doc_id: r.clean
+        for r in joined.select(
+            "doc_id", F.array_join(F.transform(kept, lambda s: s["tok"]), " ").alias("clean")
+        ).collect()
+    }
+    assert out[0] == "u0 u1 u2 u3"
+    assert out[1] == "v0 v1 v2 v3"
+    assert out[2] == texts[2]
+    assert out[3] == ""  # doc 3 is entirely one duplicated span
