@@ -308,3 +308,51 @@ def test_substring_remove_cuts_exactly_the_spans(spark):
     assert out[1] == "v0 v1 v2 v3"
     assert out[2] == texts[2]
     assert out[3] == ""  # doc 3 is entirely one duplicated span
+
+
+def test_substring_spans_match_pure_python_reference(spark):
+    """30 seeded random corpora (token namespaced per corpus so one Spark
+    job covers all of them independently) vs a brute-force reference."""
+    import random
+
+    from bert_etl_spark.operators.dedup import duplicated_spans, window_hashes
+
+    K = 3
+    rng = random.Random(0)
+    texts = {}  # doc_id -> text
+    for c in range(30):
+        for i in range(rng.randint(1, 5)):
+            n = rng.randint(0, 12)
+            toks = [f"c{c}_{rng.choice('abc')}" for _ in range(n)]
+            texts[c * 100 + i] = " ".join(toks)
+
+    def ref_spans(k):
+        from collections import Counter
+
+        wins = []
+        for d, t in texts.items():
+            toks = t.strip().split(" ") if t.strip() else []
+            for p in range(max(0, len(toks) - k + 1)):
+                wins.append((d, p, " ".join(toks[p : p + k])))
+        cnt = Counter(g for _, _, g in wins)
+        dup = sorted((d, p) for d, p, g in wins if cnt[g] > 1)
+        out = []
+        by_doc = {}
+        for d, p in dup:
+            by_doc.setdefault(d, []).append(p)
+        for d, ps in by_doc.items():
+            start, last, n = ps[0], ps[0], 1
+            for p in ps[1:]:
+                if p <= last + k:
+                    last, n = p, n + 1
+                else:
+                    out.append((d, start, last + k - 1, last + k - start, n))
+                    start, last, n = p, p, 1
+            out.append((d, start, last + k - 1, last + k - start, n))
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(map(tuple, duplicated_spans(window_hashes(df, k=K), k=K).collect()))
+    assert got == ref_spans(K)
