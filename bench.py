@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_substring_spans",  # exact substring dedup (Lee et al. k-windows)
     "dedup_substring_doc_stats",  # per-doc duplicated-token budget
     "dedup_substring_remove",  # span cut via higher-order filter (no explode)
+    "dedup_substring_remove_keep_first",  # keep-one span cut (arg-min exempt)
+    "corpus_decontaminate",   # eval-overlap filter (broadcast probe + roster)
 ]
 
 

@@ -101,6 +101,76 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Drop threshold for the removal pass: a training doc sharing this many
+# n-grams with the eval set is cut from the corpus (the PaLM/GPT-3 style
+# decontamination step applied as a filter, not just a report). 4 sits at
+# ~p90 of the synthetic severity distribution, so the filter bites at
+# every SF without gutting the corpus.
+CONTAM_DROP_AT = 4
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {CONTAM_NGRAM - 1}))
+                       AS i
+            FROM toks
+            WHERE len(t) >= {CONTAM_NGRAM}
+        )
+    ),
+    eval_grams AS (
+        SELECT DISTINCT shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    sev AS (
+        SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        FROM grams g
+        JOIN eval_grams e ON g.shingle = e.shingle
+        WHERE g.doc_id % {EVAL_MOD} <> 0
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_shared_grams, CAST(0 AS BIGINT)) AS n_shared_grams
+    FROM documents d LEFT JOIN sev s USING (doc_id)
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+      AND COALESCE(s.n_shared_grams, 0) < {CONTAM_DROP_AT}
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal counterpart of corpus_contamination_check: the surviving
+    training corpus after dropping docs that share >= CONTAM_DROP_AT
+    n-grams with the (broadcast-sized) eval set. Every clean training doc
+    appears with its severity (0 for no overlap) — the output is the
+    post-decontamination corpus roster, joinable back to text by doc_id.
+
+    Scale: identical to the check (one shingle scan + broadcast probe +
+    per-doc count); the roster join is doc_id-keyed against the severity
+    aggregate, which is at most one row per contaminated doc.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    sev = corpus_contamination_check(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id")
+        .join(sev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared_grams"), F.lit(0).cast("long")).alias(
+                "n_shared_grams"
+            ),
+        )
+        .filter(F.col("n_shared_grams") < CONTAM_DROP_AT)
+    )
+
+
 # ---------------------------------------------------------------------------
 # context-window chunking
 # ---------------------------------------------------------------------------

@@ -1064,15 +1064,22 @@ def duplicated_spans(win: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     window. Positions within a doc are distinct and sorted, so the running
     max end IS the previous row's end and a LAG test suffices.
     """
-    from pyspark.sql.window import Window
-
     dup = win.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
     dw = win.join(dup.select("h"), "h", "left_semi")
+    return merge_window_spans(dw, k)
+
+
+def merge_window_spans(dw: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, pos) k-window hits into maximal
+    spans: (doc_id, span_start, span_end, span_tokens, n_windows)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
     return (
-        dw.withColumn("brk", brk)
+        dw.select("doc_id", "pos")
+        .withColumn("brk", brk)
         .withColumn("g", F.sum("brk").over(w))
         .groupBy("doc_id", "g")
         .agg(
@@ -1083,6 +1090,52 @@ def duplicated_spans(win: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             F.count("*").alias("n_windows"),
         )
         .drop("g")
+    )
+
+
+def cut_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut every span out of every document's token sequence.
+
+    Output: (doc_id, clean_text, n_tokens_kept), dropping documents left
+    with zero tokens. Scale shape: spans group per doc (collect_list is
+    bounded at n_tokens/k entries), one equi join back to the corpus, and
+    the cut is a higher-order filter over the token array — JVM-side, zero
+    explode, zero extra shuffle.
+    """
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    joined = toked.join(per_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("toks"), lambda t, i: F.struct(t.alias("tok"), i.alias("pos"))
+        ),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: s["pos"].cast("long").between(
+                sp["span_start"], sp["span_end"]
+            ),
+        ),
+    )
+    # own projection boundary: clean_text, n_tokens_kept AND the emptiness
+    # filter all consume `kept` — inlined, the per-token exists() HOF would
+    # run 3x per row (Catalyst never CSEs inside lambda bodies, and
+    # CollapseProject keeps non-cheap aliases separate only when they stay
+    # in their own Project). Measured at the 100x replica: the cut stage
+    # dropped ~85 s -> ~29 s (query alpha 0.93 -> 0.64).
+    pruned = joined.select("doc_id", kept.alias("kept"))
+    return (
+        pruned.select(
+            "doc_id",
+            F.array_join(
+                F.transform("kept", lambda s: s["tok"]), " "
+            ).alias("clean_text"),
+            F.size("kept").cast("long").alias("n_tokens_kept"),
+        )
+        .filter(F.col("n_tokens_kept") > 0)
     )
 
 
@@ -1212,10 +1265,7 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose every token sits in a duplicated span disappear from the output —
     there is nothing left to train on.
 
-    Scale shape: the span table groups per doc (collect_list is bounded at
-    n_tokens/k entries per doc), one equi join back to the corpus, and the
-    cut itself is a higher-order filter over the token array — JVM-side,
-    zero explode, zero extra shuffle. The oracle unnests tokens and
+    Scale shape: see cut_spans(). The oracle unnests tokens and
     anti-range-joins instead (row-explode is fine at oracle scale); both
     reduce to identical (doc, kept-token-sequence) sets.
     """
@@ -1223,38 +1273,87 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = persist_once(
         duplicated_spans(persist_once(window_hashes(docs))), shared=True
     )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    return cut_spans(docs, spans)
+
+
+@query(
+    "dedup_substring_remove_keep_first",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    win AS (
+        SELECT doc_id,
+               unnest(range(len(toks) - {SUBSTR_K} + 1)) AS pos,
+               unnest(list_transform(range(len(toks) - {SUBSTR_K} + 1),
+                      i -> md5(array_to_string(toks[i+1:i+{SUBSTR_K}], ' ')))) AS h
+        FROM tok WHERE len(toks) >= {SUBSTR_K}
+    ),
+    dup AS (
+        SELECT h, MIN(doc_id * 1000000 + pos) AS first_okey
+        FROM win GROUP BY h HAVING COUNT(*) > 1
+    ),
+    dw AS (
+        SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (h)
+        WHERE w.doc_id * 1000000 + w.pos <> d.first_okey
+    ),
+    flag AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                      OR pos > LAG(pos) OVER w + {SUBSTR_K} THEN 1 ELSE 0 END AS brk
+        FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM flag
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {SUBSTR_K} - 1 AS span_end
+        FROM isl GROUP BY doc_id, g
+    ),
+    toks_pos AS (
+        SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+        FROM tok
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tok, t.pos FROM toks_pos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end)
     )
-    toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    joined = toked.join(per_doc, "doc_id", "left").withColumn(
-        "spans", F.coalesce(F.col("spans"), F.array())
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_substring_remove_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-one removal: the canonical first occurrence of each duplicated
+    window — minimal (doc_id, pos), encoded as the order key
+    doc_id*1e6+pos so both engines compare one BIGINT — is exempted from
+    the cut, so exactly one copy of each duplicated region survives in the
+    corpus (an exact duplicate pair keeps one full document and guts the
+    other). Positions are bounded far below 1e6 by the k-window construction
+    on any real document; the oracle uses the identical key.
+
+    Same scale shape as dedup_substring_remove: the arg-min rides the same
+    partial-agg shuffle that finds duplicates (no extra pass), everything
+    downstream is shared machinery.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    win = persist_once(window_hashes(docs))
+    okey = (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("okey")
+    dup = (
+        win.select("h", okey)
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("okey").alias("first_okey"))
+        .filter(F.col("n") > 1)
     )
-    kept = F.filter(
-        F.transform(
-            F.col("toks"), lambda t, i: F.struct(t.alias("tok"), i.alias("pos"))
-        ),
-        lambda s: ~F.exists(
-            F.col("spans"),
-            lambda sp: s["pos"].cast("long").between(
-                sp["span_start"], sp["span_end"]
-            ),
-        ),
+    dw = (
+        win.join(dup.select("h", "first_okey"), "h")
+        .filter(F.col("doc_id") * F.lit(1_000_000) + F.col("pos") != F.col("first_okey"))
+        .select("doc_id", "pos")
     )
-    # own projection boundary: clean_text, n_tokens_kept AND the emptiness
-    # filter all consume `kept` — inlined, the per-token exists() HOF would
-    # run 3x per row (Catalyst never CSEs inside lambda bodies, and
-    # CollapseProject keeps non-cheap aliases separate only when they stay
-    # in their own Project). Measured at the 100x replica: the cut stage
-    # dropped ~85 s -> ~29 s (query alpha 0.93 -> 0.64).
-    pruned = joined.select("doc_id", kept.alias("kept"))
-    return (
-        pruned.select(
-            "doc_id",
-            F.array_join(
-                F.transform("kept", lambda s: s["tok"]), " "
-            ).alias("clean_text"),
-            F.size("kept").cast("long").alias("n_tokens_kept"),
-        )
-        .filter(F.col("n_tokens_kept") > 0)
-    )
+    return cut_spans(docs, merge_window_spans(dw))

@@ -356,3 +356,46 @@ def test_substring_spans_match_pure_python_reference(spark):
     )
     got = sorted(map(tuple, duplicated_spans(window_hashes(df, k=K), k=K).collect()))
     assert got == ref_spans(K)
+
+
+def test_substring_remove_keep_first_spares_earliest_copy(spark):
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.operators.dedup import (
+        cut_spans,
+        merge_window_spans,
+        window_hashes,
+    )
+
+    body = " ".join(f"B{i}" for i in range(12))
+    texts = [
+        body,                      # doc 0: the canonical copy — survives whole
+        body,                      # doc 1: exact duplicate — fully cut
+        f"x0 x1 {body} x2",        # doc 2: contains the run — run cut, xs kept
+        " ".join(f"y{i}" for i in range(10)),  # doc 3: untouched
+    ]
+    df = _docs(spark, texts)
+    win = window_hashes(df, k=8)
+    okey = (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("okey")
+    dup = (
+        win.select("h", okey)
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("okey").alias("first_okey"))
+        .filter(F.col("n") > 1)
+    )
+    dw = (
+        win.join(dup.select("h", "first_okey"), "h")
+        .filter(
+            F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+            != F.col("first_okey")
+        )
+        .select("doc_id", "pos")
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept)
+        for r in cut_spans(df, merge_window_spans(dw, k=8)).collect()
+    }
+    assert out[0] == (body, 12)       # first copy intact
+    assert 1 not in out               # exact duplicate fully removed
+    assert out[2] == ("x0 x1 x2", 3)  # embedded run cut, context kept
+    assert out[3] == (texts[3], 10)   # clean doc untouched
