@@ -327,3 +327,33 @@ def test_path_trigrams_single_window(spark):
     exactly one Window node (a second would mean a duplicated sort)."""
     plan = _plan(spark, "events_path_trigrams")
     assert plan.count("Window ") == 1, plan
+
+
+def test_substring_cut_has_no_explode(spark):
+    # the cut is a higher-order filter over the token array: span DISCOVERY
+    # may posexplode the k-windows (the cached window table prints once per
+    # consumer), but the cut itself must add ZERO Generate nodes —
+    # re-exploding the corpus tokens would shuffle |tokens| rows instead of
+    # |docs|
+    discovery_generates = _plan(spark, "dedup_substring_spans").count("Generate ")
+    for name in ("dedup_substring_remove", "dedup_substring_remove_keep_first"):
+        plan = _plan(spark, name)
+        assert plan.count("Generate ") <= discovery_generates, name
+        assert "array_join(transform(" in plan, name  # HOF cut, not explode
+        assert "CartesianProduct" not in plan, name
+
+
+def test_substring_spans_islands_window_is_doc_partitioned(spark):
+    # gaps-and-islands must run per-doc, never as a global window
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "Window" in plan
+    assert "partitionBy" not in plan  # physical plans spell it differently
+    assert "HashAggregate" in plan  # dup-window detection is partial-agg'd
+
+
+def test_decontaminate_probe_broadcasts(spark):
+    # the eval-gram side must reach the corpus scan as a broadcast — a
+    # shuffle join here re-partitions the full corpus against a tiny set
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
