@@ -117,6 +117,7 @@ HEADLINE = [
     "dedup_substring_remove",  # span cut via higher-order filter (no explode)
     "dedup_substring_remove_keep_first",  # keep-one span cut (arg-min exempt)
     "corpus_decontaminate",   # eval-overlap filter (broadcast probe + roster)
+    "graph_pagerank_iter",    # one damped power step, exact decimal reduce
 ]
 
 
