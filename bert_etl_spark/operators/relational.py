@@ -636,6 +636,38 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("n_nationkey", "n_name").agg(F.count("*").alias("n_rows"))
 
 
+# ORC scan — the other columnar format Spark reads natively (vectorized
+# reader, predicate pushdown, column pruning, identical to the parquet
+# path from Catalyst's side). Write-then-read round trip with a pushed
+# filter; tests/test_plans.py asserts the ORC scan carries PushedFilters,
+# proving the pushdown machinery engages for the format.
+@query(
+    "source_orc_scan",
+    oracle=f"""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {sql_dsum('s_acctbal')} AS total_acctbal
+    FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+    """,
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.sources.readers import read_orc
+
+    sup = tbl(spark, sf_dir, "supplier")
+    out = _scratch("orc_scan", sf_dir)
+    if not _written(out):
+        sup.write.mode("overwrite").orc(out)
+    back = read_orc(spark, out, schema=sup.schema)
+    return (
+        back.filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum("s_acctbal", "total_acctbal"),
+        )
+    )
+
+
 # Bucketed-write capability: both fact tables are written bucketBy the
 # join key into the SAME bucket count, then joined — the physical layout
 # already co-partitions the sides, so the join plan has NO Exchange on

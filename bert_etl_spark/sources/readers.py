@@ -28,6 +28,13 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: str | None = None, header: bool = True
 ) -> DataFrame:

@@ -357,3 +357,10 @@ def test_decontaminate_probe_broadcasts(spark):
     plan = _plan(spark, "corpus_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orc_scan_pushes_filter(spark):
+    # the ORC reader must engage the same pushdown machinery as parquet
+    plan = _plan(spark, "source_orc_scan")
+    assert "FileScan orc" in plan
+    assert "PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal" in plan
