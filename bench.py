@@ -118,6 +118,8 @@ HEADLINE = [
     "dedup_substring_remove_keep_first",  # keep-one span cut (arg-min exempt)
     "corpus_decontaminate",   # eval-overlap filter (broadcast probe + roster)
     "graph_pagerank_iter",    # one damped power step, exact decimal reduce
+    "source_orc_scan",        # ORC round-trip with pushed filter
+    "source_partitioned_scan",  # hive-layout write + partition pruning
 ]
 
 

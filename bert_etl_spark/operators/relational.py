@@ -668,6 +668,48 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hive-style partitioned layout + partition PRUNING — the dominant scan
+# optimization at 100 TB: a date-partitioned event table turns a one-week
+# query into a 7-directory read no matter how big the table is. The events
+# table is written partitionBy(event_date) once, then scanned with a date
+# range; tests/test_plans.py asserts the range lands in PartitionFilters
+# (metadata-level pruning) rather than a row-level filter.
+@query(
+    "source_partitioned_scan",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1
+    """,
+)
+def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    out = _scratch("partitioned_events", sf_dir)
+    if not _written(out):
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # Bucketed-write capability: both fact tables are written bucketBy the
 # join key into the SAME bucket count, then joined — the physical layout
 # already co-partitions the sides, so the join plan has NO Exchange on

@@ -364,3 +364,14 @@ def test_orc_scan_pushes_filter(spark):
     plan = _plan(spark, "source_orc_scan")
     assert "FileScan orc" in plan
     assert "PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal" in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    # the date range must prune at the DIRECTORY level (PartitionFilters),
+    # not as a row-level data filter: at 100 TB this is the difference
+    # between reading 7 days and reading the whole table
+    plan = _plan(spark, "source_partitioned_scan")
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    # no pushed row filter on the partition column — pruning happened above
+    assert "PushedFilters: []" in plan
