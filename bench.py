@@ -120,6 +120,8 @@ HEADLINE = [
     "graph_pagerank_iter",    # one damped power step, exact decimal reduce
     "source_orc_scan",        # ORC round-trip with pushed filter
     "source_partitioned_scan",  # hive-layout write + partition pruning
+    "text_bpe_merge_candidates",  # BPE training step over vocab, not corpus
+    "sink_compaction",        # small-files rewrite, Hadoop-FS sized
 ]
 
 

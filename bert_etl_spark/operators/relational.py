@@ -710,6 +710,37 @@ def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Small-files compaction as a registered query: a deliberately fragmented
+# copy of events (64 shards — the append-only ingest pathology) is
+# compacted by sources.sinks.compact_dataset into size-targeted files, and
+# the query aggregates the COMPACTED dataset — the oracle over the
+# original table proves the rewrite was lossless. tests/test_sources.py
+# asserts the file-count collapse itself.
+@query(
+    "sink_compaction",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.sources.sinks import compact_dataset
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    frag = _scratch("frag_events", sf_dir)
+    comp = _scratch("compact_events", sf_dir)
+    if not _written(frag):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+    if not _written(comp):
+        compact_dataset(spark, frag, comp)
+    back = spark.read.parquet(comp)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+
+
 # Bucketed-write capability: both fact tables are written bucketBy the
 # join key into the SAME bucket count, then joined — the physical layout
 # already co-partitions the sides, so the join plan has NO Exchange on

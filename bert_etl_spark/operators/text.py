@@ -747,3 +747,56 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.alias("n_covered"),
         F.round(covered.cast("double") / F.count("*"), 6).alias("coverage"),
     )
+
+
+# One BPE-training counting step: the frequency of every adjacent symbol
+# pair, weighted by token frequency — the argmax of this table IS the next
+# BPE merge. Scale shape: the corpus collapses to its VOCABULARY first
+# (one token shuffle with partial agg — vocab << corpus by Heaps' law), so
+# the pair explode runs over |vocab| rows, not |tokens|; the global top-20
+# is a TakeOrderedAndProject over the (tiny) pair-aggregate. Looping this
+# query with a merge-apply step is full BPE training; one step is the
+# deterministic, SQL-oracle-checkable unit.
+@query(
+    "text_bpe_merge_candidates",
+    oracle="""
+    WITH vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    pairs AS (
+        SELECT substr(token, i+1, 1) || substr(token, i+2, 1) AS pair, freq
+        FROM (SELECT token, freq, unnest(range(len(token)-1)) AS i
+              FROM vocab WHERE len(token) >= 2)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    pair_at = lambda i: F.concat(  # noqa: E731
+        F.col("token").substr(i + 1, F.lit(1)),
+        F.col("token").substr(i + 2, F.lit(1)),
+    )
+    return (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.length("token") - 2), pair_at)
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(TOP_N_TOKENS)
+    )

@@ -74,3 +74,35 @@ def incremental_ingest(
     finally:
         fresh.unpersist()
     return n
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet dataset into
+    ceil(total_bytes / target_file_bytes) files. Returns the output file
+    count.
+
+    The operational counterpart of streaming/append ingestion (the
+    reference's append-only shard layout, bert/etl/__init__.py:103-117,
+    accumulates one shard per ingest forever): many small files tax the
+    driver's split planning and every scan's open() overhead at 100 TB.
+    Sizing comes from the Hadoop FileSystem API (portable to HDFS/S3A, not
+    just local disk); the rewrite is ONE round-robin shuffle of the data —
+    no collect, no driver-side file juggling.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return n_files

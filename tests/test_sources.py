@@ -182,3 +182,24 @@ def test_ts_physical_drift_batch_and_streaming(spark, tmp_path):
             stream.select("event_id", "ts"), f"drift_sink_{i}", output_mode="append"
         )
         assert _wallclock(drained) == expected, f"streaming drift on {d}"
+
+
+def test_compaction_collapses_file_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.sources.sinks import compact_dataset
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(50).write.parquet(src)
+    import glob
+
+    n_before = len(glob.glob(f"{src}/part-*"))
+    assert n_before == 50
+    compact_dataset(spark, src, dst)  # 10k tiny rows << 128MB -> 1 file
+    n_after = len(glob.glob(f"{dst}/part-*"))
+    assert n_after == 1
+    # lossless: same multiset of rows
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
