@@ -399,3 +399,28 @@ def test_substring_remove_keep_first_spares_earliest_copy(spark):
     assert 1 not in out               # exact duplicate fully removed
     assert out[2] == ("x0 x1 x2", 3)  # embedded run cut, context kept
     assert out[3] == (texts[3], 10)   # clean doc untouched
+
+
+def test_substring_dedup_survives_corpus_wide_hot_window(spark):
+    # boilerplate pathology: ONE 8-gram prefix shared by EVERY doc. The
+    # dup-detection is a partial-agg count (no row fan-out), so this must
+    # stay correct — each doc gets exactly one span over the shared prefix,
+    # and the unique tails survive the cut untouched.
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.operators.dedup import (
+        cut_spans,
+        duplicated_spans,
+        window_hashes,
+    )
+
+    boiler = " ".join(f"H{i}" for i in range(8))
+    texts = [f"{boiler} u{d}a u{d}b u{d}c" for d in range(200)]
+    df = _docs(spark, texts)
+    spans = duplicated_spans(window_hashes(df, k=8), k=8)
+    rows = spans.collect()
+    assert len(rows) == 200
+    assert all((r.span_start, r.span_end) == (0, 7) for r in rows)
+    out = cut_spans(df, spans).collect()
+    assert len(out) == 200
+    assert all(r.clean_text == f"u{r.doc_id}a u{r.doc_id}b u{r.doc_id}c" for r in out)
