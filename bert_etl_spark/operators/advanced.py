@@ -586,6 +586,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  transform(filter(slice(ps, i + 2, size(ps)), y -> y > x), "
         "            y -> struct(x as u, y as v))))"
     )
+    # shared=True: this is the graph family's O(1) cross-query table (the
+    # registry policy class family_shingles also uses) — per-query tracking
+    # would release it between bench queries and PageRank would rebuild the
+    # whole lineitem scan + orderkey shuffle triangle count already paid
     return persist_once(
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
@@ -594,7 +598,8 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
-        .select("u", "v")
+        .select("u", "v"),
+        shared=True,
     )
 
 

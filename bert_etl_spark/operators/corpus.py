@@ -49,6 +49,40 @@ PACK_BUDGET = 256
 # ---------------------------------------------------------------------------
 
 
+# Shared oracle fragment: training/eval gram tables for the contamination
+# check and its removal counterpart — ONE definition of "shared gram" so
+# the two oracles can never diverge about what contaminated means.
+_SQL_CONTAM = f"""
+toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS t
+    FROM documents
+),
+grams AS (
+    -- scalar generate_series + unnest: the table-function form cannot
+    -- take lateral column arguments in DuckDB
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS shingle
+    FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {CONTAM_NGRAM - 1}))
+                   AS i
+        FROM toks
+        WHERE len(t) >= {CONTAM_NGRAM}
+    )
+),
+eval_grams AS (
+    SELECT DISTINCT shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+sev AS (
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams g
+    JOIN eval_grams e ON g.shingle = e.shingle
+    WHERE g.doc_id % {EVAL_MOD} <> 0
+    GROUP BY g.doc_id
+)
+"""
+
+
 # An n-gram shared with a benchmark/eval document marks a training doc as
 # contaminated (the decontamination step of any serious pretraining run).
 # The eval side is tiny by construction → broadcast; the corpus side is one
@@ -56,31 +90,8 @@ PACK_BUDGET = 256
 @query(
     "corpus_contamination_check",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS t
-        FROM documents
-    ),
-    grams AS (
-        -- scalar generate_series + unnest: the table-function form cannot
-        -- take lateral column arguments in DuckDB
-        SELECT DISTINCT doc_id,
-               array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS shingle
-        FROM (
-            SELECT doc_id, t,
-                   unnest(generate_series(1, len(t) - {CONTAM_NGRAM - 1}))
-                       AS i
-            FROM toks
-            WHERE len(t) >= {CONTAM_NGRAM}
-        )
-    ),
-    eval_grams AS (
-        SELECT DISTINCT shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0
-    )
-    SELECT g.doc_id, COUNT(*) AS n_shared_grams
-    FROM grams g
-    JOIN eval_grams e ON g.shingle = e.shingle
-    WHERE g.doc_id % {EVAL_MOD} <> 0
-    GROUP BY g.doc_id
+    WITH {_SQL_CONTAM}
+    SELECT doc_id, n_shared_grams FROM sev
     """,
 )
 def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,31 +123,7 @@ CONTAM_DROP_AT = 4
 @query(
     "corpus_decontaminate",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS t
-        FROM documents
-    ),
-    grams AS (
-        SELECT DISTINCT doc_id,
-               array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS shingle
-        FROM (
-            SELECT doc_id, t,
-                   unnest(generate_series(1, len(t) - {CONTAM_NGRAM - 1}))
-                       AS i
-            FROM toks
-            WHERE len(t) >= {CONTAM_NGRAM}
-        )
-    ),
-    eval_grams AS (
-        SELECT DISTINCT shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0
-    ),
-    sev AS (
-        SELECT g.doc_id, COUNT(*) AS n_shared_grams
-        FROM grams g
-        JOIN eval_grams e ON g.shingle = e.shingle
-        WHERE g.doc_id % {EVAL_MOD} <> 0
-        GROUP BY g.doc_id
-    )
+    WITH {_SQL_CONTAM}
     SELECT d.doc_id,
            COALESCE(s.n_shared_grams, CAST(0 AS BIGINT)) AS n_shared_grams
     FROM documents d LEFT JOIN sev s USING (doc_id)

@@ -448,6 +448,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ledger signs RAW shingles — which makes signatures arrival-order-invariant
 # and the streamed pair union equal to this batch candidate set exactly.
 _SQL_MINHASH_UNCAPPED = _SQL_MINHASH.replace("FROM shc)", "FROM sh)")
+# a reworded hashed-CTE would make the replace a silent no-op, and the
+# driver check could not tell: at test SFs the cap never bites, so capped
+# == uncapped there — only this assert keeps the documented semantics
+assert _SQL_MINHASH_UNCAPPED != _SQL_MINHASH, "uncapped rewrite did not apply"
 
 
 @query(
@@ -1139,7 +1143,11 @@ def cut_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
-_SQL_SUBSTR_SPANS = f"""
+def _sql_substr_spans(dup_dw_block: str) -> str:
+    """The shared tok/win → spans CTE chain, parameterized on the block
+    that selects which (doc_id, pos) window hits count as duplicated —
+    keeps the remove-all and keep-first oracles one merge/cut text."""
+    return f"""
 tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
 win AS (
     SELECT doc_id,
@@ -1148,8 +1156,7 @@ win AS (
                   i -> md5(array_to_string(toks[i+1:i+{SUBSTR_K}], ' ')))) AS h
     FROM tok WHERE len(toks) >= {SUBSTR_K}
 ),
-dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
-dw AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+{dup_dw_block},
 flag AS (
     SELECT doc_id, pos,
            CASE WHEN LAG(pos) OVER w IS NULL
@@ -1171,6 +1178,52 @@ spans AS (
 """
 
 
+_SQL_SUBSTR_SPANS = _sql_substr_spans(
+    """dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+dw AS (SELECT doc_id, pos FROM win JOIN dup USING (h))"""
+)
+
+# keep-first: same chain, but the minimal (doc_id*1e6+pos) occurrence of
+# each duplicate class is exempted from dw
+_SQL_SUBSTR_SPANS_KEEP_FIRST = _sql_substr_spans(
+    """dup AS (
+    SELECT h, MIN(doc_id * 1000000 + pos) AS first_okey
+    FROM win GROUP BY h HAVING COUNT(*) > 1
+),
+dw AS (
+    SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (h)
+    WHERE w.doc_id * 1000000 + w.pos <> d.first_okey
+)"""
+)
+
+# the cut: anti-range-join every token against the spans, re-assemble
+_SQL_SUBSTR_CUT = """
+toks_pos AS (
+    SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+    FROM tok
+),
+kept AS (
+    SELECT t.doc_id, t.tok, t.pos FROM toks_pos t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.pos BETWEEN s.span_start AND s.span_end)
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       COUNT(*) AS n_tokens_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+def family_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring family's shared span table (window hashes persisted as
+    a per-query temporary, merged spans persisted shared) — one build per
+    session for dedup_substring_spans / _doc_stats / _remove, via the same
+    canonical-plan cache matching family_shingles relies on."""
+    win = persist_once(window_hashes(tbl(spark, sf_dir, "documents")))
+    return persist_once(duplicated_spans(win), shared=True)
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
@@ -1186,8 +1239,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-item identity, bert/etl/__init__.py:57-80); this is the
     document-INTERNAL generalization a 100 TB text pipeline needs.
     """
-    win = persist_once(window_hashes(tbl(spark, sf_dir, "documents")))
-    return persist_once(duplicated_spans(win), shared=True)
+    return family_spans(spark, sf_dir)
 
 
 @query(
@@ -1214,9 +1266,7 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one session (canonical-plan match via persist_once).
     """
     docs = tbl(spark, sf_dir, "documents")
-    spans = persist_once(
-        duplicated_spans(persist_once(window_hashes(docs))), shared=True
-    )
+    spans = family_spans(spark, sf_dir)
     per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
     n_tok = docs.select(
         "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
@@ -1240,20 +1290,7 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_substring_remove",
     oracle=f"""
     WITH {_SQL_SUBSTR_SPANS},
-    toks_pos AS (
-        SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
-        FROM tok
-    ),
-    kept AS (
-        SELECT t.doc_id, t.tok, t.pos FROM toks_pos t
-        WHERE NOT EXISTS (
-            SELECT 1 FROM spans s
-            WHERE s.doc_id = t.doc_id
-              AND t.pos BETWEEN s.span_start AND s.span_end)
-    )
-    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-           COUNT(*) AS n_tokens_kept
-    FROM kept GROUP BY doc_id
+    {_SQL_SUBSTR_CUT}
     """,
 )
 def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,61 +1307,14 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to identical (doc, kept-token-sequence) sets.
     """
     docs = tbl(spark, sf_dir, "documents")
-    spans = persist_once(
-        duplicated_spans(persist_once(window_hashes(docs))), shared=True
-    )
-    return cut_spans(docs, spans)
+    return cut_spans(docs, family_spans(spark, sf_dir))
 
 
 @query(
     "dedup_substring_remove_keep_first",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    win AS (
-        SELECT doc_id,
-               unnest(range(len(toks) - {SUBSTR_K} + 1)) AS pos,
-               unnest(list_transform(range(len(toks) - {SUBSTR_K} + 1),
-                      i -> md5(array_to_string(toks[i+1:i+{SUBSTR_K}], ' ')))) AS h
-        FROM tok WHERE len(toks) >= {SUBSTR_K}
-    ),
-    dup AS (
-        SELECT h, MIN(doc_id * 1000000 + pos) AS first_okey
-        FROM win GROUP BY h HAVING COUNT(*) > 1
-    ),
-    dw AS (
-        SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (h)
-        WHERE w.doc_id * 1000000 + w.pos <> d.first_okey
-    ),
-    flag AS (
-        SELECT doc_id, pos,
-               CASE WHEN LAG(pos) OVER w IS NULL
-                      OR pos > LAG(pos) OVER w + {SUBSTR_K} THEN 1 ELSE 0 END AS brk
-        FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    isl AS (
-        SELECT doc_id, pos,
-               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
-        FROM flag
-    ),
-    spans AS (
-        SELECT doc_id, MIN(pos) AS span_start,
-               MAX(pos) + {SUBSTR_K} - 1 AS span_end
-        FROM isl GROUP BY doc_id, g
-    ),
-    toks_pos AS (
-        SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
-        FROM tok
-    ),
-    kept AS (
-        SELECT t.doc_id, t.tok, t.pos FROM toks_pos t
-        WHERE NOT EXISTS (
-            SELECT 1 FROM spans s
-            WHERE s.doc_id = t.doc_id
-              AND t.pos BETWEEN s.span_start AND s.span_end)
-    )
-    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-           COUNT(*) AS n_tokens_kept
-    FROM kept GROUP BY doc_id
+    WITH {_SQL_SUBSTR_SPANS_KEEP_FIRST},
+    {_SQL_SUBSTR_CUT}
     """,
 )
 def dedup_substring_remove_keep_first(

@@ -28,7 +28,8 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return reader.json(path)
 
 
-def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """schema: DDL string or StructType (DataFrameReader.schema takes both)."""
     reader = spark.read
     if schema:
         reader = reader.schema(schema)

@@ -333,12 +333,20 @@ def lsh_band_ledger_stream(
                 F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
             )
         )
-        try:
-            ledger = spark.read.parquet(ledger_dir).filter(
-                F.col("epoch") < epoch_id
-            )
-        except Exception:  # first epoch: no ledger yet
-            ledger = None
+        # EXISTENCE check, not a bare try/except: a transient read failure
+        # (FS hiccup, permissions) at epoch N>0 must raise and fail the
+        # batch — swallowing it as "first epoch" would silently drop every
+        # cross-epoch pair for this batch, then commit the checkpoint,
+        # losing them permanently (each pair is only ever emitted at the
+        # LATER doc's epoch).
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(ledger_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        ledger = (
+            spark.read.parquet(ledger_dir).filter(F.col("epoch") < epoch_id)
+            if fs.exists(hpath)
+            else None
+        )
         cand = within
         if ledger is not None:
             cross = (
@@ -348,6 +356,11 @@ def lsh_band_ledger_stream(
                     ),
                     ["band", "h"],
                 )
+                # a producer re-delivering a document in a later epoch
+                # would band-match its own prior ledger entry: drop the
+                # degenerate (d, d) rows so the emitted union keeps the
+                # batch pipeline's strict doc_i < doc_j contract
+                .filter(F.col("doc_id") != F.col("prior_doc"))
                 .select(
                     F.least("doc_id", "prior_doc").alias("doc_i"),
                     F.greatest("doc_id", "prior_doc").alias("doc_j"),

@@ -388,3 +388,37 @@ def test_lsh_ledger_restart_is_exactly_once(spark, tmp_path):
     )
     assert set(first) <= set(after)
     assert (3, 7) in after and (4, 7) in after
+
+
+def test_lsh_ledger_redelivered_doc_emits_no_self_pair(spark, tmp_path):
+    """At-least-once producers re-deliver: the same doc_id arriving in a
+    LATER epoch band-matches its own prior ledger entry — the cross path
+    must drop the degenerate (d, d) rows and keep doc_i < doc_j."""
+    from bert_etl_spark.streaming.events import lsh_band_ledger_stream
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    # epoch 0: docs 0-3; epoch 1: doc 0 AGAIN (re-delivery) plus 4-7
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    docs.filter((F.col("doc_id") == 0) | (F.col("doc_id") >= 4)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = lsh_band_ledger_stream(
+        stream,
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    pairs = [
+        (r.doc_i, r.doc_j)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert all(i < j for i, j in pairs), pairs
+    assert (0, 2) in pairs  # the real near-dup still surfaces
