@@ -424,3 +424,87 @@ def test_substring_dedup_survives_corpus_wide_hot_window(spark):
     out = cut_spans(df, spans).collect()
     assert len(out) == 200
     assert all(r.clean_text == f"u{r.doc_id}a u{r.doc_id}b u{r.doc_id}c" for r in out)
+
+
+def test_substring_keep_first_matches_pure_python_reference(spark):
+    """Seeded random corpora vs a brute-force keep-first implementation:
+    minimal (doc_id, pos) occurrence of each duplicated k-window is
+    exempted, remaining hits merge and cut exactly like remove-all."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.operators.dedup import (
+        cut_spans,
+        merge_window_spans,
+        window_hashes,
+    )
+
+    K = 3
+    rng = random.Random(7)
+    texts = {}
+    for c in range(20):
+        for i in range(rng.randint(1, 4)):
+            toks = [f"c{c}_{rng.choice('ab')}" for _ in range(rng.randint(0, 10))]
+            texts[c * 100 + i] = " ".join(toks)
+
+    def ref():
+        wins = []
+        for d, t in sorted(texts.items()):
+            toks = t.strip().split(" ")  # "" -> [''], matching split(trim(text))
+            for p in range(max(0, len(toks) - K + 1)):
+                wins.append((d, p, " ".join(toks[p : p + K])))
+        cnt = Counter(g for _, _, g in wins)
+        first = {}
+        for d, p, g in sorted(wins):
+            first.setdefault(g, (d, p))
+        dup = sorted(
+            (d, p) for d, p, g in wins if cnt[g] > 1 and first[g] != (d, p)
+        )
+        by_doc = {}
+        for d, p in dup:
+            by_doc.setdefault(d, []).append(p)
+        spans = {}
+        for d, ps in by_doc.items():
+            cur = [[ps[0], ps[0]]]
+            for p in ps[1:]:
+                if p <= cur[-1][1] + K:
+                    cur[-1][1] = p
+                else:
+                    cur.append([p, p])
+            spans[d] = [(s, e + K - 1) for s, e in cur]
+        out = {}
+        for d, t in sorted(texts.items()):
+            toks = t.strip().split(" ")
+            kept = [
+                tok
+                for i, tok in enumerate(toks)
+                if not any(s <= i <= e for s, e in spans.get(d, []))
+            ]
+            if kept:
+                out[d] = (" ".join(kept), len(kept))
+        return out
+
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    win = window_hashes(df, k=K)
+    okey = (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("okey")
+    dup = (
+        win.select("h", okey)
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("okey").alias("first_okey"))
+        .filter(F.col("n") > 1)
+    )
+    dw = (
+        win.join(dup.select("h", "first_okey"), "h")
+        .filter(
+            F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+            != F.col("first_okey")
+        )
+        .select("doc_id", "pos")
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept)
+        for r in cut_spans(df, merge_window_spans(dw, k=K)).collect()
+    }
+    assert got == ref()
