@@ -122,6 +122,7 @@ HEADLINE = [
     "source_partitioned_scan",  # hive-layout write + partition pruning
     "text_bpe_merge_candidates",  # BPE training step over vocab, not corpus
     "sink_compaction",        # small-files rewrite, Hadoop-FS sized
+    "multimodal_dedup_phash",  # dHash + banded Hamming (perceptual near-dup)
 ]
 
 

@@ -393,3 +393,124 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_candidates") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: dHash over the gray8 payload + banded Hamming
+# ---------------------------------------------------------------------------
+
+# Difference-hash (dHash), the classic perceptual image fingerprint: sample
+# 65 evenly-spaced "pixels" (bytes of the gray8 payload), each bit records
+# whether intensity rises between neighbors; near-identical images differ
+# in few bits. Candidate generation reuses the SimHash trick — 4 x 16-bit
+# band blocking, exact for Hamming <= 3 by pigeonhole — so the join is
+# banded, never all-pairs. Because the fake decode is pure byte
+# arithmetic, the WHOLE pipeline (sampling, banding, verification) is
+# SQL-expressible and value-checked; with a real image decoder only the
+# pixel source changes. The synthetic corpus plants no visually-near
+# payloads, so the registered query emits every band candidate WITH its
+# verified Hamming distance (the banding false-positive floor — what an
+# index tuner inspects); the <=3 near-dup behavior itself is pinned by a
+# unit test with planted near-identical payloads.
+DHASH_BITS = 64
+DHASH_BANDS = 4
+
+
+def dhash_bits_sql(table: str = "documents") -> str:
+    """DuckDB CTE body for the per-doc dHash bit vector."""
+    return f"""
+    SELECT doc_id,
+           list_transform(range({DHASH_BITS}), i -> CASE WHEN
+               ascii(substr(text, 1 + ((len(text)-1) * i)     // {DHASH_BITS}, 1)) <
+               ascii(substr(text, 1 + ((len(text)-1) * (i+1)) // {DHASH_BITS}, 1))
+               THEN 1 ELSE 0 END) AS b
+    FROM {table} WHERE len(text) >= 2
+    """
+
+
+_DHASH_BITS_EXPR = (
+    f"transform(sequence(0, {DHASH_BITS - 1}), i -> CASE WHEN "
+    f"ascii(substring(text, CAST(1 + ((length(text)-1) * i) div {DHASH_BITS} AS INT), 1)) < "
+    f"ascii(substring(text, CAST(1 + ((length(text)-1) * (i+1)) div {DHASH_BITS} AS INT), 1)) "
+    f"THEN 1 ELSE 0 END)"
+)
+
+
+def dhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, b: array<int>) — the 64-bit dHash as a bit array. Narrow,
+    JVM-side byte arithmetic; zero shuffles."""
+    return docs.filter(F.length(text_col) >= 2).select(
+        "doc_id", F.expr(_DHASH_BITS_EXPR.replace("text", text_col)).alias("b")
+    )
+
+
+def dhash_band_pairs(bits: DataFrame) -> DataFrame:
+    """Banded candidate pairs with verified Hamming: (doc_i, doc_j, hamming).
+
+    Bands are an equi-join on (band, 16-bit-slice digest) — the quadratic
+    term only materializes inside a bucket, exactly as in SimHash; the
+    verification zip runs once per CANDIDATE pair, not per pair of docs.
+    """
+    bands = bits.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {DHASH_BANDS - 1}), bd -> "
+                f"struct(bd as band, md5(concat(cast(bd as string), ':', "
+                f"concat_ws('', slice(b, 1 + bd * 16, 16)))) as h))"
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "h"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    x = bits.select(F.col("doc_id").alias("doc_i"), F.col("b").alias("bi"))
+    y = bits.select(F.col("doc_id").alias("doc_j"), F.col("b").alias("bj"))
+    ham = F.expr(
+        "aggregate(zip_with(bi, bj, (p, q) -> abs(p - q)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(x, "doc_i")
+        .join(y, "doc_j")
+        .select("doc_i", "doc_j", ham.cast("long").alias("hamming"))
+    )
+
+
+@query(
+    "multimodal_dedup_phash",
+    oracle=f"""
+    WITH bits AS ({dhash_bits_sql()}),
+    bands AS (
+        SELECT doc_id, band,
+               md5(CAST(band AS VARCHAR) || ':' ||
+                   array_to_string(b[1 + band*16 : 16 + band*16], '')) AS h
+        FROM bits, unnest([0,1,2,3]) AS t(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+                                 AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_i, c.doc_j,
+           CAST(list_aggregate(list_transform(range({DHASH_BITS}),
+                i -> abs(x.b[i+1] - y.b[i+1])), 'sum') AS BIGINT) AS hamming
+    FROM cand c JOIN bits x ON x.doc_id = c.doc_i
+                JOIN bits y ON y.doc_id = c.doc_j
+    """,
+)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.registry import persist_once
+
+    # the gray8 payload IS the text's bytes (with_media encodes exactly
+    # this column); dHash reads the text directly so the oracle can mirror
+    # the byte arithmetic (ascii == byte for this ASCII-safe corpus, the
+    # same equivalence multimodal_dedup_exact's oracle uses)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    bits = persist_once(dhash_bits(docs))  # bands + both verify sides
+    return dhash_band_pairs(bits)

@@ -46,3 +46,30 @@ def test_frame_sample_fanout(spark):
     # doc 2 has exactly 9 frames → kept frames 0,4,8
     assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 4, 8]
     assert len({r.frame_md5 for r in rows}) == 1  # identical bytes → same digest
+
+
+def test_dhash_near_identical_payloads_collide(spark):
+    from bert_etl_spark.operators.multimodal import dhash_band_pairs, dhash_bits
+
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(130))
+    # one-byte intensity edit at a fixed position: same length means the
+    # same sampled positions, so at most 2 dHash bits flip -> at least 3 of
+    # 4 bands still match (pigeonhole) and the pair MUST surface
+    edited = base[:50] + chr(ord(base[50]) + 1) + base[51:]
+    unrelated = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(130))
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, base), (3, unrelated)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_i, r.doc_j): r.hamming
+        for r in dhash_band_pairs(dhash_bits(df)).collect()
+    }
+    assert pairs.get((0, 2)) == 0  # identical payloads: hamming 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 2  # near-identical
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    # unrelated payload may band-collide by chance but never at near-dup
+    # distance
+    for (i, j), h in pairs.items():
+        if 3 in (i, j):
+            assert h > 3, ((i, j), h)
