@@ -417,14 +417,23 @@ DHASH_BANDS = 4
 
 
 def dhash_bits_sql(table: str = "documents") -> str:
-    """DuckDB CTE body for the per-doc dHash bit vector."""
+    """DuckDB CTE body for the per-doc dHash bit vector + packed halves."""
     return f"""
-    SELECT doc_id,
-           list_transform(range({DHASH_BITS}), i -> CASE WHEN
-               ascii(substr(text, 1 + ((len(text)-1) * i)     // {DHASH_BITS}, 1)) <
-               ascii(substr(text, 1 + ((len(text)-1) * (i+1)) // {DHASH_BITS}, 1))
-               THEN 1 ELSE 0 END) AS b
-    FROM {table} WHERE len(text) >= 2
+    SELECT doc_id, b,
+           list_aggregate(list_transform(range(32),
+               i -> CAST(b[i+1] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
+               AS lo,
+           list_aggregate(list_transform(range(32),
+               i -> CAST(b[i+33] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
+               AS hi
+    FROM (
+        SELECT doc_id,
+               list_transform(range({DHASH_BITS}), i -> CASE WHEN
+                   ascii(substr(text, 1 + ((len(text)-1) * i)     // {DHASH_BITS}, 1)) <
+                   ascii(substr(text, 1 + ((len(text)-1) * (i+1)) // {DHASH_BITS}, 1))
+                   THEN 1 ELSE 0 END) AS b
+        FROM {table} WHERE len(text) >= 2
+    )
     """
 
 
@@ -437,10 +446,28 @@ _DHASH_BITS_EXPR = (
 
 
 def dhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, b: array<int>) — the 64-bit dHash as a bit array. Narrow,
-    JVM-side byte arithmetic; zero shuffles."""
-    return docs.filter(F.length(text_col) >= 2).select(
-        "doc_id", F.expr(_DHASH_BITS_EXPR.replace("text", text_col)).alias("b")
+    """(doc_id, b: array<int>, lo, hi) — the 64-bit dHash as a bit array
+    plus two packed 32-bit halves. Narrow, JVM-side byte arithmetic, zero
+    shuffles. The array feeds band derivation; the packed halves are what
+    the verification join carries (the round-5 SimHash lesson: shipping a
+    64-int array per candidate side dominated the 100x shuffle — two
+    BIGINTs + bit_count(xor) replace the whole zip)."""
+    pack = (
+        "aggregate(transform(sequence(0, 31), i -> "
+        "CAST(element_at(b, {off} + i + 1) AS BIGINT) * shiftleft(CAST(1 AS BIGINT), i)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        docs.filter(F.length(text_col) >= 2)
+        .select(
+            "doc_id", F.expr(_DHASH_BITS_EXPR.replace("text", text_col)).alias("b")
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.expr(pack.format(off=0)).alias("lo"),
+            F.expr(pack.format(off=32)).alias("hi"),
+        )
     )
 
 
@@ -470,11 +497,17 @@ def dhash_band_pairs(bits: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    x = bits.select(F.col("doc_id").alias("doc_i"), F.col("b").alias("bi"))
-    y = bits.select(F.col("doc_id").alias("doc_j"), F.col("b").alias("bj"))
-    ham = F.expr(
-        "aggregate(zip_with(bi, bj, (p, q) -> abs(p - q)), 0, (acc, v) -> acc + v)"
+    x = bits.select(
+        F.col("doc_id").alias("doc_i"),
+        F.col("lo").alias("lo_i"),
+        F.col("hi").alias("hi_i"),
     )
+    y = bits.select(
+        F.col("doc_id").alias("doc_j"),
+        F.col("lo").alias("lo_j"),
+        F.col("hi").alias("hi_j"),
+    )
+    ham = F.expr("bit_count(lo_i ^ lo_j) + bit_count(hi_i ^ hi_j)")
     return (
         cand.join(x, "doc_i")
         .join(y, "doc_j")
@@ -498,8 +531,8 @@ def dhash_band_pairs(bits: DataFrame) -> DataFrame:
                                  AND a.doc_id < b.doc_id
     )
     SELECT c.doc_i, c.doc_j,
-           CAST(list_aggregate(list_transform(range({DHASH_BITS}),
-                i -> abs(x.b[i+1] - y.b[i+1])), 'sum') AS BIGINT) AS hamming
+           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+                AS BIGINT) AS hamming
     FROM cand c JOIN bits x ON x.doc_id = c.doc_i
                 JOIN bits y ON y.doc_id = c.doc_j
     """,
