@@ -603,17 +603,25 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL definition of the co-purchase edge set, interpolated into every
+# graph-family oracle — the SQL twin of copurchase_edges() above, so the
+# oracles cannot diverge from each other or from the Spark-side builder.
+_SQL_COPURCHASE_EDGES = f"""
+pairs AS (
+    SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= {MIN_SUPPORT}
+)
+"""
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
-    WITH pairs AS (
-        SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    edges AS (
-        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= {MIN_SUPPORT}
-    ),
+    WITH {_SQL_COPURCHASE_EDGES},
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS d
         FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
@@ -684,18 +692,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("o.src")).alias("n_triangles"),
         )
     )
-
-
-_SQL_COPURCHASE_EDGES = f"""
-pairs AS (
-    SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-edges AS (
-    SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= {MIN_SUPPORT}
-)
-"""
 
 
 # One damped power-iteration step of PageRank from the uniform vector over

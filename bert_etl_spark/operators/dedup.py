@@ -450,8 +450,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MINHASH_UNCAPPED = _SQL_MINHASH.replace("FROM shc)", "FROM sh)")
 # a reworded hashed-CTE would make the replace a silent no-op, and the
 # driver check could not tell: at test SFs the cap never bites, so capped
-# == uncapped there — only this assert keeps the documented semantics
-assert _SQL_MINHASH_UNCAPPED != _SQL_MINHASH, "uncapped rewrite did not apply"
+# == uncapped there — only this check keeps the documented semantics
+# (a hard raise, not assert: python -O strips asserts)
+if _SQL_MINHASH_UNCAPPED == _SQL_MINHASH:
+    raise ValueError("uncapped minhash oracle rewrite did not apply")
 
 
 @query(

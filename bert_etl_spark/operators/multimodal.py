@@ -414,17 +414,19 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unit test with planted near-identical payloads.
 DHASH_BITS = 64
 DHASH_BANDS = 4
+_BAND_W = DHASH_BITS // DHASH_BANDS  # bits per band (one knob, both engines)
+_HALF = DHASH_BITS // 2  # packed-half width
 
 
 def dhash_bits_sql(table: str = "documents") -> str:
     """DuckDB CTE body for the per-doc dHash bit vector + packed halves."""
     return f"""
     SELECT doc_id, b,
-           list_aggregate(list_transform(range(32),
+           list_aggregate(list_transform(range({_HALF}),
                i -> CAST(b[i+1] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
                AS lo,
-           list_aggregate(list_transform(range(32),
-               i -> CAST(b[i+33] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
+           list_aggregate(list_transform(range({_HALF}),
+               i -> CAST(b[i+{_HALF}+1] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
                AS hi
     FROM (
         SELECT doc_id,
@@ -437,10 +439,15 @@ def dhash_bits_sql(table: str = "documents") -> str:
     """
 
 
+# (length-1)*i runs in BIGINT: int32 arithmetic would wrap for payloads
+# past ~34M bytes (2^31/63) and, with ANSI off, silently sample from the
+# string's END via substring's negative-start semantics — the oracle's
+# len() is already BIGINT. The final position is <= length, so the outer
+# INT cast for substring is safe.
 _DHASH_BITS_EXPR = (
     f"transform(sequence(0, {DHASH_BITS - 1}), i -> CASE WHEN "
-    f"ascii(substring(text, CAST(1 + ((length(text)-1) * i) div {DHASH_BITS} AS INT), 1)) < "
-    f"ascii(substring(text, CAST(1 + ((length(text)-1) * (i+1)) div {DHASH_BITS} AS INT), 1)) "
+    f"ascii(substring(text, CAST(1 + ((CAST(length(text) AS BIGINT)-1) * i) div {DHASH_BITS} AS INT), 1)) < "
+    f"ascii(substring(text, CAST(1 + ((CAST(length(text) AS BIGINT)-1) * (i+1)) div {DHASH_BITS} AS INT), 1)) "
     f"THEN 1 ELSE 0 END)"
 )
 
@@ -484,7 +491,7 @@ def dhash_band_pairs(bits: DataFrame) -> DataFrame:
             F.expr(
                 f"transform(sequence(0, {DHASH_BANDS - 1}), bd -> "
                 f"struct(bd as band, md5(concat(cast(bd as string), ':', "
-                f"concat_ws('', slice(b, 1 + bd * 16, 16)))) as h))"
+                f"concat_ws('', slice(b, 1 + bd * {_BAND_W}, {_BAND_W})))) as h))"
             )
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
@@ -522,8 +529,10 @@ def dhash_band_pairs(bits: DataFrame) -> DataFrame:
     bands AS (
         SELECT doc_id, band,
                md5(CAST(band AS VARCHAR) || ':' ||
-                   array_to_string(b[1 + band*16 : 16 + band*16], '')) AS h
-        FROM bits, unnest([0,1,2,3]) AS t(band)
+                   array_to_string(
+                       b[1 + band*{_BAND_W} : {_BAND_W} + band*{_BAND_W}],
+                       '')) AS h
+        FROM bits, unnest(range({DHASH_BANDS})) AS t(band)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j

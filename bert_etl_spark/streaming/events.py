@@ -333,18 +333,23 @@ def lsh_band_ledger_stream(
                 F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
             )
         )
-        # EXISTENCE check, not a bare try/except: a transient read failure
-        # (FS hiccup, permissions) at epoch N>0 must raise and fail the
-        # batch — swallowing it as "first epoch" would silently drop every
-        # cross-epoch pair for this batch, then commit the checkpoint,
-        # losing them permanently (each pair is only ever emitted at the
-        # LATER doc's epoch).
+        # COMMITTED-EPOCH check, not a bare try/except: a transient read
+        # failure (FS hiccup, permissions) at epoch N>0 must raise and fail
+        # the batch — swallowing it as "first epoch" would silently drop
+        # every cross-epoch pair for this batch, then commit the
+        # checkpoint, losing them permanently (each pair is only ever
+        # emitted at the LATER doc's epoch). The probe looks for a
+        # committed epoch partition (_SUCCESS marker), not bare directory
+        # existence: a write that crashed mid-job leaves the dir present
+        # but empty, and reading it would crash-loop the replay with
+        # "unable to infer schema" on every retry.
         jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(ledger_dir)
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/epoch=*/_SUCCESS")
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        committed = fs.globStatus(hpath)
         ledger = (
             spark.read.parquet(ledger_dir).filter(F.col("epoch") < epoch_id)
-            if fs.exists(hpath)
+            if committed is not None and len(committed) > 0
             else None
         )
         cand = within
