@@ -741,6 +741,128 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 5  # fixed for oracle determinism (unrolled CTE chain)
+PAGERANK_CHECKPOINT_EVERY = 8  # lineage truncation cadence for deep loops
+
+
+def pagerank_power(edges: DataFrame, k: int) -> DataFrame:
+    """k damped power iterations of PageRank over undirected (u, v) edges;
+    returns (node, pr) where pr is SCALED by n (pr = n x pagerank, i.e.
+    relative to uniform — scaled so every intermediate is O(1) and the
+    6-decimal exact reduction keeps full precision at any graph size).
+
+    The reference-shaped iterate-until-done driver (BOTTLE re-scheduling,
+    /root/reference/bert/deploy/reporting.py:120-177) as a Spark loop:
+
+    - ITERATION-INVARIANT state (deg) is built and persisted ONCE; each
+      step broadcasts only the |V|-sized contribution vector and shuffles
+      the edge list once on its integer key — the minimal per-step cost.
+    - The iterate chain is LINEAR (each state feeds exactly one
+      consumer), so the loop stays LAZY: no per-iteration persist/count
+      barrier — one final action executes every stage exactly once, like
+      the oracle's CTE chain. (A first cut materialized each iterate
+      eagerly; that tripled wall-clock at sf0.1 — 5 extra jobs + 5
+      broadcast rebuilds bought nothing a linear chain needed.)
+    - Every PAGERANK_CHECKPOINT_EVERY iterations the iterate is
+      localCheckpoint(eager)-ed: lineage truncation, because the logical
+      plan deepens by one join per step and analysis cost would creep
+      quadratically on long trainings; the checkpoint is also the
+      re-execution barrier (cache lifecycle stays O(1) in k — tests pin
+      the cached-RDD count flat between k=2 and k=9).
+
+    The ENTIRE loop runs in integer fixed point — pr in BIGINT micro-units
+    (1e-6), contributions and the damping update via explicit HALF_UP
+    integer division: c = (2*pr + d) div (2*d), pr' = 150000 +
+    (17*S + 10) div 20. This is not pedantry: with any float in the loop
+    the engines drift — ROUND-on-double hits exact .xx50 midpoints
+    systematically once the state is 6-decimal-quantized (Spark HALF_UP
+    on the shortest repr vs DuckDB binary round), and double->decimal
+    casts disagree the same way on pr/d midpoints (both measured at
+    sf0.01, 1e-6/node/iteration). Integer ops are bit-exact, associative
+    (SUM shuffles freely), and identical in every engine; only the FINAL
+    output divides by 1e6 into a double — exact inputs, correctly-rounded
+    IEEE division, identical both sides."""
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = persist_once(und.groupBy("src").agg(F.count("*").alias("d")))
+    r = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("pr")
+    )
+    for t in range(k):
+        contrib = F.broadcast(
+            r.join(deg, r["node"] == deg["src"]).select(
+                "src",
+                # HALF_UP fixed-point pr/d: floor(pr/d + 1/2)
+                F.expr("(2 * pr + d) div (2 * d)").alias("c"),
+            )
+        )
+        r = (
+            und.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                # 0.15 + 0.85*S in micro-units: HALF_UP 17S/20
+                F.expr("150000 + (17 * s + 10) div 20").alias("pr"),
+            )
+        )
+        if (t + 1) % PAGERANK_CHECKPOINT_EVERY == 0:
+            # truncate lineage; the checkpointed RDD is released by GC,
+            # so the loop never holds more than one truncation point
+            r = r.localCheckpoint(eager=True)
+    return r
+
+
+def _sql_pagerank_iters(k: int) -> str:
+    """Unrolled k-step CTE chain — the oracle twin of pagerank_power
+    (same BIGINT micro-unit state, same HALF_UP integer divisions; see
+    its docstring)."""
+    chain = [
+        "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)"
+    ]
+    for t in range(1, k + 1):
+        chain.append(
+            f"""r{t} AS (
+        SELECT u.dst AS node,
+               CAST(150000 + (17 * CAST(SUM((2 * r.pr + d.d) // (2 * d.d))
+                                        AS BIGINT) + 10) // 20
+                    AS BIGINT) AS pr
+        FROM und u
+        JOIN deg d ON d.src = u.src
+        JOIN r{t - 1} r ON r.node = u.src
+        GROUP BY u.dst
+    )"""
+        )
+    return ",\n    ".join(chain)
+
+
+# Iterated PageRank to (near-)convergence: the registered production shape
+# of graph_pagerank_iter's single step — a fixed-k power loop so the DuckDB
+# oracle (an unrolled CTE chain built by the SAME generator parameter) is
+# deterministic. Scaled by n throughout; see pagerank_power.
+@query(
+    "graph_pagerank_k_iters",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+    {_sql_pagerank_iters(PAGERANK_ITERS)}
+    SELECT node, CAST(pr AS DOUBLE) / 1000000.0 AS pr_scaled
+    FROM r{PAGERANK_ITERS}
+    """,
+)
+def graph_pagerank_k_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return pagerank_power(edges, PAGERANK_ITERS).select(
+        "node",
+        (F.col("pr").cast("double") / F.lit(1_000_000.0)).alias("pr_scaled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (blocked by
 # the coarse label, standing in for any quantizer cell) → pointer-doubling

@@ -1185,16 +1185,20 @@ _SQL_SUBSTR_SPANS = _sql_substr_spans(
 dw AS (SELECT doc_id, pos FROM win JOIN dup USING (h))"""
 )
 
-# keep-first: same chain, but the minimal (doc_id*1e6+pos) occurrence of
-# each duplicate class is exempted from dw
+# keep-first: same chain, but the minimal (doc_id, pos) occurrence of each
+# duplicate class is exempted from dw. Composite struct-min, NOT an
+# arithmetic packing: doc_id*C+pos collides/misorders once a document
+# exceeds C tokens, and a 100 TB web corpus does contain multi-million-
+# token documents — struct comparison is collision-free at any size.
 _SQL_SUBSTR_SPANS_KEEP_FIRST = _sql_substr_spans(
     """dup AS (
-    SELECT h, MIN(doc_id * 1000000 + pos) AS first_okey
+    SELECT h, MIN(struct_pack(d := doc_id, p := pos)) AS first
     FROM win GROUP BY h HAVING COUNT(*) > 1
 ),
 dw AS (
     SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (h)
-    WHERE w.doc_id * 1000000 + w.pos <> d.first_okey
+    WHERE w.doc_id <> struct_extract(d.first, 'd')
+       OR w.pos <> struct_extract(d.first, 'p')
 )"""
 )
 
@@ -1323,12 +1327,13 @@ def dedup_substring_remove_keep_first(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Keep-one removal: the canonical first occurrence of each duplicated
-    window — minimal (doc_id, pos), encoded as the order key
-    doc_id*1e6+pos so both engines compare one BIGINT — is exempted from
-    the cut, so exactly one copy of each duplicated region survives in the
-    corpus (an exact duplicate pair keeps one full document and guts the
-    other). Positions are bounded far below 1e6 by the k-window construction
-    on any real document; the oracle uses the identical key.
+    window — minimal (doc_id, pos) as a composite STRUCT min, collision-
+    free for any document length (an arithmetic doc_id*C+pos packing
+    silently misorders past C tokens per document; multi-million-token
+    documents exist in a web corpus) — is exempted from the cut, so
+    exactly one copy of each duplicated region survives in the corpus (an
+    exact duplicate pair keeps one full document and guts the other). The
+    oracle uses the identical struct_pack min.
 
     Same scale shape as dedup_substring_remove: the arg-min rides the same
     partial-agg shuffle that finds duplicates (no extra pass), everything
@@ -1336,16 +1341,31 @@ def dedup_substring_remove_keep_first(
     """
     docs = tbl(spark, sf_dir, "documents")
     win = persist_once(window_hashes(docs))
-    okey = (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("okey")
+    return cut_spans(docs, merge_window_spans(keep_first_dup_windows(win)))
+
+
+def keep_first_dup_windows(win: DataFrame) -> DataFrame:
+    """Duplicated k-window hits MINUS the canonical first occurrence of
+    each duplicate class: (doc_id, pos) rows to cut, sparing the minimal
+    (doc_id, pos) copy. The arg-min is a composite STRUCT min riding the
+    same partial-agg shuffle that detects duplicates — an arithmetic
+    doc_id*C+pos packing would silently misorder once a document exceeds
+    C tokens (tests/test_dedup.py pins pos >= 1e6)."""
     dup = (
-        win.select("h", okey)
-        .groupBy("h")
-        .agg(F.count("*").alias("n"), F.min("okey").alias("first_okey"))
+        win.groupBy("h")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+            ).alias("first"),
+        )
         .filter(F.col("n") > 1)
     )
-    dw = (
-        win.join(dup.select("h", "first_okey"), "h")
-        .filter(F.col("doc_id") * F.lit(1_000_000) + F.col("pos") != F.col("first_okey"))
+    return (
+        win.join(dup.select("h", "first"), "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.d"))
+            | (F.col("pos") != F.col("first.p"))
+        )
         .select("doc_id", "pos")
     )
-    return cut_spans(docs, merge_window_spans(dw))

@@ -63,6 +63,9 @@ _TOTAL = "__go_total"
 # distributed branch by setting the conf to "0" (strict < comparison).
 SMALL_ROWS_CONF = "spark.bert_etl.globalOrder.smallRows"
 SMALL_ROWS_DEFAULT = 8_000_000
+# "false" disables the eager persist+count branch probe entirely (plan-only
+# contexts): construction is lazy and always takes the distributed branch
+ADAPTIVE_CONF = "spark.bert_etl.globalOrder.adaptive"
 
 
 def _small_threshold(spark: SparkSession) -> int:
@@ -78,9 +81,24 @@ def _prepared(df: DataFrame) -> tuple[DataFrame, int]:
     distributed branch reads it twice (boundary sampling + shuffle map),
     so the cache replaces recomputation the old code paid anyway; the
     count is then one cheap pass over cached slim columns and buys the
-    branch decision."""
+    branch decision.
+
+    The probe is EAGER (it runs Spark jobs and pins a cache at plan-
+    construction time). Plan-only contexts — catalog explain, plan
+    sweeps, building a DataFrame that may never execute — can opt out
+    via ``spark.bert_etl.globalOrder.adaptive=false``: construction goes
+    straight to the fully-distributed branch, lazily, with no persisted
+    copy and no jobs."""
     from bert_etl_spark.operators.registry import persist_once
 
+    try:
+        adaptive = (
+            df.sparkSession.conf.get(ADAPTIVE_CONF, "true").lower() != "false"
+        )
+    except Exception:
+        adaptive = True
+    if not adaptive:
+        return df, 2**63 - 1  # "huge": always the distributed branch
     d = persist_once(df)
     return d, d.count()
 

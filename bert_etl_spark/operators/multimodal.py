@@ -400,80 +400,137 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Difference-hash (dHash), the classic perceptual image fingerprint: sample
-# 65 evenly-spaced "pixels" (bytes of the gray8 payload), each bit records
+# 4w+1 evenly-spaced "pixels" (bytes of the gray8 payload), each bit records
 # whether intensity rises between neighbors; near-identical images differ
-# in few bits. Candidate generation reuses the SimHash trick — 4 x 16-bit
-# band blocking, exact for Hamming <= 3 by pigeonhole — so the join is
-# banded, never all-pairs. Because the fake decode is pure byte
-# arithmetic, the WHOLE pipeline (sampling, banding, verification) is
-# SQL-expressible and value-checked; with a real image decoder only the
-# pixel source changes. The synthetic corpus plants no visually-near
-# payloads, so the registered query emits every band candidate WITH its
-# verified Hamming distance (the banding false-positive floor — what an
-# index tuner inspects); the <=3 near-dup behavior itself is pinned by a
-# unit test with planted near-identical payloads.
-DHASH_BITS = 64
-DHASH_BANDS = 4
-_BAND_W = DHASH_BITS // DHASH_BANDS  # bits per band (one knob, both engines)
-_HALF = DHASH_BITS // 2  # packed-half width
+# in few bits. Candidate generation reuses the SimHash trick — 4 bands of w
+# exact bits, exact for Hamming <= 3 by pigeonhole — so the join is banded,
+# never all-pairs. The band width w is ADAPTIVE in corpus size: w =
+# clamp(ceil(log2(N / occupancy)), 16, 63), i.e. ~log2 N bits per band, so
+# expected bucket occupancy stays CONSTANT as the corpus grows instead of
+# the within-bucket quadratic term exploding past ~occupancy*2^16 docs (the
+# r6/r7 static-band saturation SCALING.md measured at alpha 0.71). Band
+# keys are the w-bit slices PACKED INTO BIGINTs — the join key is 8 bytes,
+# not a 32-char md5 string, and verification ships the same four packed
+# longs + bit_count(xor) (the round-5 SimHash shuffle-volume lesson).
+# Because the fake decode is pure byte arithmetic, the WHOLE pipeline
+# (sampling, adaptive width, banding, verification) is SQL-expressible and
+# value-checked — the oracle derives the SAME w from COUNT(*) inline, so
+# the two engines cannot drift. The synthetic corpus plants no
+# visually-near payloads, so the registered query emits every band
+# candidate WITH its verified Hamming distance (the banding false-positive
+# floor — what an index tuner inspects); the <=3 near-dup behavior itself
+# is pinned by a unit test with planted near-identical payloads.
+DHASH_BANDS = 4  # pigeonhole: Hamming <= 3 over 4 bands shares >= 1 band
+DHASH_MIN_BAND_BITS = 16  # never narrower than the classic 64-bit dHash
+DHASH_MAX_BAND_BITS = 63  # a packed band slice must fit a signed BIGINT
+DHASH_TARGET_OCCUPANCY = 4.0  # expected docs per band bucket
+DHASH_OCCUPANCY_CONF = "spark.bert_etl.dhash.targetOccupancy"
 
 
-def dhash_bits_sql(table: str = "documents") -> str:
-    """DuckDB CTE body for the per-doc dHash bit vector + packed halves."""
+def dhash_band_bits(
+    n_docs: int, target_occupancy: float = DHASH_TARGET_OCCUPANCY
+) -> int:
+    """Adaptive bits-per-band: the smallest w with 2^w >= N / occupancy,
+    clamped to [16, 63]. Constant expected bucket occupancy means the
+    within-bucket candidate term stays O(N * occupancy) instead of
+    O(N^2 / 2^w) — at 100 TB (~1e10 docs) w = 32, at the test SFs the
+    floor 16 applies (the classic 64-bit dHash). The oracle computes the
+    identical expression from COUNT(*); keep the two in lockstep."""
+    import math
+
+    n = max(int(n_docs), 1)
+    raw = math.ceil(math.log2(max(n / target_occupancy, 2.0)))
+    return max(DHASH_MIN_BAND_BITS, min(DHASH_MAX_BAND_BITS, raw))
+
+
+def dhash_oracle_sql(
+    table: str = "documents", target_occupancy: float = DHASH_TARGET_OCCUPANCY
+) -> str:
+    """Full DuckDB oracle for the adaptive dHash near-dup pipeline. The
+    band width comes from the same clamp(ceil(log2(N/occ)), 16, 63) the
+    engine computes (params CTE), threaded through every CTE as a column,
+    so widening with corpus size can never desynchronize the engines."""
     return f"""
-    SELECT doc_id, b,
-           list_aggregate(list_transform(range({_HALF}),
-               i -> CAST(b[i+1] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
-               AS lo,
-           list_aggregate(list_transform(range({_HALF}),
-               i -> CAST(b[i+{_HALF}+1] AS BIGINT) * (CAST(1 AS BIGINT) << i)), 'sum')
-               AS hi
-    FROM (
-        SELECT doc_id,
-               list_transform(range({DHASH_BITS}), i -> CASE WHEN
-                   ascii(substr(text, 1 + ((len(text)-1) * i)     // {DHASH_BITS}, 1)) <
-                   ascii(substr(text, 1 + ((len(text)-1) * (i+1)) // {DHASH_BITS}, 1))
+    WITH params AS (
+        SELECT GREATEST({DHASH_MIN_BAND_BITS}, LEAST({DHASH_MAX_BAND_BITS},
+                   CAST(ceil(log2(GREATEST(COUNT(*) / {target_occupancy}, 2.0)))
+                        AS INT))) AS w
+        FROM {table}
+    ),
+    bits AS (
+        SELECT doc_id, w,
+               list_transform(range({DHASH_BANDS}*w), i -> CASE WHEN
+                   ascii(substr(text, 1 + ((len(text)-1) * i)     // ({DHASH_BANDS}*w), 1)) <
+                   ascii(substr(text, 1 + ((len(text)-1) * (i+1)) // ({DHASH_BANDS}*w), 1))
                    THEN 1 ELSE 0 END) AS b
-        FROM {table} WHERE len(text) >= 2
+        FROM {table}, params WHERE len(text) >= 2
+    ),
+    slices AS (
+        SELECT doc_id, band,
+               list_aggregate(list_transform(range(w),
+                   i -> CAST(b[band*w + i + 1] AS BIGINT) * (CAST(1 AS BIGINT) << i)),
+                   'sum') AS s
+        FROM bits, unnest(range({DHASH_BANDS})) AS t(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM slices a JOIN slices b ON a.band = b.band AND a.s = b.s
+                                   AND a.doc_id < b.doc_id
+    ),
+    packs AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band = 0 THEN s END) AS s0,
+               MAX(CASE WHEN band = 1 THEN s END) AS s1,
+               MAX(CASE WHEN band = 2 THEN s END) AS s2,
+               MAX(CASE WHEN band = 3 THEN s END) AS s3
+        FROM slices GROUP BY doc_id
     )
+    SELECT c.doc_i, c.doc_j,
+           CAST(bit_count(xor(x.s0, y.s0)) + bit_count(xor(x.s1, y.s1)) +
+                bit_count(xor(x.s2, y.s2)) + bit_count(xor(x.s3, y.s3))
+                AS BIGINT) AS hamming
+    FROM cand c JOIN packs x ON x.doc_id = c.doc_i
+                JOIN packs y ON y.doc_id = c.doc_j
     """
 
 
-# (length-1)*i runs in BIGINT: int32 arithmetic would wrap for payloads
-# past ~34M bytes (2^31/63) and, with ANSI off, silently sample from the
-# string's END via substring's negative-start semantics — the oracle's
-# len() is already BIGINT. The final position is <= length, so the outer
-# INT cast for substring is safe.
-_DHASH_BITS_EXPR = (
-    f"transform(sequence(0, {DHASH_BITS - 1}), i -> CASE WHEN "
-    f"ascii(substring(text, CAST(1 + ((CAST(length(text) AS BIGINT)-1) * i) div {DHASH_BITS} AS INT), 1)) < "
-    f"ascii(substring(text, CAST(1 + ((CAST(length(text) AS BIGINT)-1) * (i+1)) div {DHASH_BITS} AS INT), 1)) "
-    f"THEN 1 ELSE 0 END)"
-)
+def dhash_bits(
+    docs: DataFrame, text_col: str = "text", band_w: int = DHASH_MIN_BAND_BITS
+) -> DataFrame:
+    """(doc_id, s0..s3) — the 4w-bit dHash as four packed w-bit band
+    slices, one BIGINT each. Narrow, JVM-side byte arithmetic, zero
+    shuffles. The packed longs ARE both the band join keys and the
+    verification payload: an 8-byte key replaces the old 32-char md5
+    digest on the biggest shuffled table, and verification is four
+    bit_count(xor) terms (the round-5 SimHash lesson: shipping a bit
+    ARRAY per candidate side dominated the 100x shuffle).
 
-
-def dhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, b: array<int>, lo, hi) — the 64-bit dHash as a bit array
-    plus two packed 32-bit halves. Narrow, JVM-side byte arithmetic, zero
-    shuffles. The array feeds band derivation; the packed halves are what
-    the verification join carries (the round-5 SimHash lesson: shipping a
-    64-int array per candidate side dominated the 100x shuffle — two
-    BIGINTs + bit_count(xor) replace the whole zip)."""
+    (length-1)*i runs in BIGINT: int32 arithmetic would wrap for payloads
+    past ~2^31/(4w) bytes and, with ANSI off, silently sample from the
+    string's END via substring's negative-start semantics — the oracle's
+    len() is already BIGINT. The final position is <= length, so the
+    outer INT cast for substring is safe."""
+    bits = DHASH_BANDS * band_w
+    bits_expr = (
+        f"transform(sequence(0, {bits - 1}), i -> CASE WHEN "
+        f"ascii(substring({text_col}, CAST(1 + ((CAST(length({text_col}) AS BIGINT)-1) * i) div {bits} AS INT), 1)) < "
+        f"ascii(substring({text_col}, CAST(1 + ((CAST(length({text_col}) AS BIGINT)-1) * (i+1)) div {bits} AS INT), 1)) "
+        f"THEN 1 ELSE 0 END)"
+    )
     pack = (
-        "aggregate(transform(sequence(0, 31), i -> "
+        f"aggregate(transform(sequence(0, {band_w - 1}), i -> "
         "CAST(element_at(b, {off} + i + 1) AS BIGINT) * shiftleft(CAST(1 AS BIGINT), i)), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     return (
         docs.filter(F.length(text_col) >= 2)
-        .select(
-            "doc_id", F.expr(_DHASH_BITS_EXPR.replace("text", text_col)).alias("b")
-        )
+        .select("doc_id", F.expr(bits_expr).alias("b"))
         .select(
             "doc_id",
-            "b",
-            F.expr(pack.format(off=0)).alias("lo"),
-            F.expr(pack.format(off=32)).alias("hi"),
+            *[
+                F.expr(pack.format(off=band * band_w)).alias(f"s{band}")
+                for band in range(DHASH_BANDS)
+            ],
         )
     )
 
@@ -481,23 +538,23 @@ def dhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def dhash_band_pairs(bits: DataFrame) -> DataFrame:
     """Banded candidate pairs with verified Hamming: (doc_i, doc_j, hamming).
 
-    Bands are an equi-join on (band, 16-bit-slice digest) — the quadratic
-    term only materializes inside a bucket, exactly as in SimHash; the
-    verification zip runs once per CANDIDATE pair, not per pair of docs.
+    Bands are an equi-join on (band, packed w-bit slice) — the quadratic
+    term only materializes inside a bucket, exactly as in SimHash, and
+    adaptive w keeps expected bucket occupancy constant as N grows; the
+    verification xor runs once per CANDIDATE pair, not per pair of docs.
     """
-    bands = bits.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {DHASH_BANDS - 1}), bd -> "
-                f"struct(bd as band, md5(concat(cast(bd as string), ':', "
-                f"concat_ws('', slice(b, 1 + bd * {_BAND_W}, {_BAND_W})))) as h))"
-            )
-        ).alias("bh"),
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    slices = F.array(
+        *[
+            F.struct(F.lit(band).alias("band"), F.col(f"s{band}").alias("s"))
+            for band in range(DHASH_BANDS)
+        ]
+    )
+    bands = bits.select("doc_id", F.explode(slices).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.s").alias("s")
+    )
     cand = (
         bands.alias("a")
-        .join(bands.alias("b"), ["band", "h"])
+        .join(bands.alias("b"), ["band", "s"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
@@ -506,15 +563,15 @@ def dhash_band_pairs(bits: DataFrame) -> DataFrame:
     )
     x = bits.select(
         F.col("doc_id").alias("doc_i"),
-        F.col("lo").alias("lo_i"),
-        F.col("hi").alias("hi_i"),
+        *[F.col(f"s{band}").alias(f"x{band}") for band in range(DHASH_BANDS)],
     )
     y = bits.select(
         F.col("doc_id").alias("doc_j"),
-        F.col("lo").alias("lo_j"),
-        F.col("hi").alias("hi_j"),
+        *[F.col(f"s{band}").alias(f"y{band}") for band in range(DHASH_BANDS)],
     )
-    ham = F.expr("bit_count(lo_i ^ lo_j) + bit_count(hi_i ^ hi_j)")
+    ham = F.expr(
+        " + ".join(f"bit_count(x{band} ^ y{band})" for band in range(DHASH_BANDS))
+    )
     return (
         cand.join(x, "doc_i")
         .join(y, "doc_j")
@@ -524,27 +581,7 @@ def dhash_band_pairs(bits: DataFrame) -> DataFrame:
 
 @query(
     "multimodal_dedup_phash",
-    oracle=f"""
-    WITH bits AS ({dhash_bits_sql()}),
-    bands AS (
-        SELECT doc_id, band,
-               md5(CAST(band AS VARCHAR) || ':' ||
-                   array_to_string(
-                       b[1 + band*{_BAND_W} : {_BAND_W} + band*{_BAND_W}],
-                       '')) AS h
-        FROM bits, unnest(range({DHASH_BANDS})) AS t(band)
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-                                 AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_i, c.doc_j,
-           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
-                AS BIGINT) AS hamming
-    FROM cand c JOIN bits x ON x.doc_id = c.doc_i
-                JOIN bits y ON y.doc_id = c.doc_j
-    """,
+    oracle=f"{dhash_oracle_sql()}",
 )
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bert_etl_spark.operators.registry import persist_once
@@ -554,5 +591,12 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the byte arithmetic (ascii == byte for this ASCII-safe corpus, the
     # same equivalence multimodal_dedup_exact's oracle uses)
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    bits = persist_once(dhash_bits(docs))  # bands + both verify sides
+    # adaptive width from the corpus size (metadata-only count on parquet);
+    # the conf knob is a library tuner — the registered oracle assumes the
+    # default occupancy, so the driver's parity gate always runs in lockstep
+    occ = float(
+        spark.conf.get(DHASH_OCCUPANCY_CONF, str(DHASH_TARGET_OCCUPANCY))
+    )
+    w = dhash_band_bits(docs.count(), occ)
+    bits = persist_once(dhash_bits(docs, band_w=w))  # bands + both verify sides
     return dhash_band_pairs(bits)

@@ -800,3 +800,149 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(TOP_N_TOKENS)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop: argmax-merge-recount for a fixed number of steps
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_STEPS = 3  # fixed for oracle determinism (unrolled CTE chain)
+_US = chr(31)  # unit separator: wraps every symbol, absent from the corpus
+
+
+def _bpe_pack(sym_list_expr: str) -> str:
+    """Spark SQL expr: wrap a symbol list as the delimited state string
+    ``\\x1fs1\\x1f\\x1fs2\\x1f...`` — every symbol individually fenced, so a
+    single string replace() of ``\\x1fL\\x1f\\x1fR\\x1f`` is EXACTLY the
+    greedy left-to-right non-overlapping adjacent-pair merge of classic
+    BPE (single fences would let one match consume the next match's
+    opening fence: [a,a,a,a] must merge to [aa,aa], not [aa,a,a])."""
+    return (
+        f"concat('{_US}', array_join({sym_list_expr}, '{_US}{_US}'), '{_US}')"
+    )
+
+
+def bpe_train_steps(docs: DataFrame, k: int) -> list[tuple]:
+    """k classic BPE merges over the whitespace-token vocabulary: returns
+    [(step, left_sym, right_sym, merged, n_occurrences)] — the trained
+    merge table. The reference-shaped iterate-until-done job
+    (/root/reference/bert/runner/manager.py:172-178 re-loops a queue the
+    same way): argmax the pair table, apply the merge, recount.
+
+    Scale shape per step (the text_bpe_merge_candidates bound, preserved):
+    the corpus collapsed to its VOCABULARY once up front (Heaps' law:
+    |vocab| << corpus, measured alpha 0.17 at 100x), so every recount is
+    one pair explode + partial-agg shuffle over |vocab| rows. The argmax
+    is a 1-ROW collect (metadata-scale, like the streaming ledger's
+    bucket list); the merge-apply is a NARROW string replace — no shuffle,
+    no explode. State is persist-swapped per step (materialize the new
+    vocabulary, then release the predecessor).
+
+    Symbol state is the fenced string (see _bpe_pack), identical in the
+    DuckDB oracle, so the whole loop is value-checked end to end."""
+    sep = F.lit(_US)
+    chars = "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
+    state = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.length("token") >= 2)  # 1-symbol tokens never pair
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .select(F.expr(_bpe_pack(chars)).alias("s"), "freq")
+    )
+    state = persist_once(state)
+    merges: list[tuple] = []
+    for step in range(1, k + 1):
+        # symbol array in its OWN projection: Catalyst does not CSE inside
+        # HOF lambda bodies (the substring-cut lesson)
+        arr = state.select(
+            F.split(F.btrim(F.col("s"), sep), _US + _US).alias("arr"), "freq"
+        ).filter(F.size("arr") >= 2)
+        pair_expr = (
+            "transform(sequence(0, size(arr)-2), i -> "
+            "struct(element_at(arr, i+1) as l, element_at(arr, i+2) as r))"
+        )
+        best = (
+            arr.select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged — nothing left to train
+            break
+        left, right, n = best[0].l, best[0].r, best[0].n
+        merges.append((step, left, right, left + right, n))
+        pat = F.concat(sep, F.lit(left), sep, sep, F.lit(right), sep)
+        rep = F.concat(sep, F.lit(left + right), sep)
+        nxt = persist_once(
+            state.select(F.replace(F.col("s"), pat, rep).alias("s"), "freq")
+        )
+        nxt.count()  # materialize BEFORE releasing the predecessor
+        state.unpersist()
+        state = nxt
+    state.unpersist()
+    return merges
+
+
+def _sql_bpe_steps(k: int, table: str = "documents") -> str:
+    """Unrolled k-step CTE chain — the oracle twin of bpe_train_steps."""
+    us = "chr(31)"
+    chain = [
+        f"""tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS token FROM {table}
+    ),
+    v0 AS (
+        SELECT {us} || array_to_string(
+                   list_transform(range(1, len(token) + 1),
+                                  i -> substr(token, i, 1)),
+                   {us} || {us}) || {us} AS s,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok WHERE len(token) >= 2 GROUP BY token
+    )"""
+    ]
+    for t in range(1, k + 1):
+        chain.append(
+            f"""p{t} AS (
+        SELECT arr[i+1] AS l, arr[i+2] AS r, SUM(freq) AS n
+        FROM (SELECT arr, freq, unnest(range(len(arr) - 1)) AS i
+              FROM (SELECT string_split(trim(s, {us}), {us} || {us}) AS arr,
+                           freq
+                    FROM v{t - 1}))
+        GROUP BY l, r
+    ),
+    b{t} AS (SELECT l, r, n FROM p{t} ORDER BY n DESC, l, r LIMIT 1),
+    v{t} AS (
+        SELECT replace(s, {us} || b.l || {us} || {us} || b.r || {us},
+                          {us} || b.l || b.r || {us}) AS s, freq
+        FROM v{t - 1}, b{t} b
+    )"""
+        )
+    return ",\n    ".join(chain)
+
+
+# The merge-apply BPE training loop, registered: k argmax-merge-recount
+# steps returning the trained merge table. See bpe_train_steps for the
+# per-step scale bound; the DuckDB oracle is the unrolled chain from the
+# SAME step count.
+@query(
+    "text_bpe_train_steps",
+    oracle=f"""
+    WITH {_sql_bpe_steps(BPE_TRAIN_STEPS)}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({t} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
+            f"l || r AS merged, CAST(n AS BIGINT) AS n_occurrences FROM b{t}"
+            for t in range(1, BPE_TRAIN_STEPS + 1)
+        )}
+    ) ORDER BY step
+    """,
+)
+def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    merges = bpe_train_steps(docs, BPE_TRAIN_STEPS)
+    return spark.createDataFrame(
+        merges,
+        "step long, left_sym string, right_sym string, "
+        "merged string, n_occurrences long",
+    )

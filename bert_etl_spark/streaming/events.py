@@ -280,6 +280,79 @@ def streaming_tumbling_from_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_tumbling_oracle")
 
 
+LEDGER_BUCKETS_CONF = "spark.bert_etl.lshLedger.buckets"
+LEDGER_BUCKETS_DEFAULT = 16
+# re-delivered doc sets at or below this size are handled as inline
+# filter literals (zero extra joins); above it, broadcast anti-join
+REDELIVERED_INLINE_MAX = 10_000
+
+
+def _ledger_buckets(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get(LEDGER_BUCKETS_CONF, str(LEDGER_BUCKETS_DEFAULT)))
+    except Exception:
+        return LEDGER_BUCKETS_DEFAULT
+
+
+def _with_bucket(bands: DataFrame, n_buckets: int) -> DataFrame:
+    """Band-hash bucket id — the ledger's PARTITION column. One derived
+    column, both the writer and the probe compute it from (band, h) with
+    the same expression, so pruning can never drop a true collision."""
+    return bands.withColumn(
+        "bkt", F.pmod(F.xxhash64("band", "h"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def ledger_probe(
+    spark: SparkSession, ledger_dir: str, epoch_id: int, touched_bkts: list[int]
+) -> DataFrame | None:
+    """The pruned prior-ledger scan for one micro-batch: only COMMITTED
+    epochs (``_SUCCESS`` present, ``epoch < epoch_id``) and only the
+    band-hash buckets the batch actually touches.
+
+    Pruning happens at PATH ENUMERATION, before Spark ever builds a file
+    index: one FS glob matches exactly the touched ``bkt=`` directories
+    (committed epochs come from the ``_SUCCESS`` glob), and the read gets
+    those concrete paths with ``basePath`` so partition columns survive.
+    Handing ``spark.read.parquet(ledger_dir)`` the ROOT and filtering
+    would still pay a full partition DISCOVERY — listing every bucket
+    directory of every epoch per micro-batch, measured 2.5 s/epoch at
+    1024 buckets locally and O(ledger dirs) growth at scale. With path
+    enumeration both the listing and the scan are O(touched buckets)
+    (tests/test_streaming.py pins inputFiles ⊆ touched dirs).
+
+    Returns None when no committed prior bucket dir matches — no prior
+    band can collide, so the caller skips the cross path entirely."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _glob(pattern: str):
+        p = jvm.org.apache.hadoop.fs.Path(pattern)
+        st = p.getFileSystem(hconf).globStatus(p)
+        return [] if st is None else [s.getPath().toString() for s in st]
+
+    committed = {
+        int(path.split("epoch=")[-1].split("/")[0])
+        for path in _glob(f"{ledger_dir}/epoch=*/_SUCCESS")
+    }
+    epochs = sorted(e for e in committed if e < epoch_id)
+    if not epochs or not touched_bkts:
+        return None
+    bkts = "{" + ",".join(str(b) for b in sorted(set(touched_bkts))) + "}"
+    eps = "{" + ",".join(str(e) for e in epochs) + "}"
+    dirs = _glob(f"{ledger_dir}/epoch={eps}/bkt={bkts}")
+    if not dirs:
+        return None
+    # the partition predicates are already true by construction — kept as
+    # real filters so a mis-enumerated path can never leak rows, and so
+    # the plan shows them as PartitionFilters (belt and braces)
+    return (
+        spark.read.option("basePath", ledger_dir)
+        .parquet(*dirs)
+        .filter((F.col("epoch") < epoch_id) & F.col("bkt").isin(touched_bkts))
+    )
+
+
 def lsh_band_ledger_stream(
     docs_stream: DataFrame,
     ledger_dir: str,
@@ -302,12 +375,37 @@ def lsh_band_ledger_stream(
     3. append the batch's bands to the ledger and the candidate pairs to
        ``out_dir``.
 
-    Exactly-once: both writes land in an ``epoch=<id>`` partition dir with
-    mode=overwrite, so a replayed epoch (foreachBatch is at-least-once)
-    rewrites its own partition instead of duplicating, and the ledger read
-    filters ``epoch < current`` so a retry never joins against its own
-    partial output. At 100 TB the ledger is a bucketed table on (band, h);
-    each ingest shuffles only its own bands to the bucket locations.
+    Ledger layout & probe pruning: the ledger is partitioned by
+    (epoch, bkt) where ``bkt = pmod(xxhash64(band, h), N_BUCKETS)``
+    (``spark.bert_etl.lshLedger.buckets``). The probe reads ONLY the
+    buckets the batch's own bands hash into — a directory-pruned scan
+    (see ledger_probe), the file-layout analog of the reference's
+    ETLState.contains() being an O(1) set probe, not a scan
+    (bert/etl/__init__.py:71-80). Per-ingest probe IO is
+    O(ledger × touched-bucket fraction): for a trickle batch touching B
+    bands against N_BUCKETS >> B, that is O(ledger × B / N_BUCKETS)
+    instead of O(ledger). The bucket list is a driver-side METADATA
+    collect — at most N_BUCKETS small ints per batch (the same class as
+    the committed-epoch glob below), never row data. The writer
+    repartitions the batch's bands by bkt first, so each ingest shuffles
+    only its own bands to the bucket locations and writes one file per
+    touched bucket.
+
+    Exactly-once, including producer re-delivery: both writes land in an
+    ``epoch=<id>`` partition dir with mode=overwrite, so a replayed epoch
+    (foreachBatch is at-least-once) rewrites its own partition instead of
+    duplicating, and the ledger read filters ``epoch < current`` so a
+    retry never joins against its own partial output. A document
+    RE-DELIVERED in a later epoch (at-least-once producers do this)
+    band-matches its own prior ledger entry — identical text yields
+    identical bands — and is dropped from the batch entirely: its pairs
+    were already emitted at its first epoch and its bands are already in
+    the ledger, so re-processing it would turn the out_dir union into a
+    multiset. With the drop, the union of per-epoch emissions equals the
+    batch candidate set EXACTLY even under re-delivery. (A doc_id
+    re-arriving with *different* text shares no bands with its prior
+    self and is treated as a new document — doc_id plus content is the
+    identity, mirroring the reference's content-derived calc_identity.)
 
     Signatures are computed over the batch's RAW shingles (no df-cap): the
     corpus-wide document frequency is unknowable inside one micro-batch,
@@ -324,59 +422,80 @@ def lsh_band_ledger_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        bands = lsh_bands(minhash_signatures(shingles_df(batch_df))).persist()
+        n_buckets = _ledger_buckets(spark)
+        bands = _with_bucket(
+            lsh_bands(minhash_signatures(shingles_df(batch_df))), n_buckets
+        ).persist()
+        # COMMITTED-EPOCH check via the _SUCCESS globs inside ledger_probe,
+        # not a bare try/except: a transient glob failure (FS hiccup,
+        # permissions) at epoch N>0 must raise and fail the batch —
+        # swallowing it as "first epoch" would silently drop every
+        # cross-epoch pair for this batch, then commit the checkpoint,
+        # losing them permanently (each pair is only ever emitted at the
+        # LATER doc's epoch). _SUCCESS, not bare directory existence: a
+        # write that crashed mid-job leaves the dir present but empty, and
+        # reading it would crash-loop the replay with "unable to infer
+        # schema" on every retry.
+        fresh, cross = bands, None
+        batch_persists = [bands]
+        # metadata-scale: <= n_buckets distinct small ints
+        touched = [r.bkt for r in bands.select("bkt").distinct().collect()]
+        ledger = ledger_probe(spark, ledger_dir, epoch_id, touched)
+        if ledger is not None:
+            probe = bands.join(
+                ledger.select(F.col("doc_id").alias("prior_doc"), "band", "h"),
+                ["band", "h"],
+            ).persist()
+            batch_persists.append(probe)
+            # a band self-match identifies a re-delivered document: drop
+            # it from the batch (pairs + ledger append) — see docstring.
+            # Steady state is ZERO re-deliveries, so probe it with a
+            # bounded take(): small sets become inline filters (no joins
+            # at all — the hot path stays two joins total), and only a
+            # pathological mass re-delivery falls back to a broadcast
+            # anti-join (bounded by the BATCH's doc count, never the
+            # ledger; broadcast because AQE is off inside streaming).
+            redel = probe.filter(F.col("doc_id") == F.col("prior_doc")).select(
+                "doc_id"
+            )
+            redel_rows = redel.distinct().take(REDELIVERED_INLINE_MAX + 1)
+            if len(redel_rows) <= REDELIVERED_INLINE_MAX:
+                ids = [r.doc_id for r in redel_rows]
+                fresh = bands if not ids else bands.filter(~F.col("doc_id").isin(ids))
+                cross_base = probe if not ids else probe.filter(
+                    ~F.col("doc_id").isin(ids)
+                )
+            else:
+                redelivered = F.broadcast(redel.distinct())
+                fresh = bands.join(redelivered, "doc_id", "left_anti").persist()
+                batch_persists.append(fresh)
+                cross_base = probe.join(redelivered, "doc_id", "left_anti")
+            cross = cross_base.filter(F.col("doc_id") != F.col("prior_doc")).select(
+                F.least("doc_id", "prior_doc").alias("doc_i"),
+                F.greatest("doc_id", "prior_doc").alias("doc_j"),
+            )
         within = (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "h"])
+            fresh.alias("a")
+            .join(fresh.alias("b"), ["band", "h"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(
                 F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
             )
         )
-        # COMMITTED-EPOCH check, not a bare try/except: a transient read
-        # failure (FS hiccup, permissions) at epoch N>0 must raise and fail
-        # the batch — swallowing it as "first epoch" would silently drop
-        # every cross-epoch pair for this batch, then commit the
-        # checkpoint, losing them permanently (each pair is only ever
-        # emitted at the LATER doc's epoch). The probe looks for a
-        # committed epoch partition (_SUCCESS marker), not bare directory
-        # existence: a write that crashed mid-job leaves the dir present
-        # but empty, and reading it would crash-loop the replay with
-        # "unable to infer schema" on every retry.
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/epoch=*/_SUCCESS")
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        committed = fs.globStatus(hpath)
-        ledger = (
-            spark.read.parquet(ledger_dir).filter(F.col("epoch") < epoch_id)
-            if committed is not None and len(committed) > 0
-            else None
-        )
-        cand = within
-        if ledger is not None:
-            cross = (
-                bands.join(
-                    ledger.select(
-                        F.col("doc_id").alias("prior_doc"), "band", "h"
-                    ),
-                    ["band", "h"],
-                )
-                # a producer re-delivering a document in a later epoch
-                # would band-match its own prior ledger entry: drop the
-                # degenerate (d, d) rows so the emitted union keeps the
-                # batch pipeline's strict doc_i < doc_j contract
-                .filter(F.col("doc_id") != F.col("prior_doc"))
-                .select(
-                    F.least("doc_id", "prior_doc").alias("doc_i"),
-                    F.greatest("doc_id", "prior_doc").alias("doc_j"),
-                )
-            )
-            cand = cand.unionByName(cross)
+        cand = within if cross is None else within.unionByName(cross)
         cand.distinct().write.mode("overwrite").parquet(
             f"{out_dir}/epoch={epoch_id}"
         )
-        bands.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
-        bands.unpersist()
+        # one shuffle of the batch's own bands to their bucket locations —
+        # task count = buckets the batch TOUCHES (a trickle batch against
+        # n_buckets=2^k would otherwise launch n_buckets mostly-empty
+        # tasks per epoch; measured 2.7 s/epoch of pure task overhead at
+        # 1024 buckets locally), one file per touched bucket
+        fresh.repartition(max(len(touched), 1), "bkt").write.partitionBy(
+            "bkt"
+        ).mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
+        for d in batch_persists:
+            d.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

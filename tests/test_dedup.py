@@ -359,10 +359,9 @@ def test_substring_spans_match_pure_python_reference(spark):
 
 
 def test_substring_remove_keep_first_spares_earliest_copy(spark):
-    from pyspark.sql import functions as F
-
     from bert_etl_spark.operators.dedup import (
         cut_spans,
+        keep_first_dup_windows,
         merge_window_spans,
         window_hashes,
     )
@@ -375,22 +374,7 @@ def test_substring_remove_keep_first_spares_earliest_copy(spark):
         " ".join(f"y{i}" for i in range(10)),  # doc 3: untouched
     ]
     df = _docs(spark, texts)
-    win = window_hashes(df, k=8)
-    okey = (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("okey")
-    dup = (
-        win.select("h", okey)
-        .groupBy("h")
-        .agg(F.count("*").alias("n"), F.min("okey").alias("first_okey"))
-        .filter(F.col("n") > 1)
-    )
-    dw = (
-        win.join(dup.select("h", "first_okey"), "h")
-        .filter(
-            F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
-            != F.col("first_okey")
-        )
-        .select("doc_id", "pos")
-    )
+    dw = keep_first_dup_windows(window_hashes(df, k=8))
     out = {
         r.doc_id: (r.clean_text, r.n_tokens_kept)
         for r in cut_spans(df, merge_window_spans(dw, k=8)).collect()
@@ -399,6 +383,26 @@ def test_substring_remove_keep_first_spares_earliest_copy(spark):
     assert 1 not in out               # exact duplicate fully removed
     assert out[2] == ("x0 x1 x2", 3)  # embedded run cut, context kept
     assert out[3] == (texts[3], 10)   # clean doc untouched
+
+
+def test_substring_keep_first_order_key_survives_huge_positions(spark):
+    """A multi-million-token document (real in a 100 TB web corpus) must
+    not confuse the keep-first arg-min: the retired doc_id*1e6+pos packing
+    keyed (0, 1_500_000) ABOVE (1, 3) and exempted the wrong occurrence —
+    the composite struct min keeps (doc_id, pos) lexicographic at any
+    position."""
+    from bert_etl_spark.operators.dedup import keep_first_dup_windows
+
+    win = spark.createDataFrame(
+        [(0, 1_500_000, "h1"), (1, 3, "h1"), (2, 7, "h2")],
+        "doc_id long, pos long, h string",
+    )
+    got = sorted(
+        (r.doc_id, r.pos) for r in keep_first_dup_windows(win).collect()
+    )
+    # (0, 1_500_000) is the minimal (doc_id, pos) of class h1 → exempt;
+    # the (1, 3) copy is cut; the unduplicated h2 window is untouched
+    assert got == [(1, 3)]
 
 
 def test_substring_dedup_survives_corpus_wide_hot_window(spark):
@@ -433,10 +437,9 @@ def test_substring_keep_first_matches_pure_python_reference(spark):
     import random
     from collections import Counter
 
-    from pyspark.sql import functions as F
-
     from bert_etl_spark.operators.dedup import (
         cut_spans,
+        keep_first_dup_windows,
         merge_window_spans,
         window_hashes,
     )
@@ -487,22 +490,7 @@ def test_substring_keep_first_matches_pure_python_reference(spark):
         return out
 
     df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
-    win = window_hashes(df, k=K)
-    okey = (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("okey")
-    dup = (
-        win.select("h", okey)
-        .groupBy("h")
-        .agg(F.count("*").alias("n"), F.min("okey").alias("first_okey"))
-        .filter(F.col("n") > 1)
-    )
-    dw = (
-        win.join(dup.select("h", "first_okey"), "h")
-        .filter(
-            F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
-            != F.col("first_okey")
-        )
-        .select("doc_id", "pos")
-    )
+    dw = keep_first_dup_windows(window_hashes(df, k=K))
     got = {
         r.doc_id: (r.clean_text, r.n_tokens_kept)
         for r in cut_spans(df, merge_window_spans(dw, k=K)).collect()

@@ -217,3 +217,35 @@ def test_ntile_multi_keeps_payload_and_plan_clean(spark, go_branch):
     assert _empty_partition_windows(out) == []
     # payload survives the fold intact
     assert {r["k"]: r["pay"] for r in out.collect()} == {i: i * 2 for i in range(40)}
+
+
+def test_adaptive_probe_opt_out_is_lazy(spark):
+    """With spark.bert_etl.globalOrder.adaptive=false, CONSTRUCTING a
+    global-order plan must run zero Spark jobs (plan-only contexts:
+    catalog explain, plan sweeps) — and must still build the distributed
+    branch (no empty-partition window). The default (adaptive) path runs
+    its probe jobs eagerly, which keeps this assertion non-vacuous."""
+    from bert_etl_spark.operators.global_order import ADAPTIVE_CONF
+    from tests.test_plans import _empty_partition_windows
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    st = spark.sparkContext.statusTracker()
+    spark.conf.set(ADAPTIVE_CONF, "false")
+    try:
+        before = len(st.getJobIdsForGroup(None))
+        out = with_global_rank(df, [F.col("a"), F.col("k")], "r")
+        assert len(st.getJobIdsForGroup(None)) == before  # lazy: no jobs
+        assert _empty_partition_windows(out) == []
+    finally:
+        spark.conf.unset(ADAPTIVE_CONF)
+    # default path probes eagerly (jobs run at construction) — proves the
+    # job-count assertion above can actually detect eager work
+    before = len(st.getJobIdsForGroup(None))
+    out2 = with_global_rank(df, [F.col("a"), F.col("k")], "r")
+    assert len(st.getJobIdsForGroup(None)) > before
+    # both constructions produce identical results
+    got = [(r.k, r.r) for r in out.orderBy("k").collect()]
+    want = [(r.k, r.r) for r in out2.orderBy("k").collect()]
+    assert got == want

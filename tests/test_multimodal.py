@@ -73,3 +73,64 @@ def test_dhash_near_identical_payloads_collide(spark):
     for (i, j), h in pairs.items():
         if 3 in (i, j):
             assert h > 3, ((i, j), h)
+
+
+def test_dhash_band_width_scales_with_corpus_size():
+    """Pin the adaptive width at representative corpus sizes: the floor
+    (classic 64-bit dHash) at test SFs, ~log2 N past saturation, and the
+    BIGINT packing cap. w = clamp(ceil(log2(N/occ)), 16, 63), occ = 4."""
+    from bert_etl_spark.operators.multimodal import dhash_band_bits
+
+    assert dhash_band_bits(500) == 16           # test-SF corpus: floor
+    assert dhash_band_bits(4 * 2**16) == 16     # exactly at saturation
+    assert dhash_band_bits(4 * 2**16 + 1) == 17  # first doc past it widens
+    assert dhash_band_bits(500_000) == 17       # the 100x replica
+    assert dhash_band_bits(10**10) == 32        # ~100 TB of ~10 KB docs
+    assert dhash_band_bits(2**80) == 63         # packing cap: signed BIGINT
+    # the knob: halving target occupancy widens by one bit
+    assert dhash_band_bits(500_000, 2.0) == 18
+
+
+def test_dhash_adaptive_width_matches_duckdb_oracle(spark):
+    """Run the WHOLE pipeline with the adaptive width genuinely ENGAGED
+    (occupancy forced tiny so w > the 16-bit floor on a small corpus) and
+    value-check Spark against the DuckDB oracle generated with the same
+    knob — proving the width parameter threads both engines identically,
+    not just at the floor the registered query hits at test SFs."""
+    import duckdb
+
+    from bert_etl_spark.operators.multimodal import (
+        dhash_band_bits,
+        dhash_band_pairs,
+        dhash_bits,
+        dhash_oracle_sql,
+    )
+
+    occ = 1.0 / 4096  # 40 docs / 2^-12 -> w = ceil(log2(163840)) = 18
+    texts = [
+        (i, "".join(chr(97 + (i * k + 7 * k * k) % 26) for k in range(80 + i)))
+        for i in range(38)
+    ] + [(100, "".join(chr(97 + (k * 5) % 26) for k in range(90)))] * 1 + [
+        (101, "".join(chr(97 + (k * 5) % 26) for k in range(90)))
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    w = dhash_band_bits(df.count(), occ)
+    assert w > 16  # non-vacuous: the adaptive branch is engaged
+    got = sorted(
+        (r.doc_i, r.doc_j, r.hamming)
+        for r in dhash_band_pairs(dhash_bits(df, band_w=w)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in texts)
+        + ") AS t(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            dhash_oracle_sql(target_occupancy=occ)
+        ).fetchall()
+    )
+    assert got == want
+    assert (100, 101, 0) in got  # the planted exact pair survives widening

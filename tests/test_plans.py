@@ -344,10 +344,14 @@ def test_substring_cut_has_no_explode(spark):
 
 
 def test_substring_spans_islands_window_is_doc_partitioned(spark):
-    # gaps-and-islands must run per-doc, never as a global window
-    plan = _plan(spark, "dedup_substring_spans")
+    # gaps-and-islands must run per-doc, never as a global window: walk
+    # the optimized plan for EMPTY window partition specs (a plan-string
+    # token match would be vacuous — physical plans never print
+    # "partitionBy", so that assertion could not fail)
+    df = registry.ALL_QUERIES["dedup_substring_spans"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
-    assert "partitionBy" not in plan  # physical plans spell it differently
+    assert _empty_partition_windows(df) == []
     assert "HashAggregate" in plan  # dup-window detection is partial-agg'd
 
 

@@ -340,8 +340,15 @@ def test_lsh_ledger_stream_equals_batch_candidates(spark, tmp_path):
     # the planted families must actually collide (non-vacuous test)
     assert (0, 2) in want and (3, 7) in want
     # cross-batch pairs exist: (0,2) spans batches 1 and 2 by construction
-    # — they can only be emitted through the persisted ledger join
-    assert len(spark.read.parquet(str(tmp_path / "ledger")).columns) == 4
+    # — they can only be emitted through the persisted ledger join. The
+    # ledger carries the (epoch, bkt) partition layout the probe prunes on.
+    assert sorted(spark.read.parquet(str(tmp_path / "ledger")).columns) == [
+        "band",
+        "bkt",
+        "doc_id",
+        "epoch",
+        "h",
+    ]
 
 
 def test_lsh_ledger_restart_is_exactly_once(spark, tmp_path):
@@ -390,19 +397,29 @@ def test_lsh_ledger_restart_is_exactly_once(spark, tmp_path):
     assert (3, 7) in after and (4, 7) in after
 
 
-def test_lsh_ledger_redelivered_doc_emits_no_self_pair(spark, tmp_path):
-    """At-least-once producers re-deliver: the same doc_id arriving in a
-    LATER epoch band-matches its own prior ledger entry — the cross path
-    must drop the degenerate (d, d) rows and keep doc_i < doc_j."""
+def test_lsh_ledger_redelivered_doc_is_exactly_once(spark, tmp_path):
+    """At-least-once producers re-deliver: the same doc arriving in a
+    LATER epoch band-matches its own prior ledger entry and must be
+    dropped ENTIRELY — no (d, d) self pairs, no re-emission of pairs
+    already written at its first epoch (the out_dir union stays a SET),
+    and no duplicate ledger entry."""
+    from bert_etl_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles_df,
+    )
     from bert_etl_spark.streaming.events import lsh_band_ledger_stream
 
     docs = _ledger_docs(spark)
     src = str(tmp_path / "docs_in")
-    # epoch 0: docs 0-3; epoch 1: doc 0 AGAIN (re-delivery) plus 4-7
+    # epoch 0: docs 0-3; epoch 1: docs 0 AND 2 AGAIN (re-delivery of a
+    # colliding pair — the worst case: without the drop, (0, 2) would be
+    # re-emitted at epoch 1) plus the fresh docs 4-7
     docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
-    docs.filter((F.col("doc_id") == 0) | (F.col("doc_id") >= 4)).coalesce(
-        1
-    ).write.mode("append").parquet(src)
+    docs.filter(
+        F.col("doc_id").isin(0, 2) | (F.col("doc_id") >= 4)
+    ).coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -421,4 +438,119 @@ def test_lsh_ledger_redelivered_doc_emits_no_self_pair(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     ]
     assert all(i < j for i, j in pairs), pairs
-    assert (0, 2) in pairs  # the real near-dup still surfaces
+    # exactly-once even as a MULTISET: the union of epoch emissions equals
+    # the batch candidate set with no duplicates across epochs
+    want = sorted(
+        (r.doc_i, r.doc_j)
+        for r in candidate_pairs(
+            lsh_bands(minhash_signatures(shingles_df(docs)))
+        ).collect()
+    )
+    assert sorted(pairs) == want
+    assert (0, 2) in pairs  # the real near-dup still surfaces (once)
+    # the re-delivered docs' bands were not appended a second time
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    per_doc_epochs = (
+        ledger.groupBy("doc_id")
+        .agg(F.count_distinct("epoch").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert per_doc_epochs == 0
+
+
+def test_lsh_ledger_redelivery_broadcast_fallback(spark, tmp_path, monkeypatch):
+    """Force REDELIVERED_INLINE_MAX below the re-delivered set size so the
+    broadcast anti-join fallback executes (the path a pathological mass
+    re-delivery takes), and assert the identical exactly-once outcome as
+    the inline-filter hot path."""
+    from bert_etl_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles_df,
+    )
+    from bert_etl_spark.streaming import events
+
+    monkeypatch.setattr(events, "REDELIVERED_INLINE_MAX", 0)
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(
+        F.col("doc_id").isin(0, 2) | (F.col("doc_id") >= 4)
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = events.lsh_band_ledger_stream(
+        stream, str(tmp_path / "ledger"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    pairs = sorted(
+        (r.doc_i, r.doc_j)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        (r.doc_i, r.doc_j)
+        for r in candidate_pairs(
+            lsh_bands(minhash_signatures(shingles_df(docs)))
+        ).collect()
+    )
+    assert pairs == want
+
+
+def test_lsh_ledger_probe_prunes_partitions(spark, tmp_path):
+    """The per-batch prior-ledger probe must be a directory-pruned scan —
+    PartitionFilters on BOTH epoch (< current) and bkt (the batch's own
+    band-hash buckets), with no row-level PushedFilters doing the work.
+    At 100 TB this is the difference between O(touched buckets) and
+    re-reading the whole band ledger every micro-batch."""
+    from bert_etl_spark.streaming.events import (
+        ledger_probe,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = lsh_band_ledger_stream(
+        stream,
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    ledger_root = tmp_path / "ledger"
+    all_bkts = sorted(
+        int(d.name.split("=")[1])
+        for d in (ledger_root / "epoch=0").iterdir()
+        if d.name.startswith("bkt=")
+    )
+    assert len(all_bkts) >= 2  # non-vacuous: there is something to prune
+    want = all_bkts[:2]
+    probe = ledger_probe(spark, str(ledger_root), 1, want)
+    assert probe is not None
+    # the LISTING itself is pruned: only the requested buckets' dirs reach
+    # the relation — a root read would list every bucket of every epoch
+    files = probe.inputFiles()
+    assert files
+    assert all(
+        int(f.split("/bkt=")[1].split("/")[0]) in want for f in files
+    ), files
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "epoch" in pf and "bkt" in pf, plan
+    assert "PushedFilters: []" in plan, plan
+    # behavior: only the requested buckets' rows are materialized
+    got_bkts = {r.bkt for r in probe.select("bkt").distinct().collect()}
+    assert got_bkts <= set(want)
+    # a probe for buckets with no committed dirs short-circuits to None
+    assert ledger_probe(spark, str(ledger_root), 0, want) is None

@@ -1,0 +1,68 @@
+"""Unit tests for the text-operator library paths (the registered queries
+are covered by the oracle-parity gate; these pin LIBRARY semantics against
+pure-Python references)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def test_bpe_train_steps_matches_python_reference(spark):
+    """bpe_train_steps vs classic BPE (Sennrich): count adjacent symbol
+    pairs weighted by token frequency (overlapping pairs counted), argmax
+    with (count desc, pair asc) tiebreak, greedy left-to-right
+    non-overlapping merge-apply — including the [a,a,a,a] -> [aa,aa]
+    overlap case the fenced string replace must get right."""
+    from bert_etl_spark.operators.text import bpe_train_steps
+
+    texts = [
+        "aaaa abab low lower lowest",
+        "low low lower newest newest",
+        "aaaa aaaa widest newest",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    k = 4
+    got = bpe_train_steps(df, k)
+
+    # pure-Python classic BPE over the same whitespace vocabulary
+    vocab = Counter()
+    for t in texts:
+        vocab.update(tok for tok in t.strip().split(" ") if len(tok) >= 2)
+    state = {tok: tuple(tok) for tok in vocab}
+    want = []
+    for step in range(1, k + 1):
+        counts: Counter = Counter()
+        for tok, syms in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[tok]
+        if not counts:
+            break
+        # argmax with (count desc, pair asc) tiebreak
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want.append((step, left, right, left + right, n))
+        merged = left + right
+        new_state = {}
+        for tok, syms in state.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tok] = tuple(out)
+        state = new_state
+    assert got == want
+    assert len(got) == k  # non-vacuous: the toy corpus trains all k steps
+    # the overlap case actually exercised: "aaaa" must have merged pairwise
+    assert ("a", "a") in {(l, r) for _, l, r, _, _ in got}
