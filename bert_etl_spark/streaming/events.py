@@ -322,7 +322,14 @@ def ledger_probe(
     (tests/test_streaming.py pins inputFiles ⊆ touched dirs).
 
     Returns None when no committed prior bucket dir matches — no prior
-    band can collide, so the caller skips the cross path entirely."""
+    band can collide, so the caller skips the cross path entirely.
+
+    Known growth axis: the ``epoch=*/_SUCCESS`` glob is O(#epochs) of
+    METADATA per batch (dir listing, no data). An always-on ingest
+    accumulating millions of micro-batch epochs compacts old epochs into
+    a base epoch periodically — the sink_compaction pattern
+    (sources/sinks.py) applied per bucket directory; bucket layout and
+    probe are unchanged by compaction because bkt is content-derived."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
 
