@@ -303,8 +303,28 @@ def _with_bucket(bands: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def committed_prior_epochs(
+    spark: SparkSession, ledger_dir: str, epoch_id: int
+) -> list[int]:
+    """Epoch ids with a committed (``_SUCCESS``) ledger partition below
+    ``epoch_id``. One cheap FS glob — callers check this BEFORE computing
+    the batch's touched-bucket list, so the very first epoch (and any
+    restart from an empty ledger) skips that job entirely."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/epoch=*/_SUCCESS")
+    st = p.getFileSystem(hconf).globStatus(p)
+    paths = [] if st is None else [s.getPath().toString() for s in st]
+    committed = {int(x.split("epoch=")[-1].split("/")[0]) for x in paths}
+    return sorted(e for e in committed if e < epoch_id)
+
+
 def ledger_probe(
-    spark: SparkSession, ledger_dir: str, epoch_id: int, touched_bkts: list[int]
+    spark: SparkSession,
+    ledger_dir: str,
+    epoch_id: int,
+    touched_bkts: list[int],
+    epochs: list[int] | None = None,
 ) -> DataFrame | None:
     """The pruned prior-ledger scan for one micro-batch: only COMMITTED
     epochs (``_SUCCESS`` present, ``epoch < epoch_id``) and only the
@@ -338,11 +358,8 @@ def ledger_probe(
         st = p.getFileSystem(hconf).globStatus(p)
         return [] if st is None else [s.getPath().toString() for s in st]
 
-    committed = {
-        int(path.split("epoch=")[-1].split("/")[0])
-        for path in _glob(f"{ledger_dir}/epoch=*/_SUCCESS")
-    }
-    epochs = sorted(e for e in committed if e < epoch_id)
+    if epochs is None:
+        epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
     if not epochs or not touched_bkts:
         return None
     bkts = "{" + ",".join(str(b) for b in sorted(set(touched_bkts))) + "}"
@@ -445,9 +462,22 @@ def lsh_band_ledger_stream(
         # schema" on every retry.
         fresh, cross = bands, None
         batch_persists = [bands]
-        # metadata-scale: <= n_buckets distinct small ints
-        touched = [r.bkt for r in bands.select("bkt").distinct().collect()]
-        ledger = ledger_probe(spark, ledger_dir, epoch_id, touched)
+        epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
+        # touched buckets: metadata-scale (<= n_buckets distinct small
+        # ints), and only computed when a committed prior epoch exists —
+        # the first epoch skips the job
+        touched = (
+            [r.bkt for r in bands.select("bkt").distinct().collect()]
+            if epochs
+            else []
+        )
+        ledger = ledger_probe(spark, ledger_dir, epoch_id, touched, epochs)
+        if touched:
+            n_write_tasks = max(len(touched), 1)
+        else:
+            n_write_tasks = min(
+                n_buckets, spark.sparkContext.defaultParallelism
+            )
         if ledger is not None:
             probe = bands.join(
                 ledger.select(F.col("doc_id").alias("prior_doc"), "band", "h"),
@@ -497,8 +527,9 @@ def lsh_band_ledger_stream(
         # task count = buckets the batch TOUCHES (a trickle batch against
         # n_buckets=2^k would otherwise launch n_buckets mostly-empty
         # tasks per epoch; measured 2.7 s/epoch of pure task overhead at
-        # 1024 buckets locally), one file per touched bucket
-        fresh.repartition(max(len(touched), 1), "bkt").write.partitionBy(
+        # 1024 buckets locally), one file per touched bucket. First epoch
+        # (touched not collected): parallelism-capped — same bound.
+        fresh.repartition(n_write_tasks, "bkt").write.partitionBy(
             "bkt"
         ).mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
         for d in batch_persists:
