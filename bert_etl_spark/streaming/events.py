@@ -377,6 +377,73 @@ def ledger_probe(
     )
 
 
+def compact_ledger_epochs(
+    spark: SparkSession, ledger_dir: str, through_epoch: int
+) -> int:
+    """Roll every committed ledger epoch ≤ ``through_epoch`` into ONE base
+    epoch partition (``epoch=<through_epoch>``), preserving the (epoch,
+    bkt) layout the probe prunes on. Returns the number of epochs folded
+    (0 = nothing to do).
+
+    This bounds the probe's O(#epochs) metadata axis (the
+    ``epoch=*/_SUCCESS`` glob + bucket-dir enumeration grow with every
+    micro-batch): an always-on ingest compacts periodically, after which
+    the glob sees ONE committed epoch for the whole history. Probe
+    results are unchanged — bkt is content-derived (pmod(xxhash64(band,
+    h))), so rows land in the same buckets, and any future epoch_id >
+    through_epoch still satisfies ``epoch < epoch_id``. The row-level
+    epoch value collapses to the base id, which the probe never uses
+    beyond the < filter.
+
+    Crash safety: the compacted span is FIRST written complete (with
+    ``_SUCCESS``) to a temp dir outside the ``epoch=*`` glob, THEN the
+    old epoch dirs are deleted, THEN the temp is renamed into place. A
+    crash between delete and rename leaves a window where the ledger
+    dirs are missing but the temp holds the full span — re-running
+    compaction (the recovery path below) completes the swap before doing
+    anything else. Like ingestion itself, compaction is SINGLE-WRITER:
+    run it in the same serial lane as the foreachBatch sink (the engine
+    analog of the reference's BOTTLE gate,
+    /root/reference/bert/runner/manager.py BOTTLE handling) so no probe
+    runs inside the swap window."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _path(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _path(ledger_dir).getFileSystem(hconf)
+    tmp = _path(f"{ledger_dir}/_compact_tmp_{through_epoch}")
+    target = _path(f"{ledger_dir}/epoch={through_epoch}")
+
+    def _swap(epochs: list[int]) -> None:
+        for e in epochs:
+            fs.delete(_path(f"{ledger_dir}/epoch={e}"), True)
+        if not fs.rename(tmp, target):
+            raise IOError(f"compaction rename failed: {tmp} -> {target}")
+
+    epochs = committed_prior_epochs(spark, ledger_dir, through_epoch + 1)
+    if fs.exists(_path(f"{tmp}/_SUCCESS")):
+        # recovery: a previous compaction wrote the full span but crashed
+        # before/inside the swap — finish it (idempotent)
+        _swap(epochs)
+        return len(epochs)
+    if len(epochs) < 2:
+        return 0
+    span = spark.read.option("basePath", ledger_dir).parquet(
+        *[f"{ledger_dir}/epoch={e}" for e in epochs]
+    )
+    n_buckets = _ledger_buckets(spark)
+    # the epoch column is partition-derived — drop it; bkt is re-written
+    # as the partition column. Full n_buckets parallelism: compaction is
+    # the occasional big batch job, not a trickle epoch.
+    span.select("doc_id", "band", "h", "bkt").repartition(
+        n_buckets, "bkt"
+    ).write.partitionBy("bkt").mode("overwrite").parquet(str(tmp))
+    _swap(epochs)
+    return len(epochs)
+
+
 def lsh_band_ledger_stream(
     docs_stream: DataFrame,
     ledger_dir: str,

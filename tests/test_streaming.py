@@ -554,3 +554,130 @@ def test_lsh_ledger_probe_prunes_partitions(spark, tmp_path):
     assert got_bkts <= set(want)
     # a probe for buckets with no committed dirs short-circuits to None
     assert ledger_probe(spark, str(ledger_root), 0, want) is None
+
+
+def test_ledger_compaction_preserves_probe_and_ingest(spark, tmp_path):
+    """compact_ledger_epochs folds the whole committed history into ONE
+    epoch partition: the probe sees identical (doc_id, band, h, bkt) rows
+    through one _SUCCESS glob entry, and a RESUMED ingest (same
+    checkpoint) still finds cross-epoch pairs against the compacted
+    ledger — the metadata-axis fix for an always-on ingest accumulating
+    one epoch dir per micro-batch."""
+    import os
+
+    from bert_etl_spark.streaming.events import (
+        compact_ledger_epochs,
+        committed_prior_epochs,
+        ledger_probe,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    # two epochs: docs 0-3, then 4-6 (doc 7 held back for the post-compact
+    # ingest)
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id").between(4, 6)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lsh_band_ledger_stream(
+        stream, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    assert committed_prior_epochs(spark, ledger, 10**9) == [0, 1]
+
+    all_bkts = sorted(
+        {
+            int(d.name.split("=")[1])
+            for e in (0, 1)
+            for d in (tmp_path / "ledger" / f"epoch={e}").iterdir()
+            if d.name.startswith("bkt=")
+        }
+    )
+    key = lambda r: (r.doc_id, r.band, r.h, r.bkt)  # noqa: E731
+    before = sorted(
+        key(r) for r in ledger_probe(spark, ledger, 2, all_bkts).collect()
+    )
+    assert compact_ledger_epochs(spark, ledger, 1) == 2
+    # one committed epoch dir now holds the whole history
+    assert committed_prior_epochs(spark, ledger, 10**9) == [1]
+    assert not (tmp_path / "ledger" / "epoch=0").exists()
+    after = sorted(
+        key(r) for r in ledger_probe(spark, ledger, 2, all_bkts).collect()
+    )
+    assert after == before and before  # identical rows, non-vacuous
+    # re-running is a no-op (single committed epoch left)
+    assert compact_ledger_epochs(spark, ledger, 1) == 0
+
+    # resumed ingest (same checkpoint -> epoch 2) probes the compacted
+    # ledger: doc 7 is a planted near-dup of doc 3 (epoch 0's data), so
+    # the cross-epoch pair MUST surface through the compacted partition
+    docs.filter(F.col("doc_id") == 7).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lsh_band_ledger_stream(
+        stream2, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    pairs = {
+        (r.doc_i, r.doc_j)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert (3, 7) in pairs
+    assert os.path.isdir(str(tmp_path / "ledger" / "epoch=2"))
+
+
+def test_ledger_compaction_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window: the compacted span was fully written (tmp dir with
+    _SUCCESS) but the old-epochs delete + rename never ran. Re-running
+    compact_ledger_epochs must complete the swap instead of re-compacting
+    (which would read the about-to-be-deleted dirs again)."""
+    import shutil
+
+    from bert_etl_spark.streaming.events import (
+        committed_prior_epochs,
+        compact_ledger_epochs,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 4).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from bert_etl_spark.streaming.events import lsh_band_ledger_stream
+
+    lsh_band_ledger_stream(
+        stream, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    want = sorted(
+        (r.doc_id, r.band, r.h, r.bkt)
+        for r in spark.read.parquet(ledger).collect()
+    )
+    # manufacture the crash state: a COMPLETE tmp span, old dirs intact
+    span = spark.read.option("basePath", ledger).parquet(
+        f"{ledger}/epoch=0", f"{ledger}/epoch=1"
+    )
+    span.select("doc_id", "band", "h", "bkt").repartition(4, "bkt").write.partitionBy(
+        "bkt"
+    ).mode("overwrite").parquet(f"{ledger}/_compact_tmp_1")
+    # recovery completes the swap
+    assert compact_ledger_epochs(spark, ledger, 1) == 2
+    assert committed_prior_epochs(spark, ledger, 10**9) == [1]
+    assert not (tmp_path / "ledger" / "_compact_tmp_1").exists()
+    got = sorted(
+        (r.doc_id, r.band, r.h, r.bkt)
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got == want
