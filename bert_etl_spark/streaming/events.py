@@ -346,10 +346,10 @@ def ledger_probe(
 
     Known growth axis: the ``epoch=*/_SUCCESS`` glob is O(#epochs) of
     METADATA per batch (dir listing, no data). An always-on ingest
-    accumulating millions of micro-batch epochs compacts old epochs into
-    a base epoch periodically — the sink_compaction pattern
-    (sources/sinks.py) applied per bucket directory; bucket layout and
-    probe are unchanged by compaction because bkt is content-derived."""
+    accumulating millions of micro-batch epochs runs
+    ``compact_ledger_epochs`` periodically — the whole committed history
+    folds into one base epoch partition; bucket layout and probe results
+    are unchanged because bkt is content-derived."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
 
