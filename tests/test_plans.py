@@ -379,3 +379,32 @@ def test_partitioned_scan_prunes_partitions(spark):
     assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
     # no pushed row filter on the partition column — pruning happened above
     assert "PushedFilters: []" in plan
+
+
+def test_pagerank_loop_broadcasts_contributions(spark):
+    """Each power iteration must broadcast the |V|-sized contribution
+    vector onto the edge list (|V| << |E|) — a shuffle join per iteration
+    would re-partition the full edge table k times. The lazy chain means
+    all k iterations appear in ONE plan: count the broadcast joins."""
+    from bert_etl_spark.operators.advanced import PAGERANK_ITERS
+
+    plan = _plan(spark, "graph_pagerank_k_iters")
+    assert plan.count("BroadcastHashJoin") >= PAGERANK_ITERS
+    assert "CartesianProduct" not in plan
+    # the per-iteration reduction is a partial-agg shuffle, not a sort
+    assert "HashAggregate" in plan
+
+
+def test_dhash_band_join_is_hash_equi_join(spark):
+    """dHash banding must stay a hash equi-join on the packed BIGINT band
+    slice — never a nested loop, and no Exchange carrying the raw bit
+    ARRAY (the round-5 shuffle-volume lesson: only the packed longs may
+    cross the wire)."""
+    plan = _plan(spark, "multimodal_dedup_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # verification ships packed longs; the bit array b is projected away
+    # before any exchange
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert " b#" not in line, line
