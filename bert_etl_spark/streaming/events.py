@@ -430,6 +430,17 @@ def compact_ledger_epochs(
         return len(epochs)
     if len(epochs) < 2:
         return 0
+    if epochs[-1] != through_epoch:
+        # the compacted partition MUST land on a committed epoch id:
+        # folding into a higher id (say 5 while the stream is at 2) would
+        # make every probe with epoch_id <= 5 silently EXCLUDE the whole
+        # compacted history via its epoch < epoch_id filter — data loss,
+        # not an error. Refuse instead.
+        raise ValueError(
+            f"through_epoch={through_epoch} is not the highest committed "
+            f"ledger epoch <= itself (committed: {epochs}); compaction "
+            f"must target a committed epoch id"
+        )
     span = spark.read.option("basePath", ledger_dir).parquet(
         *[f"{ledger_dir}/epoch={e}" for e in epochs]
     )

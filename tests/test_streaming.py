@@ -681,3 +681,35 @@ def test_ledger_compaction_recovers_interrupted_swap(spark, tmp_path):
         for r in spark.read.parquet(ledger).collect()
     )
     assert got == want
+
+
+def test_ledger_compaction_refuses_uncommitted_target(spark, tmp_path):
+    """Compacting into an epoch id ABOVE the committed history would make
+    probes with epoch_id <= target silently exclude the whole compacted
+    span (epoch < epoch_id filter) — the function must refuse, not lose
+    data."""
+    import pytest as _pytest
+
+    from bert_etl_spark.streaming.events import (
+        compact_ledger_epochs,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 4).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lsh_band_ledger_stream(
+        stream, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    with _pytest.raises(ValueError, match="committed"):
+        compact_ledger_epochs(spark, ledger, 5)
+    # the ledger is untouched by the refusal
+    assert (tmp_path / "ledger" / "epoch=0").exists()
+    assert (tmp_path / "ledger" / "epoch=1").exists()
