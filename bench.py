@@ -118,11 +118,12 @@ HEADLINE = [
     "dedup_substring_remove_keep_first",  # keep-one span cut (arg-min exempt)
     "corpus_decontaminate",   # eval-overlap filter (broadcast probe + roster)
     "graph_pagerank_iter",    # one damped power step, exact decimal reduce
-    "graph_pagerank_k_iters",  # persist-swap power loop (5 iterations)
+    "graph_pagerank_k_iters",  # lazy power loop (5 iterations, one action)
     "source_orc_scan",        # ORC round-trip with pushed filter
     "source_partitioned_scan",  # hive-layout write + partition pruning
     "text_bpe_merge_candidates",  # BPE training step over vocab, not corpus
     "text_bpe_train_steps",   # argmax-merge-recount loop (3 merges)
+    "text_bpe_encode",        # apply trained merges: vocab-first corpus encode
     "sink_compaction",        # small-files rewrite, Hadoop-FS sized
     "multimodal_dedup_phash",  # dHash + banded Hamming (perceptual near-dup)
 ]

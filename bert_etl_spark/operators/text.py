@@ -822,24 +822,12 @@ def _bpe_pack(sym_list_expr: str) -> str:
     )
 
 
-def bpe_train_steps(docs: DataFrame, k: int) -> list[tuple]:
-    """k classic BPE merges over the whitespace-token vocabulary: returns
-    [(step, left_sym, right_sym, merged, n_occurrences)] — the trained
-    merge table. The reference-shaped iterate-until-done job
-    (/root/reference/bert/runner/manager.py:172-178 re-loops a queue the
-    same way): argmax the pair table, apply the merge, recount.
-
-    Scale shape per step (the text_bpe_merge_candidates bound, preserved):
-    the corpus collapsed to its VOCABULARY once up front (Heaps' law:
-    |vocab| << corpus, measured alpha 0.17 at 100x), so every recount is
-    one pair explode + partial-agg shuffle over |vocab| rows. The argmax
-    is a 1-ROW collect (metadata-scale, like the streaming ledger's
-    bucket list); the merge-apply is a NARROW string replace — no shuffle,
-    no explode. State is persist-swapped per step (materialize the new
-    vocabulary, then release the predecessor).
-
-    Symbol state is the fenced string (see _bpe_pack), identical in the
-    DuckDB oracle, so the whole loop is value-checked end to end."""
+def _bpe_loop(docs: DataFrame, k: int) -> tuple[list[tuple], DataFrame]:
+    """The k-step training loop shared by bpe_train_steps (returns the
+    merge table) and bpe_encode_vocab (returns the final per-token symbol
+    state). State rows are (token, s, freq): the original token rides
+    along untouched so encoders can map corpus tokens to their final
+    symbol segmentation — the oracle chain threads the same column."""
     sep = F.lit(_US)
     chars = "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
     state = (
@@ -847,7 +835,7 @@ def bpe_train_steps(docs: DataFrame, k: int) -> list[tuple]:
         .filter(F.length("token") >= 2)  # 1-symbol tokens never pair
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
-        .select(F.expr(_bpe_pack(chars)).alias("s"), "freq")
+        .select("token", F.expr(_bpe_pack(chars)).alias("s"), "freq")
     )
     state = persist_once(state)
     merges: list[tuple] = []
@@ -876,13 +864,56 @@ def bpe_train_steps(docs: DataFrame, k: int) -> list[tuple]:
         pat = F.concat(sep, F.lit(left), sep, sep, F.lit(right), sep)
         rep = F.concat(sep, F.lit(left + right), sep)
         nxt = persist_once(
-            state.select(F.replace(F.col("s"), pat, rep).alias("s"), "freq")
+            state.select(
+                "token", F.replace(F.col("s"), pat, rep).alias("s"), "freq"
+            )
         )
         nxt.count()  # materialize BEFORE releasing the predecessor
         state.unpersist()
         state = nxt
+    return merges, state
+
+
+def bpe_train_steps(docs: DataFrame, k: int) -> list[tuple]:
+    """k classic BPE merges over the whitespace-token vocabulary: returns
+    [(step, left_sym, right_sym, merged, n_occurrences)] — the trained
+    merge table. The reference-shaped iterate-until-done job
+    (/root/reference/bert/runner/manager.py:172-178 re-loops a queue the
+    same way): argmax the pair table, apply the merge, recount.
+
+    Scale shape per step (the text_bpe_merge_candidates bound, preserved):
+    the corpus collapsed to its VOCABULARY once up front (Heaps' law:
+    |vocab| << corpus, measured alpha 0.17 at 100x), so every recount is
+    one pair explode + partial-agg shuffle over |vocab| rows. The argmax
+    is a 1-ROW collect (metadata-scale, like the streaming ledger's
+    bucket list); the merge-apply is a NARROW string replace — no shuffle,
+    no explode. State is persist-swapped per step (materialize the new
+    vocabulary, then release the predecessor).
+
+    Symbol state is the fenced string (see _bpe_pack), identical in the
+    DuckDB oracle, so the whole loop is value-checked end to end."""
+    merges, state = _bpe_loop(docs, k)
     state.unpersist()
     return merges
+
+
+def bpe_encode_vocab(docs: DataFrame, k: int) -> DataFrame:
+    """Train k merges, then return the encoded VOCABULARY: (token, n_syms)
+    — each distinct corpus token's symbol count under the trained
+    tokenizer. Encoding the corpus is then a broadcast join of this
+    Heaps-law-sized table onto the token stream — the same
+    vocabulary-first bound as training; the per-document pass never
+    re-runs the merge machinery. The returned DataFrame stays persisted
+    (released by registry.release_internals); its plan bakes the merge
+    literals, so consumers are replay-safe."""
+    _, state = _bpe_loop(docs, k)
+    sep = F.lit(_US)
+    return state.select(
+        "token",
+        F.size(F.split(F.btrim(F.col("s"), sep), _US + _US))
+        .cast("long")
+        .alias("n_syms"),
+    )
 
 
 def _sql_bpe_steps(k: int, table: str = "documents") -> str:
@@ -893,7 +924,8 @@ def _sql_bpe_steps(k: int, table: str = "documents") -> str:
         SELECT unnest(string_split(trim(text), ' ')) AS token FROM {table}
     ),
     v0 AS (
-        SELECT {us} || array_to_string(
+        SELECT token,
+               {us} || array_to_string(
                    list_transform(range(1, len(token) + 1),
                                   i -> substr(token, i, 1)),
                    {us} || {us}) || {us} AS s,
@@ -913,7 +945,8 @@ def _sql_bpe_steps(k: int, table: str = "documents") -> str:
     ),
     b{t} AS (SELECT l, r, n FROM p{t} ORDER BY n DESC, l, r LIMIT 1),
     v{t} AS (
-        SELECT replace(s, {us} || b.l || {us} || {us} || b.r || {us},
+        SELECT token,
+               replace(s, {us} || b.l || {us} || {us} || b.r || {us},
                           {us} || b.l || b.r || {us}) AS s, freq
         FROM v{t - 1}, b{t} b
     )"""
@@ -945,4 +978,51 @@ def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "step long, left_sym string, right_sym string, "
         "merged string, n_occurrences long",
+    )
+
+
+# Apply the trained tokenizer to the corpus: per-document symbol counts
+# before (characters) and after the k trained merges. Vocabulary-first:
+# the merge machinery runs over |vocab| rows; the corpus pass is one
+# broadcast join of the (token -> n_syms) table onto the token stream —
+# the count -> train -> APPLY closing step of the BPE family.
+@query(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH {_sql_bpe_steps(BPE_TRAIN_STEPS)},
+    enc AS (
+        SELECT token,
+               CAST(len(string_split(trim(s, chr(31)), chr(31) || chr(31)))
+                    AS BIGINT) AS n_syms
+        FROM v{BPE_TRAIN_STEPS}
+    ),
+    dt AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(token)) AS BIGINT) AS n_char_syms,
+           CAST(SUM(COALESCE(e.n_syms, LEAST(len(token), 1))) AS BIGINT)
+               AS n_bpe_syms
+    FROM dt LEFT JOIN enc e USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    vocab_syms = bpe_encode_vocab(docs, BPE_TRAIN_STEPS)
+    dt = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    # vocabulary is Heaps-law-sized -> broadcast; tokens outside the
+    # trained state are 1-symbol (len-1) or empty (len-0) tokens
+    return (
+        dt.join(F.broadcast(vocab_syms), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.length("token")).alias("n_char_syms"),
+            F.sum(
+                F.coalesce(F.col("n_syms"), F.least(F.length("token"), F.lit(1)))
+            ).alias("n_bpe_syms"),
+        )
     )

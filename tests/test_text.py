@@ -66,3 +66,39 @@ def test_bpe_train_steps_matches_python_reference(spark):
     assert len(got) == k  # non-vacuous: the toy corpus trains all k steps
     # the overlap case actually exercised: "aaaa" must have merged pairwise
     assert ("a", "a") in {(l, r) for _, l, r, _, _ in got}
+
+
+def test_bpe_encode_vocab_matches_python_reference(spark):
+    """bpe_encode_vocab: after k trained merges, each token's symbol
+    count equals applying the same merges greedily in pure Python."""
+    from bert_etl_spark.operators.text import bpe_encode_vocab, bpe_train_steps
+
+    texts = [
+        "aaaa abab low lower lowest",
+        "low low lower newest newest",
+        "aaaa aaaa widest newest",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    k = 4
+    merges = bpe_train_steps(df, k)
+    got = {r.token: r.n_syms for r in bpe_encode_vocab(df, k).collect()}
+
+    def encode(tok: str) -> int:
+        syms = list(tok)
+        for _, left, right, merged, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    vocab = {t for s in texts for t in s.split(" ") if len(t) >= 2}
+    assert got == {t: encode(t) for t in vocab}
+    assert got["aaaa"] == 2  # aa+aa after the (a,a) merge
