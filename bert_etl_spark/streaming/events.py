@@ -349,7 +349,9 @@ def ledger_probe(
     accumulating millions of micro-batch epochs runs
     ``compact_ledger_epochs`` periodically — the whole committed history
     folds into one base epoch partition; bucket layout and probe results
-    are unchanged because bkt is content-derived."""
+    are unchanged because bkt is content-derived. Pass
+    ``compact_every=N`` to lsh_band_ledger_stream to run this inside the
+    query path itself whenever the committed history spans N epochs."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
 
@@ -455,12 +457,53 @@ def compact_ledger_epochs(
     return len(epochs)
 
 
+def _maybe_compact_ledger(
+    spark: SparkSession, ledger_dir: str, epoch_id: int, compact_every: int
+) -> int:
+    """In-query-path compaction trigger: fold the committed prior history
+    into one base epoch once it spans ``compact_every`` epoch partitions.
+    Runs inside the foreachBatch lane BEFORE the batch's probe, so the
+    single-writer invariant holds (no probe ever overlaps the swap window
+    — the reference's BOTTLE gate, /root/reference/bert/runner/manager.py
+    BOTTLE handling) and this very batch's epoch glob already benefits.
+
+    Two crash-safety properties the call order encodes:
+    - RECOVERY RUNS UNCONDITIONALLY: a crash between compaction's delete
+      and rename leaves fewer committed epoch dirs than ``compact_every``,
+      so a threshold-gated call would never fire again and the history
+      would stay invisible to probes. Leftover ``_compact_tmp_*`` dirs
+      with ``_SUCCESS`` are therefore detected and swapped in FIRST,
+      independent of the threshold.
+    - TARGET IS ALWAYS STRICTLY BELOW the in-flight epoch: folding into
+      ``epoch_id`` itself would be wiped by that epoch's own
+      mode=overwrite on an at-least-once replay. committed_prior_epochs
+      excludes ``epoch_id``, so the compacted base can never be the
+      partition a replay rewrites.
+
+    Returns the number of epoch partitions folded (0 = below threshold).
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_compact_tmp_*/_SUCCESS")
+    st = p.getFileSystem(hconf).globStatus(p)
+    for s in [] if st is None else st:
+        leftover = int(
+            s.getPath().getParent().getName().split("_compact_tmp_")[-1]
+        )
+        compact_ledger_epochs(spark, ledger_dir, leftover)
+    epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
+    if len(epochs) < compact_every:
+        return 0
+    return compact_ledger_epochs(spark, ledger_dir, epochs[-1])
+
+
 def lsh_band_ledger_stream(
     docs_stream: DataFrame,
     ledger_dir: str,
     out_dir: str,
     checkpoint: str,
     query_name: str = "lsh_ledger",
+    compact_every: int | None = None,
 ):
     """Always-on NEAR-dup ingest: the streaming form of
     dedup_minhash_incremental — the LSH generalization of the reference's
@@ -524,6 +567,9 @@ def lsh_band_ledger_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every is not None:
+            # serial with the rest of the batch — see _maybe_compact_ledger
+            _maybe_compact_ledger(spark, ledger_dir, epoch_id, compact_every)
         n_buckets = _ledger_buckets(spark)
         bands = _with_bucket(
             lsh_bands(minhash_signatures(shingles_df(batch_df))), n_buckets

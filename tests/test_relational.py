@@ -83,3 +83,98 @@ def test_pagerank_power_cache_release_is_flat_in_k(spark):
     deep = run(9)  # crosses the localCheckpoint cadence (every 8) too
     # +1 slack: the cadence checkpoint's RDD is freed by GC, not unpersist
     assert deep <= shallow + 1, (shallow, deep)
+
+
+def _python_pagerank_until(edges, tol_micro, max_iters):
+    """Pure-int mirror of pagerank_to_convergence's loop + stopping rule:
+    iterate the HALF_UP fixed-point update until max per-node delta <=
+    tol_micro or max_iters; returns (rho, iterations_run)."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    rho = {n: 1_000_000 for n in adj}
+    t = 0
+    for t in range(1, max_iters + 1):
+        nxt = {
+            n: 150_000
+            + (
+                17
+                * sum(
+                    (2 * rho[m] + len(adj[m])) // (2 * len(adj[m]))
+                    for m in adj[n]
+                )
+                + 10
+            )
+            // 20
+            for n in adj
+        }
+        delta = max(abs(nxt[n] - rho[n]) for n in adj)
+        rho = nxt
+        if delta <= tol_micro:
+            break
+    return rho, t
+
+
+def test_pagerank_to_convergence_matches_python_mirror(spark):
+    """The convergence loop must stop at the SAME iteration as a pure-int
+    mirror (the integer state makes the stopping decision deterministic)
+    and return the bit-exact fixed-point state at that iteration."""
+    from bert_etl_spark.operators.advanced import pagerank_to_convergence
+
+    #  star 1-{2,3,4} plus tail 4-5: asymmetric degrees, converges slowly
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    res, t = pagerank_to_convergence(df, tol_micro=20_000, max_iters=40)
+    got = {r.node: r.pr for r in res.collect()}
+    res.unpersist()
+    rho, t_py = _python_pagerank_until(edges, tol_micro=20_000, max_iters=40)
+    assert t == t_py
+    assert t < 40  # genuinely converged, not capped
+    assert got == rho
+
+
+def test_pagerank_to_convergence_respects_max_iters(spark):
+    """An unreachable tolerance stops at max_iters with the state equal to
+    exactly that many fixed-k iterations."""
+    from bert_etl_spark.operators.advanced import (
+        pagerank_power,
+        pagerank_to_convergence,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    res, t = pagerank_to_convergence(df, tol_micro=-1, max_iters=3)
+    assert t == 3
+    got = {r.node: r.pr for r in res.collect()}
+    res.unpersist()
+    want = {r.node: r.pr for r in pagerank_power(df, 3).collect()}
+    assert got == want
+
+
+def test_pagerank_to_convergence_cache_bound(spark):
+    """At most two iterates + deg are ever cached: a deep convergence run
+    may not leave more cached RDDs behind than a shallow one (persist-swap
+    releases each predecessor after the delta action)."""
+    from bert_etl_spark.operators import registry
+    from bert_etl_spark.operators.advanced import pagerank_to_convergence
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "u long, v long"
+    )
+
+    def cached_count() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    def run(max_iters: int) -> int:
+        registry.release_internals()
+        base = cached_count()
+        res, _ = pagerank_to_convergence(df, tol_micro=-1, max_iters=max_iters)
+        grew = cached_count() - base
+        res.unpersist()
+        registry.release_internals()
+        return grew
+
+    shallow = run(2)
+    deep = run(10)  # crosses the localCheckpoint cadence (every 8)
+    assert deep <= shallow + 1, (shallow, deep)

@@ -713,3 +713,110 @@ def test_ledger_compaction_refuses_uncommitted_target(spark, tmp_path):
     # the ledger is untouched by the refusal
     assert (tmp_path / "ledger" / "epoch=0").exists()
     assert (tmp_path / "ledger" / "epoch=1").exists()
+
+
+def test_lsh_ledger_in_path_compaction(spark, tmp_path):
+    """compact_every=N runs compaction INSIDE the foreachBatch lane: after
+    a 4-epoch ingest with compact_every=2 the committed history spans two
+    dirs (the compacted base + the last epoch), while the emitted pairs
+    still equal the batch pipeline's candidate set exactly — compaction in
+    the query path changes layout, never results."""
+    from bert_etl_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles_df,
+    )
+    from bert_etl_spark.streaming.events import (
+        committed_prior_epochs,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    for lo, hi in ((0, 2), (2, 4), (4, 6), (6, 8)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lsh_band_ledger_stream(
+        stream,
+        ledger,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    ).awaitTermination()
+    # epoch 2 folded [0,1] -> 1; epoch 3 folded [1,2] -> 2; 3 wrote itself
+    assert committed_prior_epochs(spark, ledger, 10**9) == [2, 3]
+    got = sorted(
+        (r.doc_i, r.doc_j)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_i", "doc_j")
+        .collect()
+    )
+    want = sorted(
+        (r.doc_i, r.doc_j)
+        for r in candidate_pairs(
+            lsh_bands(minhash_signatures(shingles_df(docs)))
+        ).collect()
+    )
+    assert got == want
+    # cross-epoch pairs must have survived the mid-stream folds
+    assert (0, 2) in got and (3, 7) in got
+
+
+def test_in_path_compaction_recovers_leftover_tmp(spark, tmp_path):
+    """The worst crash window: compaction deleted the old epoch dirs but
+    died before the rename, leaving FEWER committed epochs than
+    compact_every. A threshold-gated trigger would never fire again and
+    the history would stay invisible — _maybe_compact_ledger must recover
+    the leftover tmp span UNCONDITIONALLY, before any threshold check."""
+    import shutil
+
+    from bert_etl_spark.streaming.events import (
+        _maybe_compact_ledger,
+        committed_prior_epochs,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 4).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lsh_band_ledger_stream(
+        stream, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    want = sorted(
+        (r.doc_id, r.band, r.h, r.bkt)
+        for r in spark.read.parquet(ledger).collect()
+    )
+    # crash state: full tmp span written, old dirs already DELETED
+    span = spark.read.option("basePath", ledger).parquet(
+        f"{ledger}/epoch=0", f"{ledger}/epoch=1"
+    )
+    span.select("doc_id", "band", "h", "bkt").repartition(4, "bkt").write.partitionBy(
+        "bkt"
+    ).mode("overwrite").parquet(f"{ledger}/_compact_tmp_1")
+    shutil.rmtree(str(tmp_path / "ledger" / "epoch=0"))
+    shutil.rmtree(str(tmp_path / "ledger" / "epoch=1"))
+    assert committed_prior_epochs(spark, ledger, 10**9) == []
+    # threshold (99) is far from met — recovery must still complete
+    _maybe_compact_ledger(spark, ledger, epoch_id=2, compact_every=99)
+    assert committed_prior_epochs(spark, ledger, 10**9) == [1]
+    assert not (tmp_path / "ledger" / "_compact_tmp_1").exists()
+    got = sorted(
+        (r.doc_id, r.band, r.h, r.bkt)
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got == want
