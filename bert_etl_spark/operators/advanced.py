@@ -888,7 +888,10 @@ def pagerank_to_convergence(
         prev.unpersist()
         prev = nxt
         iterations = t + 1
-        if delta is not None and delta <= tol_micro:
+        # delta is None only when the graph is empty — converged trivially
+        # (without the break an empty input would burn all max_iters
+        # rounds of jobs on zero rows)
+        if delta is None or delta <= tol_micro:
             break
     return prev, iterations
 

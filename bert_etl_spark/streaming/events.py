@@ -351,7 +351,9 @@ def ledger_probe(
     folds into one base epoch partition; bucket layout and probe results
     are unchanged because bkt is content-derived. Pass
     ``compact_every=N`` to lsh_band_ledger_stream to run this inside the
-    query path itself whenever the committed history spans N epochs."""
+    query path itself: a size-tiered trailing run of at least N epochs is
+    folded (never the whole history at once — _fold_suffix bounds the
+    amortized fold cost to O(batch x log total))."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
 
@@ -380,32 +382,42 @@ def ledger_probe(
 
 
 def compact_ledger_epochs(
-    spark: SparkSession, ledger_dir: str, through_epoch: int
+    spark: SparkSession,
+    ledger_dir: str,
+    through_epoch: int,
+    epochs: list[int] | None = None,
 ) -> int:
-    """Roll every committed ledger epoch ≤ ``through_epoch`` into ONE base
-    epoch partition (``epoch=<through_epoch>``), preserving the (epoch,
-    bkt) layout the probe prunes on. Returns the number of epochs folded
-    (0 = nothing to do).
+    """Roll a span of committed ledger epochs into ONE epoch partition
+    (``epoch=<through_epoch>``), preserving the (epoch, bkt) layout the
+    probe prunes on. Returns the number of epochs folded (0 = nothing to
+    do). With ``epochs=None`` (the standalone/manual form) the span is
+    EVERY committed epoch ≤ ``through_epoch``; the in-path trigger passes
+    an explicit trailing span so a fold never has to rewrite the whole
+    history (see _maybe_compact_ledger's size-tiered policy).
 
     This bounds the probe's O(#epochs) metadata axis (the
     ``epoch=*/_SUCCESS`` glob + bucket-dir enumeration grow with every
     micro-batch): an always-on ingest compacts periodically, after which
-    the glob sees ONE committed epoch for the whole history. Probe
+    the glob sees one committed epoch per fold for the history. Probe
     results are unchanged — bkt is content-derived (pmod(xxhash64(band,
     h))), so rows land in the same buckets, and any future epoch_id >
     through_epoch still satisfies ``epoch < epoch_id``. The row-level
-    epoch value collapses to the base id, which the probe never uses
+    epoch value collapses to the fold's id, which the probe never uses
     beyond the < filter.
 
     Crash safety: the compacted span is FIRST written complete (with
-    ``_SUCCESS``) to a temp dir outside the ``epoch=*`` glob, THEN the
+    ``_SUCCESS``) to a temp dir outside the ``epoch=*`` glob — named
+    ``_compact_tmp_<through>`` for a full fold or
+    ``_compact_tmp_<from>_<through>`` for a span fold, so RECOVERY can
+    reconstruct exactly which epoch dirs the fold replaces — THEN the
     old epoch dirs are deleted, THEN the temp is renamed into place. A
     crash between delete and rename leaves a window where the ledger
     dirs are missing but the temp holds the full span — re-running
-    compaction (the recovery path below) completes the swap before doing
-    anything else. Like ingestion itself, compaction is SINGLE-WRITER:
-    run it in the same serial lane as the foreachBatch sink (the engine
-    analog of the reference's BOTTLE gate,
+    compaction with the same arguments (or _recover_interrupted_compaction,
+    which parses the span from the temp name) completes the swap before
+    doing anything else. Like ingestion itself, compaction is
+    SINGLE-WRITER: run it in the same serial lane as the foreachBatch
+    sink (the engine analog of the reference's BOTTLE gate,
     /root/reference/bert/runner/manager.py BOTTLE handling) so no probe
     runs inside the swap window."""
     jvm = spark.sparkContext._jvm
@@ -415,16 +427,23 @@ def compact_ledger_epochs(
         return jvm.org.apache.hadoop.fs.Path(p)
 
     fs = _path(ledger_dir).getFileSystem(hconf)
-    tmp = _path(f"{ledger_dir}/_compact_tmp_{through_epoch}")
+    if epochs is None:
+        epochs = committed_prior_epochs(spark, ledger_dir, through_epoch + 1)
+        tmp = _path(f"{ledger_dir}/_compact_tmp_{through_epoch}")
+    else:
+        epochs = sorted(epochs)
+        tmp = _path(
+            f"{ledger_dir}/_compact_tmp_{epochs[0]}_{through_epoch}"
+        )
     target = _path(f"{ledger_dir}/epoch={through_epoch}")
 
-    def _swap(epochs: list[int]) -> None:
-        for e in epochs:
+    def _swap(span: list[int]) -> None:
+        for e in span:
+            # no-op for dirs a prior interrupted swap already deleted
             fs.delete(_path(f"{ledger_dir}/epoch={e}"), True)
         if not fs.rename(tmp, target):
             raise IOError(f"compaction rename failed: {tmp} -> {target}")
 
-    epochs = committed_prior_epochs(spark, ledger_dir, through_epoch + 1)
     if fs.exists(_path(f"{tmp}/_SUCCESS")):
         # recovery: a previous compaction wrote the full span but crashed
         # before/inside the swap — finish it (idempotent)
@@ -457,44 +476,119 @@ def compact_ledger_epochs(
     return len(epochs)
 
 
-def _maybe_compact_ledger(
-    spark: SparkSession, ledger_dir: str, epoch_id: int, compact_every: int
-) -> int:
-    """In-query-path compaction trigger: fold the committed prior history
-    into one base epoch once it spans ``compact_every`` epoch partitions.
-    Runs inside the foreachBatch lane BEFORE the batch's probe, so the
-    single-writer invariant holds (no probe ever overlaps the swap window
-    — the reference's BOTTLE gate, /root/reference/bert/runner/manager.py
-    BOTTLE handling) and this very batch's epoch glob already benefits.
+def _recover_interrupted_compaction(spark: SparkSession, ledger_dir: str) -> int:
+    """Complete (or clean up) any compaction a crash left behind; returns
+    the number of leftover temp spans handled. Runs UNCONDITIONALLY at
+    the top of every micro-batch — one cheap FS glob — because gating it
+    on ``compact_every`` re-creates the failure it exists to prevent: a
+    crash between compaction's delete and rename leaves FEWER committed
+    epoch dirs than any threshold, and an operator restarting the stream
+    without the knob (or having compacted manually) would otherwise leave
+    the folded history invisible to every probe forever.
 
-    Two crash-safety properties the call order encodes:
-    - RECOVERY RUNS UNCONDITIONALLY: a crash between compaction's delete
-      and rename leaves fewer committed epoch dirs than ``compact_every``,
-      so a threshold-gated call would never fire again and the history
-      would stay invisible to probes. Leftover ``_compact_tmp_*`` dirs
-      with ``_SUCCESS`` are therefore detected and swapped in FIRST,
-      independent of the threshold.
-    - TARGET IS ALWAYS STRICTLY BELOW the in-flight epoch: folding into
-      ``epoch_id`` itself would be wiped by that epoch's own
-      mode=overwrite on an at-least-once replay. committed_prior_epochs
-      excludes ``epoch_id``, so the compacted base can never be the
-      partition a replay rewrites.
-
-    Returns the number of epoch partitions folded (0 = below threshold).
-    """
+    A temp span WITH ``_SUCCESS`` is complete — its swap is finished
+    (delete remaining span dirs, rename into place; the span is parsed
+    from the ``_compact_tmp_<from>_<through>`` / ``_compact_tmp_<through>``
+    name). A temp dir WITHOUT ``_SUCCESS`` is a fold that died mid-write:
+    its source epoch dirs are untouched, so the partial output is garbage
+    and is deleted."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_compact_tmp_*/_SUCCESS")
-    st = p.getFileSystem(hconf).globStatus(p)
+    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_compact_tmp_*")
+    fs = p.getFileSystem(hconf)
+    st = fs.globStatus(p)
+    handled = 0
     for s in [] if st is None else st:
-        leftover = int(
-            s.getPath().getParent().getName().split("_compact_tmp_")[-1]
-        )
-        compact_ledger_epochs(spark, ledger_dir, leftover)
-    epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
+        name = s.getPath().getName().split("_compact_tmp_")[-1]
+        parts = [int(x) for x in name.rsplit("_", 1)] if "_" in name.lstrip(
+            "-"
+        ) else [int(name)]
+        through = parts[-1]
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{s.getPath()}/_SUCCESS")
+        ):
+            # died mid-write: sources intact, partial output is garbage
+            fs.delete(s.getPath(), True)
+            handled += 1
+            continue
+        if len(parts) == 1:
+            compact_ledger_epochs(spark, ledger_dir, through, epochs=None)
+        else:
+            # span form: the rebuilt span MUST start at the recorded
+            # <from> id so the temp-dir name matches the leftover (the
+            # from/through dirs may already be deleted — _swap's deletes
+            # are no-ops for missing dirs)
+            committed = committed_prior_epochs(spark, ledger_dir, through + 1)
+            span = sorted(
+                {e for e in committed if e >= parts[0]} | {parts[0], through}
+            )
+            compact_ledger_epochs(spark, ledger_dir, through, epochs=span)
+        handled += 1
+    return handled
+
+
+def _fold_suffix(sizes: list[tuple[int, int]], min_run: int) -> list[int]:
+    """Size-tiered (LSM-style) merge policy — pure function of
+    ``[(epoch, bytes)]`` ascending. Returns the trailing run of epoch ids
+    to fold, or ``[]``.
+
+    Starting from the newest epoch, the run extends to the next-older
+    epoch while that epoch's size is ≤ the run's accumulated size — i.e.
+    a fold only ever rewrites data comparable to what the trickle since
+    the last fold already wrote, never a base arbitrarily larger than it.
+    With equal-size trickle epochs and min_run=N this yields the classic
+    binary merge pattern (rewrites of N, 2N, N, 4N, N, 2N, N, 8N …):
+    amortized per-epoch fold cost O(batch × log total), while dir count
+    stays ≤ min_run + O(log total) — BOTH axes bounded, unlike a
+    fold-everything trigger whose amortized cost is O(total ledger) per
+    window (the always-on killer one level up)."""
+    run_sum = 0
+    i = len(sizes)
+    while i > 0 and (run_sum == 0 or sizes[i - 1][1] <= run_sum):
+        run_sum += sizes[i - 1][1]
+        i -= 1
+    run = [e for e, _ in sizes[i:]]
+    return run if len(run) >= min_run else []
+
+
+def _maybe_compact_ledger(
+    spark: SparkSession,
+    ledger_dir: str,
+    epoch_id: int,
+    compact_every: int,
+    epochs: list[int],
+) -> list[int]:
+    """In-query-path compaction trigger: fold a size-tiered trailing run
+    of committed epochs (see _fold_suffix) once it spans at least
+    ``compact_every`` partitions. Runs inside the foreachBatch lane
+    BEFORE the batch's probe, so the single-writer invariant holds (no
+    probe ever overlaps the swap window — the reference's BOTTLE gate,
+    /root/reference/bert/runner/manager.py BOTTLE handling) and this very
+    batch's path enumeration already benefits.
+
+    The fold target is always STRICTLY BELOW the in-flight epoch: folding
+    into ``epoch_id`` itself would be wiped by that epoch's own
+    mode=overwrite on an at-least-once replay; the caller's ``epochs``
+    come from committed_prior_epochs, which excludes ``epoch_id``.
+
+    Takes and returns the committed-epoch list so the caller never pays
+    the O(#epochs) ``_SUCCESS`` glob twice in one batch; the per-epoch
+    sizes add one content-summary call per committed dir — the same
+    metadata class, and the fold the sizes gate keeps that list short."""
     if len(epochs) < compact_every:
-        return 0
-    return compact_ledger_epochs(spark, ledger_dir, epochs[-1])
+        return epochs
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _size(e: int) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/epoch={e}")
+        return p.getFileSystem(hconf).getContentSummary(p).getLength()
+
+    run = _fold_suffix([(e, _size(e)) for e in epochs], compact_every)
+    if not run:
+        return epochs
+    compact_ledger_epochs(spark, ledger_dir, run[-1], epochs=run)
+    return [e for e in epochs if e not in run[:-1]]
 
 
 def lsh_band_ledger_stream(
@@ -567,9 +661,10 @@ def lsh_band_ledger_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if compact_every is not None:
-            # serial with the rest of the batch — see _maybe_compact_ledger
-            _maybe_compact_ledger(spark, ledger_dir, epoch_id, compact_every)
+        # UNCONDITIONAL (not gated on compact_every): an interrupted swap
+        # leaves fewer committed dirs than any threshold, and the stream
+        # may be restarted without the knob — see _recover_interrupted_compaction
+        _recover_interrupted_compaction(spark, ledger_dir)
         n_buckets = _ledger_buckets(spark)
         bands = _with_bucket(
             lsh_bands(minhash_signatures(shingles_df(batch_df))), n_buckets
@@ -587,6 +682,12 @@ def lsh_band_ledger_stream(
         fresh, cross = bands, None
         batch_persists = [bands]
         epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
+        if compact_every is not None:
+            # serial with the rest of the batch; reuses (and returns) the
+            # committed list so the _SUCCESS glob runs once per batch
+            epochs = _maybe_compact_ledger(
+                spark, ledger_dir, epoch_id, compact_every, epochs
+            )
         # touched buckets: metadata-scale (<= n_buckets distinct small
         # ints), and only computed when a committed prior epoch exists —
         # the first epoch skips the job

@@ -717,10 +717,13 @@ def test_ledger_compaction_refuses_uncommitted_target(spark, tmp_path):
 
 def test_lsh_ledger_in_path_compaction(spark, tmp_path):
     """compact_every=N runs compaction INSIDE the foreachBatch lane: after
-    a 4-epoch ingest with compact_every=2 the committed history spans two
-    dirs (the compacted base + the last epoch), while the emitted pairs
-    still equal the batch pipeline's candidate set exactly — compaction in
-    the query path changes layout, never results."""
+    a 4-epoch ingest with compact_every=2 at least one size-tiered fold
+    has collapsed the early history (epoch 0's dir is gone, fewer dirs
+    than epochs), while the emitted pairs still equal the batch
+    pipeline's candidate set exactly — compaction in the query path
+    changes layout, never results. (The exact fold boundaries are a
+    function of on-disk parquet sizes — the policy itself is pinned by
+    the pure _fold_suffix tests.)"""
     from bert_etl_spark.operators.dedup import (
         candidate_pairs,
         lsh_bands,
@@ -751,8 +754,10 @@ def test_lsh_ledger_in_path_compaction(spark, tmp_path):
         str(tmp_path / "ckpt"),
         compact_every=2,
     ).awaitTermination()
-    # epoch 2 folded [0,1] -> 1; epoch 3 folded [1,2] -> 2; 3 wrote itself
-    assert committed_prior_epochs(spark, ledger, 10**9) == [2, 3]
+    committed = committed_prior_epochs(spark, ledger, 10**9)
+    # a fold happened (fewer dirs than epochs) and it swallowed epoch 0;
+    # the newest epoch is never folded (strictly below the in-flight id)
+    assert len(committed) < 4 and 0 not in committed and 3 in committed
     got = sorted(
         (r.doc_i, r.doc_j)
         for r in spark.read.parquet(str(tmp_path / "out"))
@@ -772,14 +777,15 @@ def test_lsh_ledger_in_path_compaction(spark, tmp_path):
 
 def test_in_path_compaction_recovers_leftover_tmp(spark, tmp_path):
     """The worst crash window: compaction deleted the old epoch dirs but
-    died before the rename, leaving FEWER committed epochs than
-    compact_every. A threshold-gated trigger would never fire again and
-    the history would stay invisible — _maybe_compact_ledger must recover
-    the leftover tmp span UNCONDITIONALLY, before any threshold check."""
+    died before the rename, leaving FEWER committed epochs than any
+    threshold. A threshold-gated trigger would never fire again and the
+    history would stay invisible — _recover_interrupted_compaction (run
+    unconditionally at the top of every micro-batch) must complete the
+    swap."""
     import shutil
 
     from bert_etl_spark.streaming.events import (
-        _maybe_compact_ledger,
+        _recover_interrupted_compaction,
         committed_prior_epochs,
         lsh_band_ledger_stream,
     )
@@ -811,8 +817,8 @@ def test_in_path_compaction_recovers_leftover_tmp(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ledger" / "epoch=0"))
     shutil.rmtree(str(tmp_path / "ledger" / "epoch=1"))
     assert committed_prior_epochs(spark, ledger, 10**9) == []
-    # threshold (99) is far from met — recovery must still complete
-    _maybe_compact_ledger(spark, ledger, epoch_id=2, compact_every=99)
+    # no threshold involved — recovery is unconditional in _process
+    assert _recover_interrupted_compaction(spark, ledger) == 1
     assert committed_prior_epochs(spark, ledger, 10**9) == [1]
     assert not (tmp_path / "ledger" / "_compact_tmp_1").exists()
     got = sorted(
@@ -820,3 +826,100 @@ def test_in_path_compaction_recovers_leftover_tmp(spark, tmp_path):
         for r in spark.read.parquet(ledger).collect()
     )
     assert got == want
+
+
+def test_fold_suffix_policy():
+    """Pure-function pins of the size-tiered merge policy: equal trickles
+    fold fully (binary pattern), a base larger than the trickle run is
+    NEVER rewritten by it (the O(total-ledger)-per-window failure a
+    fold-everything trigger has), and a run shorter than min_run is
+    deferred."""
+    from bert_etl_spark.streaming.events import _fold_suffix
+
+    # equal trickles: the whole history is one tier — full fold
+    assert _fold_suffix([(0, 10), (1, 10), (2, 10)], 2) == [0, 1, 2]
+    # big base + short trickle run: base excluded, run below min_run
+    assert _fold_suffix([(5, 100), (6, 10)], 2) == []
+    # big base + long-enough trickle run: fold the run, NOT the base
+    assert _fold_suffix([(5, 100), (6, 10), (7, 10), (8, 10)], 2) == [6, 7, 8]
+    # run sum reaching the base size pulls the base in (next tier)
+    assert _fold_suffix([(5, 30), (6, 10), (7, 10), (8, 10)], 2) == [
+        5, 6, 7, 8,
+    ]
+    # empty history
+    assert _fold_suffix([], 2) == []
+
+
+def test_recover_interrupted_span_fold(spark, tmp_path):
+    """Span-fold crash recovery: a _compact_tmp_<from>_<through> leftover
+    with _SUCCESS is swapped into epoch=<through> deleting ONLY the span
+    members — epochs older than <from> are untouched."""
+    from bert_etl_spark.streaming.events import (
+        _recover_interrupted_compaction,
+        committed_prior_epochs,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lsh_band_ledger_stream(
+        stream, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    assert committed_prior_epochs(spark, ledger, 10**9) == [0, 1, 2]
+    want = sorted(
+        (r.doc_id, r.band, r.h, r.bkt)
+        for r in spark.read.parquet(ledger).collect()
+    )
+    # crash state for a [1,2] span fold: complete tmp, old dirs intact
+    span = spark.read.option("basePath", ledger).parquet(
+        f"{ledger}/epoch=1", f"{ledger}/epoch=2"
+    )
+    span.select("doc_id", "band", "h", "bkt").repartition(4, "bkt").write.partitionBy(
+        "bkt"
+    ).mode("overwrite").parquet(f"{ledger}/_compact_tmp_1_2")
+    assert _recover_interrupted_compaction(spark, ledger) == 1
+    # epoch 0 untouched; [1,2] folded into 2
+    assert committed_prior_epochs(spark, ledger, 10**9) == [0, 2]
+    got = sorted(
+        (r.doc_id, r.band, r.h, r.bkt)
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got == want
+
+
+def test_recover_deletes_garbage_tmp(spark, tmp_path):
+    """A tmp dir WITHOUT _SUCCESS is a fold that died mid-write: its
+    source epoch dirs are intact, so recovery deletes the partial output
+    instead of swapping it in."""
+    import os
+
+    from bert_etl_spark.streaming.events import (
+        _recover_interrupted_compaction,
+        committed_prior_epochs,
+        lsh_band_ledger_stream,
+    )
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    ledger = str(tmp_path / "ledger")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    lsh_band_ledger_stream(
+        stream, ledger, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    os.makedirs(f"{ledger}/_compact_tmp_0/bkt=0")
+    with open(f"{ledger}/_compact_tmp_0/bkt=0/part-0.parquet", "wb") as f:
+        f.write(b"partial garbage")
+    assert _recover_interrupted_compaction(spark, ledger) == 1
+    assert not (tmp_path / "ledger" / "_compact_tmp_0").exists()
+    assert committed_prior_epochs(spark, ledger, 10**9) == [0]

@@ -45,6 +45,12 @@ def run_one_case(epochs: int, compact_every: int | None) -> None:
     from bert_etl_spark.streaming.events import lsh_band_ledger_stream
 
     spark = get_spark()
+    # recentProgress retains only the LAST N updates (default 100): at
+    # higher epoch counts the "first quarter" would silently measure late
+    # batches and flatten the very growth curve this bench exists to show
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(epochs + 8)
+    )
     work = tempfile.mkdtemp(prefix="ledger_compact_bench_")
     src = os.path.join(work, "in")
     os.makedirs(src)
@@ -57,51 +63,59 @@ def run_one_case(epochs: int, compact_every: int | None) -> None:
                       "text": pa.array([text])}),
             os.path.join(src, f"doc-{i:05d}.parquet"),
         )
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    t0 = time.time()
-    q = lsh_band_ledger_stream(
-        stream,
-        os.path.join(work, "ledger"),
-        os.path.join(work, "out"),
-        os.path.join(work, "ckpt"),
-        compact_every=compact_every,
-    )
-    q.awaitTermination()
-    wall = time.time() - t0
-    durs = [
-        p["durationMs"]["triggerExecution"] / 1000.0
-        for p in q.recentProgress
-        if p.get("numInputRows", 0) > 0
-    ]
-    # first two batches carry plan/codegen warmup (~7 s measured) — exclude
-    # them so the first-quarter mean reflects steady shape, not compilation
-    durs = durs[2:] if len(durs) > 8 else durs
-    quarter = max(len(durs) // 4, 1)
-    ledger_dir = os.path.join(work, "ledger")
-    epoch_dirs = [d for d in os.listdir(ledger_dir) if d.startswith("epoch=")]
-    n_files = sum(
-        len(fs) for _, _, fs in os.walk(ledger_dir)
-    )
-    print(
-        json.dumps(
-            {
-                "epochs": epochs,
-                "compact_every": compact_every,
-                "measured_batches": len(durs),
-                "first_quarter_mean_s": round(sum(durs[:quarter]) / quarter, 3),
-                "last_quarter_mean_s": round(sum(durs[-quarter:]) / quarter, 3),
-                "total_wall_s": round(wall, 1),
-                "final_epoch_dirs": len(epoch_dirs),
-                "final_ledger_files": n_files,
-            }
-        ),
-        flush=True,
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = lsh_band_ledger_stream(
+            stream,
+            os.path.join(work, "ledger"),
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+            compact_every=compact_every,
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        # first two batches carry plan/codegen warmup (~7 s measured) —
+        # exclude them so the first-quarter mean reflects steady shape,
+        # not compilation
+        durs = durs[2:] if len(durs) > 8 else durs
+        quarter = max(len(durs) // 4, 1)
+        ledger_dir = os.path.join(work, "ledger")
+        epoch_dirs = [
+            d for d in os.listdir(ledger_dir) if d.startswith("epoch=")
+        ]
+        n_files = sum(len(fs) for _, _, fs in os.walk(ledger_dir))
+        print(
+            json.dumps(
+                {
+                    "epochs": epochs,
+                    "compact_every": compact_every,
+                    "measured_batches": len(durs),
+                    "first_quarter_mean_s": round(
+                        sum(durs[:quarter]) / quarter, 3
+                    ),
+                    "last_quarter_mean_s": round(
+                        sum(durs[-quarter:]) / quarter, 3
+                    ),
+                    "total_wall_s": round(wall, 1),
+                    "final_epoch_dirs": len(epoch_dirs),
+                    "final_ledger_files": n_files,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
 
 def main() -> None:
