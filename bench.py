@@ -126,6 +126,7 @@ HEADLINE = [
     "text_bpe_encode",        # apply trained merges: vocab-first corpus encode
     "sink_compaction",        # small-files rewrite, Hadoop-FS sized
     "multimodal_dedup_phash",  # dHash + banded Hamming (perceptual near-dup)
+    "sim_maxsim_topk",        # late-interaction MaxSim (multi-vector docs)
 ]
 
 

@@ -27,6 +27,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bert_etl_spark.functions.deterministic import dsum, sql_dsum
 from bert_etl_spark.operators.registry import ALL_ORACLES, query, tbl
 
 EMBED_DIM = 64
@@ -564,8 +565,6 @@ PQ_K = 16     # codewords per subspace (first PQ_K vectors' subvectors)
     """.replace("{dsum}", "CAST(SUM(CAST((p) AS DECIMAL(25,6))) AS DOUBLE)"),
 )
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bert_etl_spark.functions.deterministic import dsum
-
     prep = _prepared(spark, sf_dir)
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
     sub = prep.select("vec_id", "e").select(
@@ -652,4 +651,79 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
+    )
+
+
+MAXSIM_GROUP = 8  # token vectors per multi-vector document
+MAXSIM_QUERY_DOCS = 3  # query set: the first 3 documents
+MAXSIM_K = 5
+
+
+# Late-interaction (ColBERT-style MaxSim) retrieval: documents are
+# MULTI-vector (a bag of token embeddings), and the relevance of doc d to
+# query q is sum over q's token vectors of the max cosine against d's token
+# vectors — the scoring shape used by late-interaction retrievers when
+# ranking training/eval corpora. The reference ships embeddings only as
+# opaque np.ndarray payloads (/root/reference/bert/encoders/numpy.py:117-122);
+# the multi-vector grouping here is vec_id div G, a deterministic stand-in
+# for a (doc_id, token_pos) layout.
+#
+# Scale design: the query side (Q docs x G tokens) is broadcast; the corpus
+# streams through ONCE with no corpus-side shuffle at score time. Both
+# reductions are map-side combinable — MAX per (query token, corpus doc)
+# then a decimal SUM per (query doc, corpus doc) — so the shuffled rows are
+# |corpus docs| x |query tokens| partial maxima, not per-vector scores, and
+# the final ranked window is group-limit-pushed (Spark >= 3.5) before its
+# exchange. At 100 TB the corpus side would be stored doc-clustered so the
+# first partial MAX combines within input splits.
+@query(
+    "sim_maxsim_topk",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    d AS (
+        SELECT vec_id, vec_id // {MAXSIM_GROUP} AS doc, e, nrm FROM n
+    ),
+    per_tok AS (
+        SELECT q.doc AS q_doc, q.vec_id AS q_tok, c.doc AS c_doc,
+               MAX({_SQL_COS}) AS m
+        FROM d q JOIN d c ON c.doc != q.doc
+        WHERE q.doc < {MAXSIM_QUERY_DOCS}
+        GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT q_doc, c_doc, ROUND({sql_dsum('m')}, 6) AS maxsim
+        FROM per_tok GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT q_doc, c_doc, maxsim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+                    ORDER BY maxsim DESC, c_doc) AS INTEGER) AS rn
+        FROM scores
+    ) WHERE rn <= {MAXSIM_K}
+    """,
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir).withColumn(
+        "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
+    )
+    qs = prep.filter(F.col("doc") < MAXSIM_QUERY_DOCS).select(
+        F.col("doc").alias("q_doc"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    per_tok = (
+        prep.join(F.broadcast(qs), F.col("doc") != F.col("q_doc"))
+        .groupBy("q_doc", "q_tok", F.col("doc").alias("c_doc"))
+        .agg(F.max(cos).alias("m"))
+    )
+    scores = per_tok.groupBy("q_doc", "c_doc").agg(
+        F.round(dsum("m"), 6).alias("maxsim")
+    )
+    w = W.partitionBy("q_doc").orderBy(F.desc("maxsim"), "c_doc")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAXSIM_K)
+        .select("q_doc", "c_doc", "maxsim", "rn")
     )

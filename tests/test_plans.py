@@ -408,3 +408,16 @@ def test_dhash_band_join_is_hash_equi_join(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert " b#" not in line, line
+
+
+def test_maxsim_streams_corpus_with_partial_reductions(spark):
+    """Late-interaction MaxSim must score with the query side broadcast
+    (corpus streams once, never a CartesianProduct), combine the per-token
+    MAX map-side before the exchange, and push the per-query top-k down as
+    a group-limit — the three properties that keep the scoring pass
+    O(corpus) at 100 TB."""
+    plan = _plan(spark, "sim_maxsim_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "WindowGroupLimit" in plan
