@@ -127,6 +127,7 @@ HEADLINE = [
     "sink_compaction",        # small-files rewrite, Hadoop-FS sized
     "multimodal_dedup_phash",  # dHash + banded Hamming (perceptual near-dup)
     "sim_maxsim_topk",        # late-interaction MaxSim (multi-vector docs)
+    "graph_label_propagation",  # k-round community detection (struct argmax)
 ]
 
 

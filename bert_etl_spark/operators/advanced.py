@@ -945,6 +945,97 @@ def graph_pagerank_k_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 4  # fixed for oracle determinism (unrolled CTE chain)
+
+
+def label_propagation(edges: DataFrame, k: int) -> DataFrame:
+    """k SYNCHRONOUS rounds of label propagation (community detection)
+    over undirected (u, v) edges; returns (node, lbl). Every node starts
+    labeled with its own id; each round it adopts the most frequent label
+    among its neighbors, ties broken toward the SMALLEST label — an
+    integer-only argmax, so (like pagerank_power's fixed-point state) the
+    loop is bit-exact in every engine and needs no float tolerance.
+
+    Per-round plan: broadcast the |V|-sized label vector (same pattern as
+    pagerank_power's contribution broadcast), one shuffle of the edge
+    list on dst, then TWO map-side-combinable aggregations — count per
+    (node, candidate label), then a single max of struct(count, -label)
+    per node. The struct-max replaces a ranked window: no per-round sort,
+    and the second aggregation's input is already collapsed to distinct
+    (node, label) pairs. The oracle expresses the same argmax as
+    ROW_NUMBER over the grouped counts — two syntaxes, one tie order
+    (count DESC, label ASC). Lineage is truncated on the
+    PAGERANK_CHECKPOINT_EVERY cadence for deep loops."""
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for t in range(k):
+        counted = (
+            und.join(F.broadcast(labels.withColumnRenamed("node", "src")), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
+        )
+        if (t + 1) % PAGERANK_CHECKPOINT_EVERY == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def _sql_lpa_iters(k: int) -> str:
+    """Unrolled k-round CTE chain — the oracle twin of label_propagation
+    (same init, same count-DESC/label-ASC tie order)."""
+    chain = ["l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)"]
+    for t in range(1, k + 1):
+        chain.append(
+            f"""l{t} AS (
+        SELECT node, lbl FROM (
+            SELECT u.dst AS node, r.lbl AS lbl,
+                   ROW_NUMBER() OVER (PARTITION BY u.dst
+                        ORDER BY COUNT(*) DESC, r.lbl) AS rn
+            FROM und u JOIN l{t - 1} r ON r.node = u.src
+            GROUP BY u.dst, r.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(chain)
+
+
+# Community detection on the co-purchase graph: the iterate-until-done
+# driver shape again (the reference's BOTTLE re-scheduling,
+# /root/reference/bert/deploy/reporting.py:120-177), this time with
+# integer LABEL state instead of fixed-point rank — fixed k so the DuckDB
+# oracle (unrolled CTE chain from the same generator parameter) is
+# deterministic.
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    {_sql_lpa_iters(LPA_ITERS)}
+    SELECT node, lbl AS community FROM l{LPA_ITERS}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return label_propagation(edges, LPA_ITERS).select(
+        "node", F.col("lbl").alias("community")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (blocked by
 # the coarse label, standing in for any quantizer cell) → pointer-doubling

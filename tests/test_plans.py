@@ -421,3 +421,16 @@ def test_maxsim_streams_corpus_with_partial_reductions(spark):
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_label_propagation_broadcasts_labels_each_round(spark):
+    """Each LPA round must broadcast the |V|-sized label vector (the edge
+    list shuffles once on its key, never sort-merges against labels) and
+    both per-round reductions must combine map-side."""
+    from bert_etl_spark.operators.advanced import LPA_ITERS
+
+    plan = _plan(spark, "graph_label_propagation")
+    assert plan.count("BroadcastHashJoin") >= LPA_ITERS
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "partial_max" in plan
