@@ -128,6 +128,8 @@ HEADLINE = [
     "multimodal_dedup_phash",  # dHash + banded Hamming (perceptual near-dup)
     "sim_maxsim_topk",        # late-interaction MaxSim (multi-vector docs)
     "graph_label_propagation",  # k-round community detection (struct argmax)
+    "sim_maxsim_ivf",         # cell-pruned MaxSim (equi-join probe)
+    "sim_maxsim_recall",      # pruned-vs-exact MaxSim recall@k
 ]
 
 

@@ -727,3 +727,147 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MAXSIM_K)
         .select("q_doc", "c_doc", "maxsim", "rn")
     )
+
+
+MAXSIM_IVF_PROBES = 2  # cells probed per query token
+
+# The cosine between a probe row (qe, qnrm) and an assigned corpus row
+# (e, nrm) — _SQL_COS's twin for the maxsim-IVF join aliases.
+_SQL_COS_QC = (
+    "list_aggregate(list_transform(range(len(q.qe)), i -> q.qe[i+1] * c.e[i+1]),"
+    " 'sum') / (q.qnrm * c.nrm)"
+)
+
+
+# The 100 TB path for late interaction: brute MaxSim is O(|corpus tokens| x
+# |query tokens|) FLOPs per pass — fine per-query, the wrong shape for an
+# always-on reranker over a growing corpus. IVF-accelerate it exactly like
+# sim_ivf accelerates single-vector top-k: every token vector (corpus AND
+# query) is coarse-assigned to its nearest deterministic centroid, each
+# query token probes its top-P cells, and the per-token MAX runs only over
+# corpus tokens in probed cells (an equi-join on cell, not a corpus-wide
+# broadcast pass). Query tokens whose probed cells hold no tokens of a doc
+# simply contribute nothing to that doc's sum — the standard IVF recall
+# trade, measured by sim_maxsim_recall below. At scale the assigned corpus
+# is stored partitioned by cell so a probe prunes to P partitions per token.
+@query(
+    "sim_maxsim_ivf",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    d AS (
+        SELECT vec_id, vec_id // {MAXSIM_GROUP} AS doc, e, nrm FROM n
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT d.vec_id, d.doc, d.e, d.nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(d.e)),
+                           i -> d.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM d, cent c
+    ),
+    assign AS (SELECT vec_id, doc, e, nrm, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (
+        SELECT doc AS q_doc, vec_id AS q_tok, e AS qe, nrm AS qnrm, cid AS cell
+        FROM scored WHERE rn <= {MAXSIM_IVF_PROBES} AND doc < {MAXSIM_QUERY_DOCS}
+    ),
+    per_tok AS (
+        SELECT q.q_doc, q.q_tok, c.doc AS c_doc, MAX({_SQL_COS_QC}) AS m
+        FROM probes q JOIN assign c ON q.cell = c.cell AND c.doc != q.q_doc
+        GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT q_doc, c_doc, ROUND({sql_dsum('m')}, 6) AS maxsim
+        FROM per_tok GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT q_doc, c_doc, maxsim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+                    ORDER BY maxsim DESC, c_doc) AS INTEGER) AS rn
+        FROM scores
+    ) WHERE rn <= {MAXSIM_K}
+    """,
+)
+def sim_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir).withColumn(
+        "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
+    )
+    cent = prep.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    scored = (
+        prep.crossJoin(F.broadcast(cent))
+        .withColumn("_dot", dot(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assign = scored.filter(F.col("rn") == 1).select(
+        "vec_id", "doc", "e", "nrm", F.col("cid").alias("cell")
+    )
+    probes = scored.filter(
+        (F.col("rn") <= MAXSIM_IVF_PROBES) & (F.col("doc") < MAXSIM_QUERY_DOCS)
+    ).select(
+        F.col("doc").alias("q_doc"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cid").alias("cell"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    per_tok = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("doc") != F.col("q_doc"))
+        .groupBy("q_doc", "q_tok", F.col("doc").alias("c_doc"))
+        .agg(F.max(cos).alias("m"))
+    )
+    scores = per_tok.groupBy("q_doc", "c_doc").agg(
+        F.round(dsum("m"), 6).alias("maxsim")
+    )
+    w2 = W.partitionBy("q_doc").orderBy(F.desc("maxsim"), "c_doc")
+    return (
+        scores.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= MAXSIM_K)
+        .select("q_doc", "c_doc", "maxsim", "rn")
+    )
+
+
+ALL_ORACLES_MAXSIM = ALL_ORACLES["sim_maxsim_topk"]
+ALL_ORACLES_MAXSIM_IVF = ALL_ORACLES["sim_maxsim_ivf"]
+
+
+# recall@k of the IVF-accelerated MaxSim against the exact scorer — the
+# number that decides whether the probe count is sized right before
+# trusting the pruned path at scale (sim_recall_eval's twin for the
+# multi-vector family; composition of the two registered queries, so the
+# eval can never drift from what it evaluates).
+@query(
+    "sim_maxsim_recall",
+    oracle=f"""
+    SELECT e.q_doc,
+           CAST(COUNT(a.c_doc) AS BIGINT) AS n_hit,
+           CAST({MAXSIM_K} AS BIGINT) AS k,
+           ROUND(CAST(COUNT(a.c_doc) AS DOUBLE) / {MAXSIM_K}, 6)
+               AS recall_at_k
+    FROM ({ALL_ORACLES_MAXSIM}) e
+    LEFT JOIN ({ALL_ORACLES_MAXSIM_IVF}) a
+      ON e.q_doc = a.q_doc AND e.c_doc = a.c_doc
+    GROUP BY e.q_doc
+    """,
+)
+def sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_maxsim_topk(spark, sf_dir).select("q_doc", "c_doc")
+    approx = (
+        sim_maxsim_ivf(spark, sf_dir)
+        .select("q_doc", "c_doc")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_doc", "c_doc"], "left")
+        .groupBy("q_doc")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(MAXSIM_K).cast("bigint").alias("k"),
+            F.round(F.count("hit").cast("double") / MAXSIM_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -434,3 +434,50 @@ def test_label_propagation_broadcasts_labels_each_round(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert "partial_max" in plan
+
+
+def test_maxsim_ivf_probe_is_hash_equi_join(spark):
+    """The IVF-accelerated MaxSim must probe via a hash EQUI-join on the
+    cell key (the only nested-loop passes are the corpus x |C|-centroid
+    assignment), keep the per-token MAX map-side, and push the top-k
+    group-limit — otherwise the pruned path degenerates back into the
+    brute-force corpus pass it exists to avoid."""
+    plan = _plan(spark, "sim_maxsim_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def _outer_shuffles(spark, name: str) -> list[str]:
+    """ShuffleExchangeExec nodes in the OUTER plan only — tree-walk stops
+    at InMemoryTableScan leaves, so exchanges belonging to already-cached
+    builds (which execute zero times on reuse) don't count."""
+    df = registry.ALL_QUERIES[name](spark, SF)
+    out: list[str] = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            out.append(node.toString().splitlines()[0][:80])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_iterated_graph_loops_have_zero_per_round_shuffles(spark):
+    """The dst-partitioned, eagerly-materialized edge cache (_und_by_dst)
+    must make every PageRank/LPA round plan WITHOUT an edge-sized
+    exchange: label propagation's returned plan has zero outer shuffles
+    (both per-round aggregations and the label init are satisfied by the
+    cached HashPartitioning(dst)); the PageRank loop's only outer
+    shuffles are the k-independent deg build — never one per iteration."""
+    from bert_etl_spark.operators.advanced import PAGERANK_ITERS
+
+    assert _outer_shuffles(spark, "graph_label_propagation") == []
+    pr = _outer_shuffles(spark, "graph_pagerank_k_iters")
+    # deg (groupBy src) is the one legitimate exchange; anything growing
+    # with PAGERANK_ITERS means the per-iteration shuffle came back
+    assert len(pr) < PAGERANK_ITERS, pr

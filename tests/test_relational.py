@@ -159,18 +159,23 @@ def test_pagerank_to_convergence_cache_bound(spark):
     from bert_etl_spark.operators import registry
     from bert_etl_spark.operators.advanced import pagerank_to_convergence
 
-    df = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 30)], "u long, v long"
-    )
-
-    def cached_count() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def cached_ids() -> set[int]:
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
     def run(max_iters: int) -> int:
+        # UNIQUE edge data per run (persist_once dedups by canonical plan,
+        # so a run reusing another test's identical toy plan would find
+        # pieces already cached), and growth counted as NEW RDD ids — a
+        # count difference would be deflated by earlier tests' cached
+        # entries evicting mid-run (unpersist is asynchronous)
+        df = spark.createDataFrame(
+            [(max_iters * 1000 + i, max_iters * 1000 + i + 1) for i in range(1, 30)],
+            "u long, v long",
+        )
         registry.release_internals()
-        base = cached_count()
+        base = cached_ids()
         res, _ = pagerank_to_convergence(df, tol_micro=-1, max_iters=max_iters)
-        grew = cached_count() - base
+        grew = len(cached_ids() - base)
         res.unpersist()
         registry.release_internals()
         return grew
