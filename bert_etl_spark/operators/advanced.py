@@ -30,10 +30,15 @@ from bert_etl_spark.operators.dedup import (
     COSINE_THRESHOLD,
     JACCARD_THRESHOLD,
     _SQL_SHINGLES,
-    family_shingles,
-    pair_jaccard,
+    family_jac,
 )
-from bert_etl_spark.operators.registry import persist_once, query, sqlq, tbl
+from bert_etl_spark.operators.registry import (
+    checkpoint_once,
+    persist_once,
+    query,
+    sqlq,
+    tbl,
+)
 
 # ---------------------------------------------------------------------------
 # TPC-H Q5 shape: local-supplier volume. The c_nationkey = s_nationkey
@@ -358,17 +363,13 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pair_jaccard reads the (family-shared, pre-capped) shingle table 3×,
-    # and the symmetric edge union reads the edge list 2× — persist both or
-    # the whole shingle pipeline re-runs up to 6 times. The jac subplan is
-    # constructed exactly as dedup_ngram_jaccard persists it, so a prior
-    # run of that query makes this one cache-hit the pair table too.
-    capped = family_shingles(spark, sf_dir)
-    edges = persist_once(
-        pair_jaccard(capped, max_doc_freq=None)
+    # the shared checkpointed pair table (family_jac) is materialized rows,
+    # so the iterative consumer's repeated reads are block scans + a cheap
+    # filter — no persist of the filtered edge view needed
+    edges = (
+        family_jac(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_i", "doc_j"),
-        shared=True,
+        .select("doc_i", "doc_j")
     )
     return connected_components(edges, "doc_i", "doc_j")
 
@@ -487,12 +488,10 @@ def connected_components(
 )
 def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    capped = family_shingles(spark, sf_dir)
-    edges = persist_once(
-        pair_jaccard(capped, max_doc_freq=None)
+    edges = (
+        family_jac(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_i", "doc_j"),
-        shared=True,
+        .select("doc_i", "doc_j")
     )
     comp = connected_components(edges, "doc_i", "doc_j")
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
@@ -568,12 +567,6 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_SUPPORT = 2
 
 
-# Session-scoped memo for the materialized edge table (the graph family's
-# O(1) cross-query table — the shared=True persist_once policy class, but
-# held by a dict instead of the CacheManager; see copurchase_edges for why).
-_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase part graph shared by the graph family: distinct
     (u < v) part pairs co-occurring in >= MIN_SUPPORT orders, materialized
@@ -597,19 +590,12 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       sf0.1 also favors it (4.5 vs 9.7 s). A packed single-BIGINT pair
       key was also tried: no gain (114.3 s) — the cost is pair-stream
       volume, not key width.
-    - Materialization = eager localCheckpoint + session memo, NOT
-      persist_once: executing a plan into the block cache goes through
-      the cached-plan path, which suppresses AQE and measured 231 s vs
-      118 s for the identical build (2×, reproduced across sessions).
-      localCheckpoint materializes via normal AQE execution and stores
-      the 385 k result rows; the memo (keyed by applicationId + sf_dir)
-      gives the same session-lifetime cross-query sharing the
-      CacheManager's canonical-plan matching provided.
+    - Materialization = registry.checkpoint_once, NOT persist_once:
+      executing a plan into the block cache goes through the cached-plan
+      path, which suppresses AQE and measured 231 s vs 118 s for the
+      identical build (2×, reproduced across sessions); see
+      checkpoint_once's docstring for the pattern.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _EDGES_MEMO.get(key)
-    if hit is not None:
-        return hit
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges = (
@@ -623,10 +609,8 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
         .select("u", "v")
-        .localCheckpoint(eager=True)
     )
-    _EDGES_MEMO[key] = edges
-    return edges
+    return checkpoint_once(edges, "copurchase_edges", sf_dir)
 
 
 # ONE SQL definition of the co-purchase edge set, interpolated into every

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bert_etl_spark.operators.registry import persist_once, query, spread, tbl
+from bert_etl_spark.operators.registry import (
+    checkpoint_once,
+    persist_once,
+    query,
+    spread,
+    tbl,
+)
 
 N_MINHASHES = 8
 BAND_ROWS = 2  # minhashes per band → 4 bands
@@ -143,7 +149,7 @@ def df_cap_shingles(sh: DataFrame, max_doc_freq: int = MAX_SHINGLE_DF) -> DataFr
 
 def family_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup family's ONE shared representation: the df-CAPPED shingle
-    table over the documents corpus, persisted ``shared=True``.
+    table over the documents corpus, materialized once per session.
 
     Every family member (jaccard, containment, minhash signatures AND
     their verification, clustering, the banding curve) consumes this same
@@ -152,14 +158,42 @@ def family_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-postings df pass, a measured cross-round creep
     (dedup_ngram_jaccard 2.97→3.33 s, dedup_containment 2.3→3.42 s).
 
-    The raw shingle table is persisted only as a PER-QUERY temporary: it
-    feeds the cap's two passes (hot aggregate + anti-join probe) while the
-    shared capped cache materializes, then release_internals() frees it.
-    Later queries cache-hit the capped canonical plan directly, so their
-    raw persist is never materialized.
+    Round 8 switched the materialization from persist_once(shared=True)
+    to checkpoint_once: building INTO the block cache runs on the
+    AQE-suppressed cached-plan path and measured 116 s vs 28 s plain at
+    the 100× replica (registry.checkpoint_once has the full story). The
+    raw shingle table is no longer persisted at all — the capped build
+    reads it twice (hot aggregate + anti-join probe), and recomputing the
+    narrow tokenize/posexplode pipeline twice inside one fast plain
+    execution beats materializing it through the slow cached path.
     """
-    raw = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
-    return persist_once(df_cap_shingles(raw), shared=True)
+    raw = shingles_df(tbl(spark, sf_dir, "documents"))
+    return checkpoint_once(df_cap_shingles(raw), "family_shingles", sf_dir)
+
+
+def family_jac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's shared near-duplicate pair table: exact Jaccard over
+    the capped shingles, THRESHOLD-FILTERED, one inverted-index join per
+    session — consumed by dedup_ngram_jaccard, dedup_cluster_components
+    and dedup_corpus_canonical (all of which want only pairs ≥
+    JACCARD_THRESHOLD).
+
+    The filter sits BEFORE materialization on purpose, and it is the
+    single biggest lever in the family at scale: at the 100× replica the
+    candidate join emits 210.6 M scored pairs of which 25.6 k survive
+    the threshold — materializing the full table (either via persist,
+    as the pre-round-8 code did to enable CacheManager subplan sharing,
+    or via checkpoint) writes and re-reads four orders of magnitude more
+    rows than any consumer ever uses. The join's CPU cost is unchanged
+    (every candidate still gets scored inside the same stage); only the
+    stored/rescanned footprint drops. Replaces canonical-plan cache
+    matching with an explicit builder (registry.checkpoint_once)."""
+    return checkpoint_once(
+        pair_jaccard(family_shingles(spark, sf_dir), max_doc_freq=None)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD),
+        "family_jac_thresholded",
+        sf_dir,
+    )
 
 
 def pair_jaccard(sh: DataFrame, max_doc_freq: int | None = MAX_SHINGLE_DF) -> DataFrame:
@@ -320,12 +354,9 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # three consumers of the (family-shared, pre-capped) shingle table
-    capped = family_shingles(spark, sf_dir)
-    # persisting jac too lets downstream pipeline stages in the same
-    # session (e.g. dedup_cluster_components) cache-hit the identical
-    # canonical subplan instead of re-running the inverted-index join
-    jac = persist_once(pair_jaccard(capped, max_doc_freq=None), shared=True)
+    # the shared pair table: one inverted-index join per session, also
+    # consumed by dedup_cluster_components / dedup_corpus_canonical
+    jac = family_jac(spark, sf_dir)
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1222,12 +1253,14 @@ FROM kept GROUP BY doc_id
 
 
 def family_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The substring family's shared span table (window hashes persisted as
-    a per-query temporary, merged spans persisted shared) — one build per
-    session for dedup_substring_spans / _doc_stats / _remove, via the same
-    canonical-plan cache matching family_shingles relies on."""
-    win = persist_once(window_hashes(tbl(spark, sf_dir, "documents")))
-    return persist_once(duplicated_spans(win), shared=True)
+    """The substring family's shared span table — one build per session
+    for dedup_substring_spans / _doc_stats / _remove, materialized via
+    checkpoint_once (same rationale as family_shingles: the plain
+    adaptive execution beats the AQE-suppressed cached-plan path, and
+    the window-hash table is cheap enough to recompute inside the one
+    build rather than persist)."""
+    win = window_hashes(tbl(spark, sf_dir, "documents"))
+    return checkpoint_once(duplicated_spans(win), "family_spans", sf_dir)
 
 
 @query(

@@ -84,6 +84,43 @@ def persist_once(df: DataFrame, shared: bool = False) -> DataFrame:
     return df
 
 
+# Session-scoped memo for the shared family tables materialized via
+# localCheckpoint (see checkpoint_once). Keyed by applicationId so a new
+# SparkContext never sees another context's RDD-backed DataFrames.
+_SHARED_CHECKPOINTS: dict[tuple, DataFrame] = {}
+
+
+def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:
+    """Materialize a shared cross-query table via eager localCheckpoint,
+    memoized per (SparkContext, key) for the session.
+
+    This replaces ``persist_once(df, shared=True)`` for the EXPENSIVE
+    family builds, because executing a plan INTO the block cache goes
+    through the cached-plan path, which suppresses AQE — measured on the
+    two biggest builds at the 100× replica: co-purchase edges 231 s
+    persisted vs 114 s plain, df-capped shingles 116 s vs 28 s (4.2×).
+    localCheckpoint executes the plan on the normal adaptive path and
+    stores the RESULT blocks, so consumers read materialized rows either
+    way; what changes is only how the one build per session runs.
+
+    Trade-offs vs the CacheManager route, chosen deliberately:
+    - sharing is by EXPLICIT key (one builder function per family table)
+      instead of canonical-plan matching — consumers must go through the
+      builder, which they already do;
+    - the blocks live until the SparkContext ends (same lifetime as a
+      shared persist — release_internals never touched those either);
+    - plan-only contexts pay the build at construction time (eager), the
+      same property the global-order adaptive probe documents.
+    """
+    k = (df.sparkSession.sparkContext.applicationId, *key)
+    hit = _SHARED_CHECKPOINTS.get(k)
+    if hit is not None:
+        return hit
+    out = df.localCheckpoint(eager=True)
+    _SHARED_CHECKPOINTS[k] = out
+    return out
+
+
 def release_internals() -> int:
     """Unpersist every tracked per-query internal; returns how many.
 

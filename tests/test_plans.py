@@ -331,11 +331,19 @@ def test_path_trigrams_single_window(spark):
 
 def test_substring_cut_has_no_explode(spark):
     # the cut is a higher-order filter over the token array: span DISCOVERY
-    # may posexplode the k-windows (the cached window table prints once per
-    # consumer), but the cut itself must add ZERO Generate nodes —
-    # re-exploding the corpus tokens would shuffle |tokens| rows instead of
-    # |docs|
-    discovery_generates = _plan(spark, "dedup_substring_spans").count("Generate ")
+    # may posexplode the k-windows, but the cut itself must add ZERO
+    # Generate nodes — re-exploding the corpus tokens would shuffle
+    # |tokens| rows instead of |docs|. The family span table is
+    # materialized by checkpoint_once, so the discovery Generates live in
+    # the BUILD plan; consumers may carry at most their own discovery
+    # (keep-first re-derives occurrence order from the corpus), never more.
+    from bert_etl_spark.operators.dedup import duplicated_spans, window_hashes
+
+    build = duplicated_spans(window_hashes(registry.tbl(spark, SF, "documents")))
+    discovery_generates = (
+        build._jdf.queryExecution().executedPlan().toString().count("Generate ")
+    )
+    assert discovery_generates >= 1  # the k-window posexplode is real
     for name in ("dedup_substring_remove", "dedup_substring_remove_keep_first"):
         plan = _plan(spark, name)
         assert plan.count("Generate ") <= discovery_generates, name
@@ -347,12 +355,20 @@ def test_substring_spans_islands_window_is_doc_partitioned(spark):
     # gaps-and-islands must run per-doc, never as a global window: walk
     # the optimized plan for EMPTY window partition specs (a plan-string
     # token match would be vacuous — physical plans never print
-    # "partitionBy", so that assertion could not fail)
-    df = registry.ALL_QUERIES["dedup_substring_spans"](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "partitionBy", so that assertion could not fail). The merge runs
+    # inside the family_spans BUILD (checkpoint_once executes it at
+    # construction), so the window properties are asserted on the build
+    # plan; the registered query itself scans the materialized spans.
+    from bert_etl_spark.operators.dedup import duplicated_spans, window_hashes
+
+    build = duplicated_spans(window_hashes(registry.tbl(spark, SF, "documents")))
+    plan = build._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
-    assert _empty_partition_windows(df) == []
+    assert _empty_partition_windows(build) == []
     assert "HashAggregate" in plan  # dup-window detection is partial-agg'd
+    # and the full registered query must never smuggle in a global window
+    df = registry.ALL_QUERIES["dedup_substring_spans"](spark, SF)
+    assert _empty_partition_windows(df) == []
 
 
 def test_decontaminate_probe_broadcasts(spark):
