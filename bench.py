@@ -49,10 +49,10 @@ HEADLINE = [
     "scalar_json",            # JSON path extraction
     "scalar_hash",            # content identity
     "dedup_exact",            # exact dedup
-    # family order matters: ngram_jaccard persists the shingle table and
-    # the CacheManager matches the identical canonical plan in the LSH and
-    # clustering queries — the bench then measures the realistic pipeline
-    # (shingle once, reuse thrice), not three cold rebuilds
+    # family order matters: ngram_jaccard materializes the shared shingle
+    # and pair tables (registry.checkpoint_once) that the LSH and
+    # clustering queries then reuse — the bench measures the realistic
+    # pipeline (build once, reuse thrice), not three cold rebuilds
     "dedup_ngram_jaccard",    # shingle jaccard (builds shingle cache)
     "dedup_minhash_lsh",      # near-dup at scale
     "dedup_cluster_components",  # iterative label propagation
@@ -129,6 +129,7 @@ HEADLINE = [
     "sim_maxsim_topk",        # late-interaction MaxSim (multi-vector docs)
     "graph_label_propagation",  # k-round community detection (struct argmax)
     "sim_maxsim_ivf",         # cell-pruned MaxSim (equi-join probe)
+    "graph_connected_components",  # pointer-doubling CC on shared edges
     "sim_maxsim_recall",      # pruned-vs-exact MaxSim recall@k
 ]
 

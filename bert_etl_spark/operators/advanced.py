@@ -1098,6 +1098,34 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Connected components on the co-purchase graph: the same pointer-doubling
+# min-label library dedup_cluster_components uses (composition, not
+# reimplementation), here exposed as the graph-family query so the engine
+# covers the standard triple (components / communities / centrality) on
+# one shared edge build. Oracle: recursive-CTE transitive closure — exact,
+# since min-label propagation reaches the same fixpoint.
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_COPURCHASE_EDGES},
+    sym AS (
+        SELECT u AS a, v AS b FROM edges
+        UNION SELECT v, u FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    comp = connected_components(edges, "u", "v")
+    return comp.select(F.col("doc_id").alias("node"), "component")
+
+
 # ---------------------------------------------------------------------------
 # SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (blocked by
 # the coarse label, standing in for any quantizer cell) → pointer-doubling
