@@ -131,6 +131,7 @@ HEADLINE = [
     "sim_maxsim_ivf",         # cell-pruned MaxSim (equi-join probe)
     "graph_connected_components",  # pointer-doubling CC on shared edges
     "sim_maxsim_recall",      # pruned-vs-exact MaxSim recall@k
+    "sketch_quantile_mergeable",  # GK-style quantile sketch vs exact
 ]
 
 

@@ -137,3 +137,51 @@ def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(spark, sf_dir).select(
         "source", "exact_distinct", est_ok.alias("est_within_5pct")
     )
+
+
+# Mergeable quantile sketch rollup: the profiling primitive that replaces
+# exact percentiles at 100 TB. approx_percentile is Spark's GK-style
+# mergeable sketch — a bounded-size aggregation buffer that combines
+# map-side, so the shuffle carries O(sketch) bytes per group instead of
+# every value (the exact form buffers the full group). As with the HLL
+# rollup above, the oracle cannot reproduce the sketch internals, so the
+# hash-checked outputs are the EXACT quantiles (Spark `percentile` and
+# DuckDB `quantile_cont` share the (n-1)·q linear-interpolation
+# definition) plus a bounded-error acceptance flag for the sketch
+# estimates — measured headroom: the sketch's worst error on this data is
+# ~0.1 % of the group's value range; the flag allows 2 %. The exact
+# aggregate exists only to ground the flag; a production profile at scale
+# runs the sketch alone.
+@query(
+    "sketch_quantile_mergeable",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS exact_p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS exact_p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS exact_p75,
+           TRUE AS est_within_2pct_range
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("ex"),
+        F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)").alias(
+            "ap"
+        ),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    tol = 0.02 * F.col("rng") + F.lit(1e-9)
+    within = (
+        (F.abs(F.col("ap")[0] - F.col("ex")[0]) <= tol)
+        & (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= tol)
+        & (F.abs(F.col("ap")[2] - F.col("ex")[2]) <= tol)
+    )
+    return g.select(
+        "event_type",
+        F.round(F.col("ex")[0], 6).alias("exact_p25"),
+        F.round(F.col("ex")[1], 6).alias("exact_p50"),
+        F.round(F.col("ex")[2], 6).alias("exact_p75"),
+        within.alias("est_within_2pct_range"),
+    )
