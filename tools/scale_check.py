@@ -40,6 +40,15 @@ QUERIES = [
     "text_tfidf_top_terms",
     "corpus_token_budget_select",
     "histogram_equi_depth",
+    # round-8 families. NOTE: shared family tables (copurchase edges,
+    # shingles, jac, spans) are checkpoint_once memos that clearCache()
+    # does NOT drop — within one run the FIRST query of a family carries
+    # the build and later members measure warm-family; attribute
+    # accordingly when recording alphas.
+    "graph_label_propagation",
+    "graph_pagerank_k_iters",
+    "sim_maxsim_topk",
+    "sketch_quantile_mergeable",
 ]
 
 
