@@ -132,6 +132,7 @@ HEADLINE = [
     "graph_connected_components",  # pointer-doubling CC on shared edges
     "sim_maxsim_recall",      # pruned-vs-exact MaxSim recall@k
     "sketch_quantile_mergeable",  # GK-style quantile sketch vs exact
+    "streaming_windowed_quantiles",  # sketch state merged across batches
 ]
 
 

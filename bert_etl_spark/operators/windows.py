@@ -326,6 +326,69 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_sessions_oracle")
 
 
+# Streaming percentile monitoring: the mergeable quantile sketch
+# (approx_percentile, a bounded-size TypedImperativeAggregate whose state
+# merges map-side AND across micro-batches) running inside a genuine
+# watermarked tumbling-window streaming aggregation — the always-on
+# latency/size-percentile dashboard shape. The sketch is the only form
+# whose streaming state is bounded (an exact percentile would buffer
+# every value per window forever). The hash-checked outputs are the
+# exact interpolated median (computed batch-side after the drain; Spark
+# `percentile` and DuckDB `quantile_cont` share the definition) plus a
+# MERGEABILITY flag: the sketch state merged incrementally across
+# micro-batches must equal the sketch built in one batch pass over the
+# same input. Equality is exact whenever a window's row count is within
+# the sketch's accuracy parameter (the summary then holds every value) —
+# true at every test SF by orders of magnitude; past that regime the
+# check would relax to sketch_quantile_mergeable's bounded-error form.
+# (The flag deliberately does NOT compare the sketch against the
+# interpolated exact value: on a 2-row window the sketch returns an
+# element while quantile_cont returns the midpoint — a structural
+# difference, not sketch error.)
+@query(
+    "streaming_windowed_quantiles",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS exact_p50,
+           TRUE AS stream_sketch_equals_batch
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.streaming.events import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "ap50"
+        )
+    )
+    streamed = run_to_memory(
+        agg, "streaming_windowed_quantiles_sink", output_mode="complete"
+    )
+    batch = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("ex50"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("bp50"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "ex50", "bp50")
+    )
+    return streamed.join(batch, ["window_start", "event_type"]).select(
+        "window_start",
+        "event_type",
+        F.round("ex50", 6).alias("exact_p50"),
+        (F.abs(F.col("ap50") - F.col("bp50")) <= F.lit(1e-9)).alias(
+            "stream_sketch_equals_batch"
+        ),
+    )
+
+
 # Gap-based sessionization, batch form: flag session starts with lag(), then
 # a running sum assigns session ids — one shuffle on user_id, no self-join.
 @query(
