@@ -133,6 +133,7 @@ HEADLINE = [
     "sim_maxsim_recall",      # pruned-vs-exact MaxSim recall@k
     "sketch_quantile_mergeable",  # GK-style quantile sketch vs exact
     "streaming_windowed_quantiles",  # sketch state merged across batches
+    "graph_degree_distribution",  # hub/skew diagnostic, two partial aggs
 ]
 
 

@@ -1248,3 +1248,29 @@ def join_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "probe_ts", "version_n",
                 F.col("attr").alias("active_attr"))
     )
+
+
+# Degree distribution of the co-purchase graph: the first diagnostic a
+# platform team runs before sizing any graph job (skew, hubs, whether the
+# sqrt-degree orientation bound will hold). Two map-side-combinable
+# aggregations over the shared materialized edge table — no shuffle of
+# anything larger than |V|.
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    und AS (
+        SELECT u AS src FROM edges UNION ALL SELECT v FROM edges
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY src)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("src")).unionAll(
+        edges.select(F.col("v").alias("src"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
