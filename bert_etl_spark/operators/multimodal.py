@@ -427,19 +427,35 @@ DHASH_TARGET_OCCUPANCY = 4.0  # expected docs per band bucket
 DHASH_OCCUPANCY_CONF = "spark.bert_etl.dhash.targetOccupancy"
 
 
+def _occupancy_ratio(target_occupancy: float) -> tuple[int, int]:
+    """The occupancy knob as an EXACT integer ratio (numer, denom). Both
+    engines derive the band width from ceil(N * denom / numer) in pure
+    integer arithmetic — float only names the knob, it never enters the
+    lockstep computation."""
+    numer, denom = float(target_occupancy).as_integer_ratio()
+    if numer <= 0:
+        return 1, 1
+    return numer, denom
+
+
 def dhash_band_bits(
     n_docs: int, target_occupancy: float = DHASH_TARGET_OCCUPANCY
 ) -> int:
-    """Adaptive bits-per-band: the smallest w with 2^w >= N / occupancy,
-    clamped to [16, 63]. Constant expected bucket occupancy means the
-    within-bucket candidate term stays O(N * occupancy) instead of
-    O(N^2 / 2^w) — at 100 TB (~1e10 docs) w = 32, at the test SFs the
-    floor 16 applies (the classic 64-bit dHash). The oracle computes the
-    identical expression from COUNT(*); keep the two in lockstep."""
-    import math
+    """Adaptive bits-per-band: the smallest w with 2^w >= ceil(N /
+    occupancy), clamped to [16, 63]. Constant expected bucket occupancy
+    means the within-bucket candidate term stays O(N * occupancy) instead
+    of O(N^2 / 2^w) — at 100 TB (~1e10 docs) w = 32, at the test SFs the
+    floor 16 applies (the classic 64-bit dHash).
 
+    INTEGER-ONLY derivation (bit_length of an exact ceil-div, never float
+    log2): the oracle computes the identical integer expression from
+    COUNT(*), so a one-ULP log2 difference between Python and DuckDB at
+    exact power-of-two corpus sizes can never flip ceil() in one engine
+    only and desynchronize every band key (round-8 advice)."""
     n = max(int(n_docs), 1)
-    raw = math.ceil(math.log2(max(n / target_occupancy, 2.0)))
+    numer, denom = _occupancy_ratio(target_occupancy)
+    target = max(-(-(n * denom) // numer), 2)  # ceil(n/occ), floored at 2
+    raw = (target - 1).bit_length()
     return max(DHASH_MIN_BAND_BITS, min(DHASH_MAX_BAND_BITS, raw))
 
 
@@ -447,13 +463,20 @@ def dhash_oracle_sql(
     table: str = "documents", target_occupancy: float = DHASH_TARGET_OCCUPANCY
 ) -> str:
     """Full DuckDB oracle for the adaptive dHash near-dup pipeline. The
-    band width comes from the same clamp(ceil(log2(N/occ)), 16, 63) the
-    engine computes (params CTE), threaded through every CTE as a column,
-    so widening with corpus size can never desynchronize the engines."""
+    band width comes from the same INTEGER-ONLY derivation the engine
+    computes — clamp(bit_length(ceil(N/occ) - 1), 16, 63), where
+    bit_length is the binary-digit count (length of the base-2 rendering)
+    and the ceil-div runs on the knob's exact integer ratio — threaded
+    through every CTE as a column. No float log2 anywhere in the lockstep
+    contract, so engines cannot diverge by one ULP at exact power-of-two
+    corpus sizes (round-8 advice)."""
+    numer, denom = _occupancy_ratio(target_occupancy)
     return f"""
     WITH params AS (
         SELECT GREATEST({DHASH_MIN_BAND_BITS}, LEAST({DHASH_MAX_BAND_BITS},
-                   CAST(ceil(log2(GREATEST(COUNT(*) / {target_occupancy}, 2.0)))
+                   CAST(length(format('{{:b}}',
+                       GREATEST((COUNT(*) * {denom} + {numer - 1}) // {numer},
+                                2) - 1))
                         AS INT))) AS w
         FROM {table}
     ),

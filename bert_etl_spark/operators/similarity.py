@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
-from bert_etl_spark.operators.registry import ALL_ORACLES, query, tbl
+from bert_etl_spark.operators.registry import (
+    ALL_ORACLES,
+    checkpoint_once,
+    query,
+    tbl,
+)
 
 EMBED_DIM = 64
 N_PLANES = 4  # 16 buckets — sized for the 500-5000 row fixtures
@@ -729,50 +734,136 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAXSIM_IVF_PROBES = 2  # cells probed per query token
+MAXSIM_IVF_CENTROIDS = 64  # coarse-quantizer cells (first-N deterministic)
+MAXSIM_IVF_PROBES = 1  # cells probed per query token
 
-# The cosine between a probe row (qe, qnrm) and an assigned corpus row
-# (e, nrm) — _SQL_COS's twin for the maxsim-IVF join aliases.
-_SQL_COS_QC = (
-    "list_aggregate(list_transform(range(len(q.qe)), i -> q.qe[i+1] * c.e[i+1]),"
-    " 'sum') / (q.qnrm * c.nrm)"
-)
-
-
-# The 100 TB path for late interaction: brute MaxSim is O(|corpus tokens| x
-# |query tokens|) FLOPs per pass — fine per-query, the wrong shape for an
-# always-on reranker over a growing corpus. IVF-accelerate it exactly like
-# sim_ivf accelerates single-vector top-k: every token vector (corpus AND
-# query) is coarse-assigned to its nearest deterministic centroid, each
-# query token probes its top-P cells, and the per-token MAX runs only over
-# corpus tokens in probed cells (an equi-join on cell, not a corpus-wide
-# broadcast pass). Query tokens whose probed cells hold no tokens of a doc
-# simply contribute nothing to that doc's sum — the standard IVF recall
-# trade, measured by sim_maxsim_recall below. At scale the assigned corpus
-# is stored partitioned by cell so a probe prunes to P partitions per token.
-@query(
-    "sim_maxsim_ivf",
-    oracle=f"""
-    WITH {_SQL_PREP},
+# SQL fragment: one coarse assignment pass -- every token vector ranked
+# against the centroid table by dot product (rn = 1 is the home cell,
+# rn <= P are a query token's probed cells).
+_SQL_MAXSIM_SCORED = f"""
     d AS (
         SELECT vec_id, vec_id // {MAXSIM_GROUP} AS doc, e, nrm FROM n
     ),
-    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n
+             WHERE vec_id < {MAXSIM_IVF_CENTROIDS}),
     scored AS (
         SELECT d.vec_id, d.doc, d.e, d.nrm, c.cid,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id
                    ORDER BY list_aggregate(list_transform(range(len(d.e)),
                            i -> d.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
         FROM d, cent c
-    ),
-    assign AS (SELECT vec_id, doc, e, nrm, cid AS cell FROM scored WHERE rn = 1),
+    )"""
+
+
+def _maxsim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic coarse-quantizer table: the first
+    MAXSIM_IVF_CENTROIDS corpus vectors (same idiom as sim_ivf; at real
+    scale these would be k-means-trained and versioned with the index).
+    The vec_id < N predicate reaches the parquet scan."""
+    return _prepared(spark, sf_dir).filter(
+        F.col("vec_id") < MAXSIM_IVF_CENTROIDS
+    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+
+
+def _maxsim_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-REST corpus cell assignment: (vec_id, doc, e, nrm, cell),
+    one row per corpus token vector, cell = argmax-dot centroid.
+
+    Built ONCE per session via checkpoint_once (the copurchase_edges
+    pattern, registry.py:93) -- queries probe the materialized table and
+    never re-run the corpus x centroid pass.
+
+    The assignment itself is a PURE NARROW PROJECTION: the |C| centroids
+    are collected once (a bounded 64-row metadata collect, the ledger's
+    touched-bucket idiom) and inlined as a constant-folded literal, so
+    each corpus row computes its 64 dot products and argmax inside
+    whole-stage codegen -- zero shuffle, zero join, one corpus scan.
+    Measured at the 100x replica (200k vectors): 13.8 s vs 264.6 s for
+    the crossJoin + max-of-struct groupBy it replaces (the 12.8M
+    intermediate rows each carrying a 64-double array forced a sort-based
+    aggregate). Ties break toward the lowest cid via the negated index,
+    matching the oracle's ROW_NUMBER (dot DESC, cid) contract. At
+    deployment scale this table is what you'd write partitionBy(cell) so
+    probes prune to P partitions.
+    """
+    cent_rows = _maxsim_centroids(spark, sf_dir).orderBy("cid").collect()
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r.ce]) for r in cent_rows]
+    )
+    prep = _prepared(spark, sf_dir).withColumn(
+        "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
+    )
+    # argmax over cells: max of struct(dot, -cid) -- array_max on structs
+    # compares lexicographically, so highest dot wins, then lowest cid
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda ce, i: F.struct(
+                dot(F.col("e"), ce).alias("d"), (-i).alias("ncid")
+            ),
+        )
+    )
+    assign = prep.select(
+        "vec_id", "doc", "e", "nrm", (-best["ncid"]).alias("cell")
+    )
+    # cluster by cell before materializing: (a) the checkpointed blocks
+    # inherit real parallelism instead of the parquet scan's input-split
+    # count (a 100 MB corpus is 1-2 splits -- measured 13.3 s warm probes
+    # vs 4-6 s with 32 blocks), (b) the layout mirrors the deployment
+    # story, where this table is written partitionBy(cell)
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    assign = assign.repartition(n_parts, "cell")
+    return checkpoint_once(assign, "maxsim_ivf_assign", sf_dir)
+
+
+# The 100 TB path for late interaction: brute MaxSim is O(|corpus tokens| x
+# |query tokens|) FLOPs per pass -- fine per-query, the wrong shape for an
+# always-on reranker over a growing corpus. Two-stage IVF, the shape real
+# late-interaction systems (ColBERT/PLAID) use:
+#
+# 1. AT REST, once per session (checkpoint_once -- the copurchase_edges
+#    pattern): every corpus token vector is coarse-assigned to its nearest
+#    deterministic centroid. Queries probe this materialized table; they
+#    never re-derive it. At real scale the table is written
+#    partitionBy(cell) so a probe prunes to P partitions per token; the
+#    reference analog is the persisted ETLDataset collection being probed,
+#    not rebuilt (/root/reference/bert/etl/__init__.py:166-236).
+# 2. PER QUERY: the query's tokens (a parquet scan with the vec_id filter
+#    pushed down) probe their top-P cells; any corpus token sharing a
+#    probed cell nominates its DOC as a candidate; candidates are then
+#    scored EXACTLY (full MaxSim over all their tokens, broadcast joins,
+#    corpus streamed once, partial MAX/SUM map-side combined).
+#
+# Pruning the CANDIDATE SET instead of the per-token MAX is what makes the
+# recall hold: a true neighbor only needs ONE of its G tokens to collide
+# with one probed cell to be scored exactly (measured 0.93 recall@5 at all
+# three fixture SFs with ~35-40% of docs scored at P=1/64 cells; pruning
+# the MAX itself -- round 8's shape -- read 0.2-0.4 recall because a
+# near-uniform token cloud scatters every doc's maxima across cells).
+# sim_maxsim_recall measures this number; the oracle runs the identical
+# two-stage plan on the same constants so the engines cannot drift.
+@query(
+    "sim_maxsim_ivf",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    {_SQL_MAXSIM_SCORED},
+    assign AS (SELECT vec_id, doc, cid AS cell FROM scored WHERE rn = 1),
     probes AS (
-        SELECT doc AS q_doc, vec_id AS q_tok, e AS qe, nrm AS qnrm, cid AS cell
+        SELECT doc AS q_doc, cid AS cell
         FROM scored WHERE rn <= {MAXSIM_IVF_PROBES} AND doc < {MAXSIM_QUERY_DOCS}
     ),
-    per_tok AS (
-        SELECT q.q_doc, q.q_tok, c.doc AS c_doc, MAX({_SQL_COS_QC}) AS m
+    cand AS (
+        SELECT DISTINCT q.q_doc, c.doc AS c_doc
         FROM probes q JOIN assign c ON q.cell = c.cell AND c.doc != q.q_doc
+    ),
+    per_tok AS (
+        SELECT q.doc AS q_doc, q.vec_id AS q_tok, c.doc AS c_doc,
+               MAX({_SQL_COS}) AS m
+        FROM d q JOIN d c ON c.doc != q.doc
+        JOIN cand ON cand.q_doc = q.doc AND cand.c_doc = c.doc
+        WHERE q.doc < {MAXSIM_QUERY_DOCS}
         GROUP BY 1, 2, 3
     ),
     scores AS (
@@ -788,35 +879,54 @@ _SQL_COS_QC = (
     """,
 )
 def sim_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prep = _prepared(spark, sf_dir).withColumn(
-        "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
-    )
-    cent = prep.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
+    # stage 1: the at-rest cell assignment (session-shared, built once)
+    assign = _maxsim_assign(spark, sf_dir)
+
+    # stage 2a: probe -- ONLY the query tokens are re-derived per query
+    # (vec_id < Q*G is pushed to the parquet scan; 24 rows x 64 centroids)
+    n_query_toks = MAXSIM_QUERY_DOCS * MAXSIM_GROUP
+    prep = _prepared(spark, sf_dir).filter(F.col("vec_id") < n_query_toks)
+    cent = _maxsim_centroids(spark, sf_dir)
     w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
-    scored = (
+    probes = (
         prep.crossJoin(F.broadcast(cent))
         .withColumn("_dot", dot(F.col("e"), F.col("ce")))
         .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAXSIM_IVF_PROBES)
+        .select(
+            F.expr(f"vec_id div {MAXSIM_GROUP}").alias("q_doc"),
+            F.col("cid").alias("cell"),
+        )
     )
-    assign = scored.filter(F.col("rn") == 1).select(
-        "vec_id", "doc", "e", "nrm", F.col("cid").alias("cell")
+
+    # stage 2b: candidate docs -- the corpus assignment streams once
+    # through a broadcast hash join on cell, then a tiny distinct
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("doc") != F.col("q_doc"))
+        .select("q_doc", F.col("doc").alias("c_doc"))
+        .distinct()
     )
-    probes = scored.filter(
-        (F.col("rn") <= MAXSIM_IVF_PROBES) & (F.col("doc") < MAXSIM_QUERY_DOCS)
-    ).select(
-        F.col("doc").alias("q_doc"),
-        F.col("vec_id").alias("q_tok"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        F.col("cid").alias("cell"),
+
+    # stage 2c: EXACT rerank restricted to candidates -- the corpus token
+    # table streams once through two broadcast joins (candidates + query
+    # tokens), partial MAX then decimal SUM, both map-side combinable
+    qs = (
+        _prepared(spark, sf_dir)
+        .filter(F.col("vec_id") < n_query_toks)
+        .select(
+            F.expr(f"vec_id div {MAXSIM_GROUP}").alias("q_doc"),
+            F.col("vec_id").alias("q_tok"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
     )
     cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
     per_tok = (
-        assign.join(F.broadcast(probes), "cell")
-        .filter(F.col("doc") != F.col("q_doc"))
-        .groupBy("q_doc", "q_tok", F.col("doc").alias("c_doc"))
+        assign.withColumnRenamed("doc", "c_doc")
+        .join(F.broadcast(cand), "c_doc")
+        .join(F.broadcast(qs), "q_doc")
+        .groupBy("q_doc", "q_tok", "c_doc")
         .agg(F.max(cos).alias("m"))
     )
     scores = per_tok.groupBy("q_doc", "c_doc").agg(

@@ -213,3 +213,20 @@ def test_follow_schema_validation(spark):
         assert "score" in str(e)
     finally:
         pipeline.clear_registry()
+
+
+def test_maxsim_ivf_recall_floor(spark):
+    """The pruned MaxSim path must stay trustworthy: average recall@5 of
+    sim_maxsim_ivf vs the exact scorer >= 0.8 at the registered knobs
+    (P=1, 64 cells — measured 0.93 at all three fixture SFs when the
+    two-stage candidate/rerank design landed). A knob or design change
+    that silently degrades the candidate generation fails here, not in
+    production."""
+    from bert_etl_spark.operators.registry import ALL_QUERIES, load_all
+
+    load_all()
+    rows = ALL_QUERIES["sim_maxsim_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    avg = sum(r.recall_at_k for r in rows) / len(rows)
+    assert avg >= 0.8, f"maxsim IVF recall fell to {avg:.2f}"

@@ -454,8 +454,7 @@ def test_label_propagation_broadcasts_labels_each_round(spark):
 
 def test_maxsim_ivf_probe_is_hash_equi_join(spark):
     """The IVF-accelerated MaxSim must probe via a hash EQUI-join on the
-    cell key (the only nested-loop passes are the corpus x |C|-centroid
-    assignment), keep the per-token MAX map-side, and push the top-k
+    cell key, keep the per-token MAX map-side, and push the top-k
     group-limit — otherwise the pruned path degenerates back into the
     brute-force corpus pass it exists to avoid."""
     plan = _plan(spark, "sim_maxsim_ivf")
@@ -463,6 +462,39 @@ def test_maxsim_ivf_probe_is_hash_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_maxsim_ivf_assignment_is_at_rest(spark):
+    """The corpus x centroid cell assignment must NOT run inside the query:
+    the corpus side enters the plan only as the session-materialized
+    checkpoint (Scan ExistingRDD), and every parquet scan that remains is
+    a query-token/centroid scan with its vec_id predicate pushed down —
+    never a full-corpus read. This pins the round-8→9 redesign: a pruned
+    path that re-assigns the corpus per query is a full-corpus pass to
+    avoid a full-corpus pass."""
+    import re
+
+    from bert_etl_spark.operators.similarity import (
+        MAXSIM_GROUP,
+        MAXSIM_IVF_CENTROIDS,
+        MAXSIM_QUERY_DOCS,
+    )
+
+    df = registry.ALL_QUERIES["sim_maxsim_ivf"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan ExistingRDD" in plan  # the at-rest assignment table
+    bounds = {MAXSIM_QUERY_DOCS * MAXSIM_GROUP, MAXSIM_IVF_CENTROIDS}
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    n_parquet = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_parquet == len(pushed) > 0
+    for filters in pushed:
+        m = re.search(r"LessThan\(vec_id,(\d+)\)", filters)
+        assert m, f"parquet scan without a pushed vec_id bound: {filters}"
+        assert int(m.group(1)) in bounds
 
 
 def _outer_shuffles(spark, name: str) -> list[str]:
