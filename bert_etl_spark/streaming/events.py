@@ -288,10 +288,74 @@ REDELIVERED_INLINE_MAX = 10_000
 
 
 def _ledger_buckets(spark: SparkSession) -> int:
+    """The conf's bucket count. A malformed value RAISES instead of
+    silently falling back: a fallback modulus that differs from the one
+    the ledger was laid out under makes the path-enumerated probe miss
+    true band collisions with nothing failing loudly (round-8 advice)."""
+    raw = spark.conf.get(LEDGER_BUCKETS_CONF, str(LEDGER_BUCKETS_DEFAULT))
     try:
-        return int(spark.conf.get(LEDGER_BUCKETS_CONF, str(LEDGER_BUCKETS_DEFAULT)))
-    except Exception:
-        return LEDGER_BUCKETS_DEFAULT
+        n = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{LEDGER_BUCKETS_CONF}={raw!r} is not an integer — refusing to "
+            "guess a bucket modulus for a partition-pruned ledger"
+        )
+    if n < 1:
+        raise ValueError(f"{LEDGER_BUCKETS_CONF}={n} must be >= 1")
+    return n
+
+
+def read_ledger_bucket_marker(spark: SparkSession, ledger_dir: str) -> int | None:
+    """The ``_n_buckets`` marker stamped at ledger creation, or None for a
+    ledger that predates it / doesn't exist yet."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_n_buckets")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(txt.strip())
+
+
+def validate_ledger_buckets(spark: SparkSession, ledger_dir: str) -> int:
+    """The AUTHORITATIVE bucket count for this ledger.
+
+    The bucket modulus is a PERSISTENT layout property, not a session
+    tunable: every epoch dir (and every compacted fold, which copies the
+    stored bkt column verbatim) is laid out under the modulus in force
+    when it was written. A stream restarted with a different conf value
+    would compute touched-bucket ids under the new modulus while prior
+    epochs sit under the old one — the path-enumerated probe then misses
+    true band collisions and cross-epoch pairs are silently lost. So the
+    count is stamped into the ledger at creation (``_n_buckets`` marker
+    file) and every batch validates the conf against it, FAILING LOUDLY
+    on mismatch (round-8 advice). Returns the marker value (stamping it
+    first if the ledger is new)."""
+    conf_n = _ledger_buckets(spark)
+    marker = read_ledger_bucket_marker(spark, ledger_dir)
+    if marker is None:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_n_buckets")
+        stream = p.getFileSystem(hconf).create(p, True)
+        try:
+            stream.write(bytearray(str(conf_n).encode("utf-8")))
+        finally:
+            stream.close()
+        return conf_n
+    if marker != conf_n:
+        raise ValueError(
+            f"ledger at {ledger_dir} was created with n_buckets={marker} "
+            f"but {LEDGER_BUCKETS_CONF}={conf_n}; the bucket modulus is a "
+            "persistent layout property — restart with the original value "
+            "(or rebuild the ledger) instead of silently mis-pruning"
+        )
+    return marker
 
 
 def _with_bucket(bands: DataFrame, n_buckets: int) -> DataFrame:
@@ -465,7 +529,11 @@ def compact_ledger_epochs(
     span = spark.read.option("basePath", ledger_dir).parquet(
         *[f"{ledger_dir}/epoch={e}" for e in epochs]
     )
-    n_buckets = _ledger_buckets(spark)
+    # the fold only REPARTITIONS on the stored bkt values, but parallelism
+    # should still track the ledger's real modulus — and a standalone
+    # compaction run under a drifted conf must fail just as loudly as a
+    # batch would
+    n_buckets = validate_ledger_buckets(spark, ledger_dir)
     # the epoch column is partition-derived — drop it; bkt is re-written
     # as the partition column. Full n_buckets parallelism: compaction is
     # the occasional big batch job, not a trickle epoch.
@@ -636,15 +704,20 @@ def lsh_band_ledger_stream(
     duplicating, and the ledger read filters ``epoch < current`` so a
     retry never joins against its own partial output. A document
     RE-DELIVERED in a later epoch (at-least-once producers do this)
-    band-matches its own prior ledger entry — identical text yields
-    identical bands — and is dropped from the batch entirely: its pairs
-    were already emitted at its first epoch and its bands are already in
-    the ledger, so re-processing it would turn the out_dir union into a
-    multiset. With the drop, the union of per-epoch emissions equals the
-    batch candidate set EXACTLY even under re-delivery. (A doc_id
-    re-arriving with *different* text shares no bands with its prior
-    self and is treated as a new document — doc_id plus content is the
-    identity, mirroring the reference's content-derived calc_identity.)
+    matches its own prior ledger entry on its FULL signature — identical
+    text yields identical bands, so all k/r bands self-match — and is
+    dropped from the batch entirely: its pairs were already emitted at
+    its first epoch and its bands are already in the ledger, so
+    re-processing it would turn the out_dir union into a multiset. With
+    the drop, the union of per-epoch emissions equals the batch candidate
+    set EXACTLY even under re-delivery. The drop requires ALL bands to
+    self-match, not any one: a doc_id re-arriving with *edited* text is a
+    near-dup of its own prior version, and LSH's premise is precisely
+    that near-dups collide on SOME bands — such an arrival is treated as
+    a new document version (bands appended, pairs against other docs
+    emitted; the degenerate pair against its own doc_id is not). doc_id
+    plus content is the identity, mirroring the reference's
+    content-derived calc_identity.
 
     Signatures are computed over the batch's RAW shingles (no df-cap): the
     corpus-wide document frequency is unknowable inside one micro-batch,
@@ -654,6 +727,8 @@ def lsh_band_ledger_stream(
     pipeline's uncapped candidate set; downstream verification prunes.
     """
     from bert_etl_spark.operators.dedup import (
+        BAND_ROWS,
+        N_MINHASHES,
         lsh_bands,
         minhash_signatures,
         shingles_df,
@@ -665,7 +740,10 @@ def lsh_band_ledger_stream(
         # leaves fewer committed dirs than any threshold, and the stream
         # may be restarted without the knob — see _recover_interrupted_compaction
         _recover_interrupted_compaction(spark, ledger_dir)
-        n_buckets = _ledger_buckets(spark)
+        # authoritative modulus: the ledger's own _n_buckets marker
+        # (stamped at creation; conf mismatch fails loudly — a modulus
+        # drift would silently mis-prune every cross-epoch probe)
+        n_buckets = validate_ledger_buckets(spark, ledger_dir)
         bands = _with_bucket(
             lsh_bands(minhash_signatures(shingles_df(batch_df))), n_buckets
         ).persist()
@@ -709,16 +787,29 @@ def lsh_band_ledger_stream(
                 ["band", "h"],
             ).persist()
             batch_persists.append(probe)
-            # a band self-match identifies a re-delivered document: drop
-            # it from the batch (pairs + ledger append) — see docstring.
-            # Steady state is ZERO re-deliveries, so probe it with a
-            # bounded take(): small sets become inline filters (no joins
-            # at all — the hot path stays two joins total), and only a
-            # pathological mass re-delivery falls back to a broadcast
-            # anti-join (bounded by the BATCH's doc count, never the
-            # ledger; broadcast because AQE is off inside streaming).
-            redel = probe.filter(F.col("doc_id") == F.col("prior_doc")).select(
-                "doc_id"
+            # a FULL-SIGNATURE self-match identifies a re-delivered
+            # document: drop it from the batch (pairs + ledger append) —
+            # see docstring. Full signature = the prior ledger entry
+            # matches on ALL bands, not any one: identical text matches
+            # everywhere, while a same-doc_id re-arrival with EDITED text
+            # is a near-dup of its own prior version and collides on SOME
+            # bands with high probability (that is LSH's whole premise) —
+            # dropping it on a single band match would silently discard
+            # its updated bands and every candidate pair it owes other
+            # docs (round-8 advice). Steady state is ZERO re-deliveries,
+            # so probe it with a bounded take(): small sets become inline
+            # filters (no joins at all — the hot path stays two joins
+            # total), and only a pathological mass re-delivery falls back
+            # to a broadcast anti-join (bounded by the BATCH's doc count,
+            # never the ledger; broadcast because AQE is off inside
+            # streaming).
+            n_bands = N_MINHASHES // BAND_ROWS
+            redel = (
+                probe.filter(F.col("doc_id") == F.col("prior_doc"))
+                .groupBy("doc_id")
+                .agg(F.countDistinct("band").alias("_nb"))
+                .filter(F.col("_nb") >= n_bands)
+                .select("doc_id")
             )
             redel_rows = redel.distinct().take(REDELIVERED_INLINE_MAX + 1)
             if len(redel_rows) <= REDELIVERED_INLINE_MAX:

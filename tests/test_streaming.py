@@ -923,3 +923,112 @@ def test_recover_deletes_garbage_tmp(spark, tmp_path):
     assert _recover_interrupted_compaction(spark, ledger) == 1
     assert not (tmp_path / "ledger" / "_compact_tmp_0").exists()
     assert committed_prior_epochs(spark, ledger, 10**9) == [0]
+
+
+def test_lsh_ledger_edited_redelivery_is_new_version(spark, tmp_path):
+    """A doc_id re-arriving with EDITED text is a near-dup of its own
+    prior version — it collides with its prior ledger entry on SOME bands
+    (that is LSH's premise) but not all. It must NOT be treated as a
+    re-delivery: its updated bands enter the ledger and its candidate
+    pairs against other docs are emitted (round-8 advice — the any-band
+    drop silently discarded both)."""
+    from bert_etl_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingles_df,
+    )
+    from bert_etl_spark.streaming.events import lsh_band_ledger_stream
+
+    fam_a = "the quick brown fox jumps over the lazy dog again and again"
+    edited = fam_a + " with a fresh appended clause"
+    # precondition: the edit shares >= 1 but < all bands with the original
+    # (otherwise the test is vacuous / degenerates to exact re-delivery)
+    pre = spark.createDataFrame(
+        [(0, fam_a), (1, edited)], "doc_id long, text string"
+    )
+    rows = lsh_bands(minhash_signatures(shingles_df(pre))).collect()
+    b0 = {(r.band, r.h) for r in rows if r.doc_id == 0}
+    b1 = {(r.band, r.h) for r in rows if r.doc_id == 1}
+    assert 1 <= len(b0 & b1) < len(b0), (len(b0 & b1), len(b0))
+
+    src = str(tmp_path / "docs_in")
+    # epoch 0: original doc 0 + unrelated filler
+    spark.createDataFrame(
+        [(0, fam_a), (5, "completely unrelated text about volcanic rocks")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # epoch 1: doc 0 re-arrives EDITED, plus doc 9 = exact copy of the
+    # NEW content (so the edited version owes a within-batch pair)
+    spark.createDataFrame(
+        [(0, edited), (9, edited)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = lsh_band_ledger_stream(
+        stream,
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    pairs = sorted(
+        (r.doc_i, r.doc_j)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert (0, 9) in pairs, pairs  # the edited version's pair IS emitted
+    assert (0, 0) not in pairs, pairs  # no degenerate self pair
+    # the edited version's bands ENTERED the ledger (two epochs of doc 0)
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    n_epochs_doc0 = (
+        ledger.filter(F.col("doc_id") == 0).select("epoch").distinct().count()
+    )
+    assert n_epochs_doc0 == 2
+
+
+def test_ledger_bucket_marker_blocks_modulus_drift(spark, tmp_path):
+    """The bucket modulus is a persistent layout property: a stream
+    restarted over an existing ledger with a different
+    spark.bert_etl.lshLedger.buckets must FAIL LOUDLY instead of silently
+    mis-pruning every cross-epoch probe (round-8 advice). Also: an
+    unparseable conf value raises instead of defaulting."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bert_etl_spark.streaming import events
+
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") < 4).coalesce(1).write.mode("append").parquet(src)
+
+    def _run(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = events.lsh_band_ledger_stream(
+            stream,
+            str(tmp_path / "ledger"),
+            str(tmp_path / "out"),
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    try:
+        _run("ckpt1")  # stamps _n_buckets with the default (16)
+        assert (
+            events.read_ledger_bucket_marker(spark, str(tmp_path / "ledger"))
+            == events.LEDGER_BUCKETS_DEFAULT
+        )
+        spark.conf.set(events.LEDGER_BUCKETS_CONF, "8")
+        with pytest.raises(StreamingQueryException, match="n_buckets"):
+            _run("ckpt2")
+        spark.conf.set(events.LEDGER_BUCKETS_CONF, "not-a-number")
+        with pytest.raises(ValueError, match="not an integer"):
+            events._ledger_buckets(spark)
+    finally:
+        spark.conf.unset(events.LEDGER_BUCKETS_CONF)
