@@ -111,12 +111,39 @@ def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:
       shared persist — release_internals never touched those either);
     - plan-only contexts pay the build at construction time (eager), the
       same property the global-order adaptive probe documents.
+
+    DURABILITY (multi-executor deployments): localCheckpoint blocks are
+    executor-local, UNREPLICATED, and lineage-truncated — losing any
+    executor mid-session makes every later consumer of the memoized
+    table fail unrecoverably for the rest of the session (a shared
+    persist could at least recompute). On local[N] (one JVM) executor
+    loss and session loss are the same event, so the trade costs
+    nothing; a real cluster that wants loss-tolerance sets
+    ``spark.bert_etl.checkpointDir`` and gets RELIABLE checkpoints
+    (written to that fault-tolerant path via sc.setCheckpointDir +
+    df.checkpoint) at the price of one extra write+read per family
+    build. Both paths run the build on the normal adaptive route — the
+    AQE-suppression measurement above is about the cached-plan path,
+    which neither uses.
     """
-    k = (df.sparkSession.sparkContext.applicationId, *key)
+    sc = df.sparkSession.sparkContext
+    app_id = sc.applicationId
+    # prune memos from stopped SparkContexts: a long-lived process cycling
+    # sessions would otherwise accumulate stale DataFrame refs forever
+    for stale in [k for k in _SHARED_CHECKPOINTS if k[0] != app_id]:
+        del _SHARED_CHECKPOINTS[stale]
+    k = (app_id, *key)
     hit = _SHARED_CHECKPOINTS.get(k)
     if hit is not None:
         return hit
-    out = df.localCheckpoint(eager=True)
+    reliable_dir = df.sparkSession.conf.get(
+        "spark.bert_etl.checkpointDir", None
+    )
+    if reliable_dir:
+        sc.setCheckpointDir(reliable_dir)
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
     _SHARED_CHECKPOINTS[k] = out
     return out
 

@@ -65,3 +65,40 @@ def test_shared_persist_survives_release(spark):
     registry.release_internals()
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
     df.unpersist()
+
+
+def test_checkpoint_once_prunes_stale_contexts_and_memoizes(spark):
+    """checkpoint_once must (a) return the same materialized DataFrame for
+    the same key within a session, and (b) evict memo entries whose
+    applicationId belongs to a stopped SparkContext — a long-lived process
+    cycling sessions must not accumulate stale refs (round-8 advice)."""
+    from bert_etl_spark.operators import registry
+
+    df = spark.range(10)
+    registry._SHARED_CHECKPOINTS[("app-from-a-dead-context", "k")] = df
+    a = registry.checkpoint_once(df, "lifecycle_test_key")
+    assert ("app-from-a-dead-context", "k") not in registry._SHARED_CHECKPOINTS
+    b = registry.checkpoint_once(spark.range(10), "lifecycle_test_key")
+    assert a is b
+    assert a.count() == 10
+
+
+def test_checkpoint_once_reliable_dir_conf(spark, tmp_path):
+    """With spark.bert_etl.checkpointDir set, the family build lands as a
+    RELIABLE checkpoint under that path (loss-tolerant on a real cluster)
+    instead of executor-local blocks."""
+    from bert_etl_spark.operators import registry
+
+    ckpt = str(tmp_path / "reliable")
+    spark.conf.set("spark.bert_etl.checkpointDir", ckpt)
+    try:
+        out = registry.checkpoint_once(
+            spark.range(5), "lifecycle_reliable_key"
+        )
+        assert out.count() == 5
+        import os
+
+        found = any(files for _, _, files in os.walk(ckpt))
+        assert found, "no checkpoint files written under the reliable dir"
+    finally:
+        spark.conf.unset("spark.bert_etl.checkpointDir")
