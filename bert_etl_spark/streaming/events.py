@@ -282,6 +282,11 @@ def streaming_tumbling_from_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEDGER_BUCKETS_CONF = "spark.bert_etl.lshLedger.buckets"
 LEDGER_BUCKETS_DEFAULT = 16
+# opt-in per-batch component timing (observability; the attribution tool
+# tools/ledger_attribution.py reads this after a run) — one dict per
+# processed epoch: {"epoch": id, "<component>": seconds, ...}
+LEDGER_TIMING_CONF = "spark.bert_etl.lshLedger.timing"
+LEDGER_TIMINGS: list[dict] = []
 # re-delivered doc sets at or below this size are handled as inline
 # filter literals (zero extra joins); above it, broadcast anti-join
 REDELIVERED_INLINE_MAX = 10_000
@@ -735,15 +740,30 @@ def lsh_band_ledger_stream(
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _t
+
         spark = batch_df.sparkSession
+        timing = (
+            str(spark.conf.get(LEDGER_TIMING_CONF, "false")).lower() == "true"
+        )
+        tm: dict = {"epoch": epoch_id}
+
+        def _mark(name: str, t0: float) -> None:
+            if timing:
+                tm[name] = tm.get(name, 0.0) + _t.perf_counter() - t0
+
+        t0 = _t.perf_counter()
         # UNCONDITIONAL (not gated on compact_every): an interrupted swap
         # leaves fewer committed dirs than any threshold, and the stream
         # may be restarted without the knob — see _recover_interrupted_compaction
         _recover_interrupted_compaction(spark, ledger_dir)
+        _mark("recovery_glob", t0)
+        t0 = _t.perf_counter()
         # authoritative modulus: the ledger's own _n_buckets marker
         # (stamped at creation; conf mismatch fails loudly — a modulus
         # drift would silently mis-prune every cross-epoch probe)
         n_buckets = validate_ledger_buckets(spark, ledger_dir)
+        _mark("bucket_marker", t0)
         bands = _with_bucket(
             lsh_bands(minhash_signatures(shingles_df(batch_df))), n_buckets
         ).persist()
@@ -759,13 +779,18 @@ def lsh_band_ledger_stream(
         # schema" on every retry.
         fresh, cross = bands, None
         batch_persists = [bands]
+        t0 = _t.perf_counter()
         epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
+        _mark("epoch_glob", t0)
+        t0 = _t.perf_counter()
         if compact_every is not None:
             # serial with the rest of the batch; reuses (and returns) the
             # committed list so the _SUCCESS glob runs once per batch
             epochs = _maybe_compact_ledger(
                 spark, ledger_dir, epoch_id, compact_every, epochs
             )
+        _mark("compaction", t0)
+        t0 = _t.perf_counter()
         # touched buckets: metadata-scale (<= n_buckets distinct small
         # ints), and only computed when a committed prior epoch exists —
         # the first epoch skips the job
@@ -774,7 +799,10 @@ def lsh_band_ledger_stream(
             if epochs
             else []
         )
+        _mark("touched_collect", t0)
+        t0 = _t.perf_counter()
         ledger = ledger_probe(spark, ledger_dir, epoch_id, touched, epochs)
+        _mark("probe_enumerate", t0)
         if touched:
             n_write_tasks = max(len(touched), 1)
         else:
@@ -811,7 +839,9 @@ def lsh_band_ledger_stream(
                 .filter(F.col("_nb") >= n_bands)
                 .select("doc_id")
             )
+            t0 = _t.perf_counter()
             redel_rows = redel.distinct().take(REDELIVERED_INLINE_MAX + 1)
+            _mark("redelivery_take", t0)
             if len(redel_rows) <= REDELIVERED_INLINE_MAX:
                 ids = [r.doc_id for r in redel_rows]
                 fresh = bands if not ids else bands.filter(~F.col("doc_id").isin(ids))
@@ -836,9 +866,12 @@ def lsh_band_ledger_stream(
             )
         )
         cand = within if cross is None else within.unionByName(cross)
+        t0 = _t.perf_counter()
         cand.distinct().write.mode("overwrite").parquet(
             f"{out_dir}/epoch={epoch_id}"
         )
+        _mark("pairs_write", t0)
+        t0 = _t.perf_counter()
         # one shuffle of the batch's own bands to their bucket locations —
         # task count = buckets the batch TOUCHES (a trickle batch against
         # n_buckets=2^k would otherwise launch n_buckets mostly-empty
@@ -848,8 +881,11 @@ def lsh_band_ledger_stream(
         fresh.repartition(n_write_tasks, "bkt").write.partitionBy(
             "bkt"
         ).mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
+        _mark("ledger_write", t0)
         for d in batch_persists:
             d.unpersist()
+        if timing:
+            LEDGER_TIMINGS.append(tm)
 
     return (
         docs_stream.writeStream.foreachBatch(_process)
