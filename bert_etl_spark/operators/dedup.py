@@ -999,6 +999,95 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH-assisted containment — the approx sibling of dedup_containment, the
+# same exact/approx pairing the similarity family ships (sim_topk_bruteforce
+# vs sim_ivf, sim_maxsim_topk vs sim_maxsim_ivf). The exact form's
+# inverted-index join is intrinsically Theta(sum min(df, K)^2) — measured
+# ~227 s at the 100x replica with no cheap lever (SCALING.md) — so the
+# scale path generates candidates from the SAME minhash banding the
+# jaccard family uses (band collisions over the capped shingle table) and
+# scores containment EXACTLY only on banded candidates, pruning the
+# postings to candidate docs first. The semi-join keeps every shingle of a
+# candidate doc, so the containment denominators |Si| are corpus-true.
+#
+# Documented recall trade: minhash bands are JACCARD-calibrated — a pair
+# collides with probability 1-(1-s^r)^b in Jaccard s, so a short excerpt
+# inside a long doc (containment ~1, Jaccard << 1) can be missed; banded
+# containment finds near-dup pairs' asymmetry, not needle-in-haystack
+# quotes. At the fixture SFs the planted near-dups score high on both
+# measures, so the banded result equals the exact result's
+# above-threshold pairs restricted to band collisions (the oracle IS that
+# composition, so the contract cannot drift).
+@query(
+    "dedup_containment_banded",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH}
+    SELECT c.doc_i, c.doc_j,
+           ROUND(CAST(n_inter AS DOUBLE) / sa.sz, 6) AS contain_i,
+           ROUND(CAST(n_inter AS DOUBLE) / sb.sz, 6) AS contain_j,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM cand c
+    JOIN inter ON c.doc_i = inter.doc_i AND c.doc_j = inter.doc_j
+    JOIN sizes sa ON c.doc_i = sa.doc_id
+    JOIN sizes sb ON c.doc_j = sb.doc_id
+    WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.sz,
+                   CAST(n_inter AS DOUBLE) / sb.sz) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = family_shingles(spark, sf_dir)
+    bands = persist_once(lsh_bands(minhash_signatures(capped)))
+    cand = persist_once(candidate_pairs(bands))
+    cand_docs = (
+        cand.select(F.col("doc_i").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_j").alias("doc_id")))
+        .distinct()
+    )
+    # prune postings to candidate docs, then anchor the intersection on
+    # the candidate PAIRS themselves: pair ⋈ left-doc postings ⋈ right-doc
+    # postings on (doc, shingle). Cost is O(Σ_pairs |S_i|) — proportional
+    # to the banded pair list, NOT the inverted-index join's
+    # Θ(Σ_shingle df²) over candidate docs (first cut of this query kept
+    # the shingle-keyed self-join and measured SLOWER than the exact form
+    # at 100×, 225.6 s vs 105.6 s, because band collisions cover most
+    # docs there — candidate-DOC pruning is no pruning at all; only
+    # candidate-PAIR anchoring is). The df-cap was applied corpus-wide by
+    # family_shingles and the semi-join keeps whole docs, so sizes and
+    # frequencies stay corpus-true.
+    sh_cand = persist_once(
+        capped.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    )
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh_cand.select(F.col("doc_id").alias("doc_i"), "shingle")
+    b = sh_cand.select(F.col("doc_id").alias("doc_j"), "shingle")
+    inter = (
+        F.broadcast(cand)
+        .join(a, "doc_i")
+        .join(b, ["doc_j", "shingle"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_i"), F.col("sz").alias("sz_i"))
+    sb = sizes.select(F.col("doc_id").alias("doc_j"), F.col("sz").alias("sz_j"))
+    n = F.col("n_inter").cast("double")
+    ci, cj = n / F.col("sz_i"), n / F.col("sz_j")
+    return (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .filter(F.greatest(ci, cj) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_i",
+            "doc_j",
+            F.round(ci, 6).alias("contain_i"),
+            F.round(cj, 6).alias("contain_j"),
+            F.round(
+                n / (F.col("sz_i") + F.col("sz_j") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 LSH_R = 2  # rows per band (8 minhashes / 4 bands)
 LSH_B = 4
 
