@@ -567,6 +567,57 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_SUPPORT = 2
 
 
+GRAPH_LINEITEM_TABLE_CONF = "spark.bert_etl.graph.lineitemTable"
+
+
+def bucketize_lineitem(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "li_copurchase_bucketed",
+    n_buckets: int = 32,
+) -> str:
+    """ONE-TIME at-rest prep for the graph family: write the (l_orderkey,
+    l_partkey) lineitem projection as a table bucketed AND sorted by
+    l_orderkey, one file per bucket. With the table name in
+    ``spark.bert_etl.graph.lineitemTable``, copurchase_edges' self-join
+    needs neither exchange nor sort — 100× replica: 90.8 s vs 214.6 s
+    from plain parquet (2.4×), write cost ~12 s.
+
+    Caveats, deliberately the caller's choices:
+    - reading sort metadata requires
+      ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (set by
+      copurchase_edges only when it takes this path) and exactly one file
+      per bucket (the repartition below guarantees it) — with many files
+      per bucket Spark must re-sort anyway and the flag only narrows scan
+      parallelism to the bucket count;
+    - table metadata lives in the session catalog; production deployments
+      use a persistent metastore (or re-register with CREATE TABLE ...
+      CLUSTERED BY ... LOCATION) so the one-time write amortizes across
+      sessions.
+    """
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    (
+        li.repartition(n_buckets, "l_orderkey")
+        .write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def _lineitem_for_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge build's input: the bucketed at-rest table when configured
+    (zero-exchange, zero-sort self-join), else the plain parquet scan."""
+    table = spark.conf.get(GRAPH_LINEITEM_TABLE_CONF, None)
+    if table:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        return spark.table(table).select("l_orderkey", "l_partkey")
+    return tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase part graph shared by the graph family: distinct
     (u < v) part pairs co-occurring in >= MIN_SUPPORT orders, materialized
@@ -595,10 +646,24 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       path, which suppresses AQE and measured 231 s vs 118 s for the
       identical build (2×, reproduced across sessions); see
       checkpoint_once's docstring for the pattern.
+
+    Round-9 at-rest option: with ``spark.bert_etl.graph.lineitemTable``
+    naming a lineitem projection bucketed+sorted by l_orderkey (see
+    bucketize_lineitem), the self-join runs with ZERO exchange and ZERO
+    sort — measured 90.8 s vs 214.6 s plain at the 100× replica (2.4×),
+    for a one-time ~12 s bucketed write. The build dominates the graph
+    family at scale, so this is the family's biggest single lever.
     """
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edge_plan(_lineitem_for_edges(spark, sf_dir))
+    return checkpoint_once(edges, "copurchase_edges", sf_dir)
+
+
+def _copurchase_edge_plan(li: DataFrame) -> DataFrame:
+    """The lazy edge aggregation over a (l_orderkey, l_partkey) input —
+    split out so plan tests can assert the bucketed-input shape without
+    tripping the session memo."""
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -610,7 +675,6 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= MIN_SUPPORT)
         .select("u", "v")
     )
-    return checkpoint_once(edges, "copurchase_edges", sf_dir)
 
 
 # ONE SQL definition of the co-purchase edge set, interpolated into every
