@@ -90,6 +90,18 @@ def persist_once(df: DataFrame, shared: bool = False) -> DataFrame:
 _SHARED_CHECKPOINTS: dict[tuple, DataFrame] = {}
 
 
+def checkpoint_get(spark, *key: object) -> DataFrame | None:
+    """The memoized checkpoint_once result for ``key`` in this session, or
+    None. Builders whose DataFrame CONSTRUCTION is itself expensive (a
+    driver-side collect, a multi-thousand-literal plan to analyze) call
+    this first and skip the build entirely on a hit — checkpoint_once only
+    dedups the EXECUTION, not the plan-building work before it (measured:
+    sim_maxsim_ivf spent 3.8 s/call re-collecting centroids and
+    re-analyzing the inlined-centroid argmax plan that the memo then
+    threw away)."""
+    return _SHARED_CHECKPOINTS.get((spark.sparkContext.applicationId, *key))
+
+
 def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:
     """Materialize a shared cross-query table via eager localCheckpoint,
     memoized per (SparkContext, key) for the session.

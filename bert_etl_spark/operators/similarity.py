@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
 from bert_etl_spark.operators.registry import (
     ALL_ORACLES,
+    checkpoint_get,
     checkpoint_once,
     query,
     tbl,
@@ -786,6 +787,12 @@ def _maxsim_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment scale this table is what you'd write partitionBy(cell) so
     probes prune to P partitions.
     """
+    hit = checkpoint_get(spark, "maxsim_ivf_assign", sf_dir)
+    if hit is not None:
+        # skip the collect AND the plan construction: the inlined-centroid
+        # argmax below is a 4096-literal expression whose per-call
+        # analysis cost (measured 3.8 s at the driver) dwarfs the query
+        return hit
     cent_rows = _maxsim_centroids(spark, sf_dir).orderBy("cid").collect()
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in r.ce]) for r in cent_rows]
