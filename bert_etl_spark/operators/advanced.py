@@ -1190,6 +1190,86 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("doc_id").alias("node"), "component")
 
 
+KCORE_K = 2       # minimum within-subgraph degree to survive a peel
+KCORE_PEELS = 4   # unrolled peel rounds (registered contract)
+
+
+def _sql_kcore_peels(n: int) -> str:
+    """Unrolled k-core peel chain: e0 = the co-purchase edges; each round
+    recomputes degrees on the CURRENT subgraph and keeps only edges whose
+    BOTH endpoints still have degree >= K — the same unrolled-CTE oracle
+    idiom as _sql_lpa_iters, so the two engines run the identical
+    deterministic rounds."""
+    ctes = ["e0 AS (SELECT u, v FROM edges)"]
+    for i in range(n):
+        ctes.append(
+            f"""d{i} AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+        ) GROUP BY 1
+    ),
+    k{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
+    e{i + 1} AS (
+        SELECT e.u, e.v FROM e{i} e
+        JOIN k{i} a ON e.u = a.node JOIN k{i} b ON e.v = b.node
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+# k-core decomposition (fixed k, unrolled peeling) — the standard graph
+# density filter: repeatedly delete nodes whose degree in the REMAINING
+# subgraph is < k; what survives is the k-core, the densest stable
+# backbone (community seeds, spam/bot ring detection, curriculum
+# selection over co-occurrence graphs). Each peel round is two map-side-
+# combinable steps on the shared memoized edge table: a degree count and
+# a semi-join keep-filter (broadcast — the keep list is O(|V|) ids).
+# Like the other iterated operators the registered contract is a FIXED
+# round count (KCORE_PEELS; data-dependent convergence is not
+# SQL-expressible), and at the fixtures 4 peels reach the fixpoint — a
+# unit test pins that one more peel changes nothing. Scale: rounds are
+# O(|E|) each with no shuffle beyond the degree partial-agg; the peeled
+# edge set only shrinks.
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH {{edges}},
+    {{peels}},
+    df AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e{{n}} UNION ALL SELECT v FROM e{{n}}
+        ) GROUP BY 1
+    )
+    SELECT node, CAST(deg AS BIGINT) AS core_degree FROM df
+    """.replace("{edges}", _SQL_COPURCHASE_EDGES)
+    .replace("{peels}", _sql_kcore_peels(KCORE_PEELS))
+    .replace("{n}", str(KCORE_PEELS)),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    e = edges
+    for _ in range(KCORE_PEELS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        e = e.join(
+            F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
+        ).join(
+            F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
+        )
+    final_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )
+    return final_deg.select("node", "core_degree")
+
+
 # ---------------------------------------------------------------------------
 # SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (blocked by
 # the coarse label, standing in for any quantizer cell) → pointer-doubling

@@ -988,3 +988,81 @@ def sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+OUTLIER_QUANTILE = 0.95
+
+
+# Embedding-space outlier filter — the vector-quality gate a training-data
+# pipeline runs before contrastive/retrieval training: vectors far from
+# the corpus centroid are mis-embedded, mis-labeled, or off-distribution
+# rows worth auditing. Three cheap stages, all map-side combinable:
+# (1) centroid = per-dimension deterministic mean (posexplode + 64-group
+# decimal-sum agg — O(N·d) rows but only 64 groups cross the exchange);
+# (2) one corpus pass computes each vector's L2 distance to the broadcast
+# centroid; (3) exact p95 over the distances (shared (n-1)·q linear
+# interpolation in both engines) broadcasts back as the gate. The
+# boundary compare runs on 6-dp-ROUNDED values on both sides so an
+# engine-specific last-ULP difference in the percentile cannot flip a
+# membership. At 100 TB stage (3) becomes approx_percentile (the
+# sketch_quantile_mergeable path) — same plan shape, sketch instead of
+# exact buffer.
+@query(
+    "sim_embedding_outliers",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    dims AS (
+        SELECT i AS pos, {sql_dsum('e[i + 1]')} / COUNT(*) AS c
+        FROM n, range({EMBED_DIM}) t(i)
+        GROUP BY 1
+    ),
+    cent AS (SELECT list(c ORDER BY pos) AS c FROM dims),
+    d AS (
+        SELECT vec_id,
+               sqrt(list_aggregate(list_transform(range({EMBED_DIM}),
+                   i -> (n.e[i+1] - cent.c[i+1]) * (n.e[i+1] - cent.c[i+1])),
+                   'sum')) AS dist
+        FROM n CROSS JOIN cent
+    ),
+    th AS (SELECT quantile_cont(dist, {OUTLIER_QUANTILE}) AS p95 FROM d)
+    SELECT vec_id, ROUND(dist, 6) AS dist, ROUND(p95, 6) AS p95_threshold
+    FROM d CROSS JOIN th
+    WHERE ROUND(dist, 6) > ROUND(p95, 6)
+    """,
+)
+def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.registry import persist_once
+
+    emb = _prepared(spark, sf_dir)
+    dims = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg((dsum("x") / F.count("*")).alias("c"))
+    )
+    cent = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("ps")
+    ).select(F.transform("ps", lambda t: t["c"]).alias("c"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "c", lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = persist_once(
+        emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", dist.alias("dist")
+        )
+    )
+    th = d.agg(
+        F.expr(f"percentile(dist, {OUTLIER_QUANTILE})").alias("p95")
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .filter(F.round("dist", 6) > F.round("p95", 6))
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round("p95", 6).alias("p95_threshold"),
+        )
+    )

@@ -1026,3 +1026,72 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_bpe_syms"),
         )
     )
+
+
+BOILERPLATE_PREFIX_CAP = 64  # chars scanned for shared template prefixes
+
+
+# Per-source boilerplate PREFIX detection — the template-stripping prep
+# step every scraped-corpus pipeline runs (site headers, license
+# preambles, OCR banners arrive as a shared prefix on every doc from one
+# source). The O(N) trick: the longest common prefix of ALL strings in a
+# group equals LCP(lexicographic MIN, lexicographic MAX) — any prefix
+# shared by the two sorted extremes is shared by everything between them.
+# So the whole corpus needs ONE map-side-combinable min/max string
+# aggregation (no all-pairs prefix compare, no per-group sort), and the
+# LCP itself runs on |sources| rows. The position scan is a fixed
+# 64-element transform + array_min (first mismatch index IS the LCP
+# length), identical expression in both engines — capped because
+# boilerplate beyond 64 chars is detected by the cap boundary and a
+# second pass widens it in a real pipeline. At 100 TB: one partial-agg
+# shuffle of two 64-char-truncatable strings per source, nothing else.
+# Reference analog: per-queue uniform payload prefixes from templated
+# producers (bert/encoders/base.py wire framing).
+@query(
+    "text_source_boilerplate_prefix",
+    oracle=f"""
+    WITH ext AS (
+        SELECT source, COUNT(*) AS n_docs,
+               MIN(text) AS lo, MAX(text) AS hi
+        FROM documents GROUP BY source
+    ),
+    lcp AS (
+        SELECT source, n_docs, lo,
+               list_min(list_transform(range({BOILERPLATE_PREFIX_CAP}),
+                   i -> CASE WHEN i >= LEAST(len(lo), len(hi))
+                                  OR substr(lo, i + 1, 1) != substr(hi, i + 1, 1)
+                             THEN i ELSE {BOILERPLATE_PREFIX_CAP} END)) AS lcp_len
+        FROM ext
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(lcp_len AS INT) AS boilerplate_len,
+           substr(lo, 1, lcp_len) AS boilerplate_prefix
+    FROM lcp WHERE n_docs >= 2
+    """,
+)
+def text_source_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    ext = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("text").alias("lo"),
+        F.max("text").alias("hi"),
+    )
+    cap = BOILERPLATE_PREFIX_CAP
+    lcp_len = F.expr(
+        f"array_min(transform(sequence(0, {cap - 1}), i -> "
+        f"CASE WHEN i >= LEAST(length(lo), length(hi)) "
+        f"OR substr(lo, i + 1, 1) != substr(hi, i + 1, 1) "
+        f"THEN i ELSE {cap} END))"
+    )
+    return (
+        ext.filter(F.col("n_docs") >= 2)
+        .withColumn("boilerplate_len", lcp_len.cast("int"))
+        .select(
+            "source",
+            "n_docs",
+            "boilerplate_len",
+            F.expr("substr(lo, 1, boilerplate_len)").alias(
+                "boilerplate_prefix"
+            ),
+        )
+    )

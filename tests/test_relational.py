@@ -183,3 +183,34 @@ def test_pagerank_to_convergence_cache_bound(spark):
     shallow = run(2)
     deep = run(10)  # crosses the localCheckpoint cadence (every 8)
     assert deep <= shallow + 1, (shallow, deep)
+
+
+def test_kcore_reaches_fixpoint_at_fixture(spark, sf_small):
+    """The registered KCORE_PEELS rounds must reach the peeling fixpoint
+    on the fixture graph: one MORE peel changes nothing (otherwise the
+    registered result is a partially-peeled artifact, not the k-core)."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.operators.advanced import (
+        KCORE_K,
+        copurchase_edges,
+        graph_kcore,
+    )
+
+    reg = {(r.node, r.core_degree) for r in graph_kcore(spark, sf_small).collect()}
+    assert reg
+    # every surviving node satisfies the core property
+    assert all(deg >= KCORE_K for _, deg in reg)
+    # one more peel: recompute degrees on the surviving subgraph edges
+    e = copurchase_edges(spark, sf_small)
+    nodes = {n for n, _ in reg}
+    e5 = e.filter(F.col("u").isin(nodes) & F.col("v").isin(nodes))
+    deg5 = {
+        r.node: r.deg
+        for r in e5.select(F.col("u").alias("node"))
+        .unionByName(e5.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .collect()
+    }
+    assert {(n, d) for n, d in deg5.items()} == reg

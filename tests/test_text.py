@@ -102,3 +102,52 @@ def test_bpe_encode_vocab_matches_python_reference(spark):
     vocab = {t for s in texts for t in s.split(" ") if len(t) >= 2}
     assert got == {t: encode(t) for t in vocab}
     assert got["aaaa"] == 2  # aa+aa after the (a,a) merge
+
+
+def test_boilerplate_prefix_detects_planted_template(spark):
+    """LCP(min,max) equals the group-wide longest common prefix: a planted
+    per-source template prefix is recovered exactly, a clean source
+    reports 0, and a doc missing the template caps the group's LCP."""
+    from bert_etl_spark.operators.registry import ALL_QUERIES, load_all
+
+    load_all()
+    from pyspark.sql import functions as F
+
+    import bert_etl_spark.operators.text as T
+
+    rows = [
+        (1, "sA", "COPYRIGHT 2024 ACME | the quick brown fox"),
+        (2, "sA", "COPYRIGHT 2024 ACME | lazy dogs sleep all day"),
+        (3, "sA", "COPYRIGHT 2024 ACME | zebras graze at dawn"),
+        (4, "sB", "alpha beta gamma"),
+        (5, "sB", "zeta eta theta"),
+        (6, "sC", "PREFIX shared here"),
+        (7, "sC", "PREFIX shared also"),
+        (8, "sC", "no template on this one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ext = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.min("text").alias("lo"), F.max("text").alias("hi")
+    )
+    cap = T.BOILERPLATE_PREFIX_CAP
+    lcp_len = F.expr(
+        f"array_min(transform(sequence(0, {cap - 1}), i -> "
+        f"CASE WHEN i >= LEAST(length(lo), length(hi)) "
+        f"OR substr(lo, i + 1, 1) != substr(hi, i + 1, 1) "
+        f"THEN i ELSE {cap} END))"
+    )
+    got = {
+        r.source: (r.l, r.p)
+        for r in ext.select(
+            "source",
+            lcp_len.alias("l"),
+            F.expr("substr(lo, 1, "
+                   f"array_min(transform(sequence(0, {cap - 1}), i -> "
+                   f"CASE WHEN i >= LEAST(length(lo), length(hi)) "
+                   f"OR substr(lo, i + 1, 1) != substr(hi, i + 1, 1) "
+                   f"THEN i ELSE {cap} END)))").alias("p"),
+        ).collect()
+    }
+    assert got["sA"] == (22, "COPYRIGHT 2024 ACME | ")
+    assert got["sB"][0] == 0
+    assert got["sC"][0] == 0  # the clean doc caps the group LCP at 0
