@@ -590,3 +590,121 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+BLOOM_BITS = 4096   # filter size (positions)
+BLOOM_HASHES = 3    # md5 slices per key
+BLOOM_NATION_MAX = 5  # dim subset: suppliers with s_nationkey < 5
+
+
+def _bloom_pos_spark(col, j: int):
+    """Bloom position j for a key: an 8-hex md5 slice → BIGINT % bits.
+    Deterministic (the minhash md5-slicing idiom), so the DuckDB oracle
+    builds the bit-identical filter."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % BLOOM_BITS
+    )
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), {1 + 8 * j}, 8)) "
+        f"AS BIGINT) % {BLOOM_BITS})"
+    )
+
+
+# Bloom-prefilter join — the scan-side pruning pattern for selective
+# fact ⋈ dim joins at 100 TB: build a fixed-size Bloom filter over the
+# dim's join keys, drop fact rows whose keys cannot match BEFORE the
+# shuffle, then run the exact join on the survivors. The filter is a
+# position SET (distinct md5-slice positions of every dim key, broadcast
+# — O(bits) regardless of dim size); a fact key passes iff all K of its
+# positions are present (per-key count == K over a broadcast join — the
+# bitmap-free distributed formulation). False positives only add rows the
+# exact join re-drops; false negatives are impossible, which the oracle
+# checks end-to-end by computing the identical filter AND the final
+# aggregate. Output is the audit row a tuner reads: total fact keys,
+# keys passing the filter, keys truly matching (selectivity vs false-
+# positive rate), and the joined revenue. Spark's own runtime bloom
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) does this inside AQE
+# with an opaque hash; this operator is the portable, value-checkable
+# form of the same plan shape.
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey < {BLOOM_NATION_MAX}
+    ),
+    bloom AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(
+                f"SELECT {_bloom_pos_sql('s_suppkey', j)} AS pos FROM dim"
+                for j in range(BLOOM_HASHES)
+            )}
+        )
+    ),
+    fact_keys AS (SELECT DISTINCT l_suppkey FROM lineitem),
+    passed AS (
+        SELECT l_suppkey FROM (
+            SELECT f.l_suppkey, COUNT(*) AS hits
+            FROM (
+                {" UNION ALL ".join(
+                    f"SELECT l_suppkey, {_bloom_pos_sql('l_suppkey', j)} AS pos "
+                    f"FROM fact_keys"
+                    for j in range(BLOOM_HASHES)
+                )}
+            ) f JOIN bloom USING (pos)
+            GROUP BY 1
+        ) WHERE hits = {BLOOM_HASHES}
+    ),
+    matched AS (SELECT l_suppkey FROM passed JOIN dim ON l_suppkey = s_suppkey)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fact_keys) AS n_fact_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_bloom_passed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_matched,
+           (SELECT ROUND({sql_dsum('l.l_extendedprice')}, 2)
+            FROM lineitem l JOIN matched m ON l.l_suppkey = m.l_suppkey)
+               AS matched_revenue
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    dim = (
+        tbl(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < BLOOM_NATION_MAX)
+        .select("s_suppkey")
+    )
+    bloom = None
+    for j in range(BLOOM_HASHES):
+        part = dim.select(_bloom_pos_spark(F.col("s_suppkey"), j).alias("pos"))
+        bloom = part if bloom is None else bloom.unionByName(part)
+    bloom = bloom.distinct()
+    fact_keys = li.select("l_suppkey").distinct()
+    probes = None
+    for j in range(BLOOM_HASHES):
+        part = fact_keys.select(
+            "l_suppkey", _bloom_pos_spark(F.col("l_suppkey"), j).alias("pos")
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    passed = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == BLOOM_HASHES)
+        .select("l_suppkey")
+    )
+    matched = passed.join(
+        F.broadcast(dim), passed["l_suppkey"] == dim["s_suppkey"], "left_semi"
+    )
+    revenue = (
+        li.join(F.broadcast(matched), "l_suppkey")
+        .agg(F.round(dsum("l_extendedprice"), 2).alias("matched_revenue"))
+    )
+    counts = (
+        fact_keys.agg(F.count("*").alias("n_fact_keys"))
+        .crossJoin(passed.agg(F.count("*").alias("n_bloom_passed")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+    )
+    return counts.crossJoin(revenue).select(
+        "n_fact_keys", "n_bloom_passed", "n_matched", "matched_revenue"
+    )

@@ -185,3 +185,152 @@ def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ex")[2], 6).alias("exact_p75"),
         within.alias("est_within_2pct_range"),
     )
+
+
+CMS_DEPTH = 4    # independent hash rows (md5 slices)
+CMS_WIDTH = 1024  # counters per row
+CMS_TOP_K = 20   # heavy hitters evaluated against the sketch
+
+
+def _cms_bucket_spark(col, d: int):
+    """Row-d CMS bucket: an 8-hex-char md5 slice → BIGINT % width. Slices
+    of one 128-bit digest are independent uniform hashes (the minhash
+    idiom, dedup.py), and the whole sketch is DETERMINISTIC — both engines
+    compute bit-identical counters, so the estimates hash-check exactly,
+    no error-tolerance flag needed."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * d, 8), 16, 10).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _cms_bucket_sql(expr: str, d: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5({expr}), {1 + 8 * d}, 8)) AS BIGINT) "
+        f"% {CMS_WIDTH})"
+    )
+
+
+# Count-min-sketch heavy hitters — the streaming-friendly frequency
+# primitive (boilerplate n-gram audits, hot-key detection, stop-phrase discovery)
+# whose counter table is FIXED-SIZE (depth × width) and mergeable: partial
+# sketches combine by cell-wise addition, so the shuffle carries
+# O(depth × width) counters per partition instead of one row per distinct
+# token — the same mergeability argument as the HLL and quantile sketches
+# above, but with nothing opaque: deterministic md5-slice hashing means
+# the DuckDB oracle rebuilds the IDENTICAL sketch and the estimates
+# value-hash exactly. The registered query evaluates the sketch where it
+# matters: for the exact top-K n-grams, emit exact count, CMS estimate,
+# and the (always ≥ 0) overestimate — the one-sided error CMS guarantees.
+# The fixture's trigram distribution is nearly FLAT (no true heavy
+# hitters), so the estimates carry visible collision mass — exactly what
+# the paired exact/estimate columns exist to surface; a production
+# deployment sizes width ≈ e/ε against its heavy-hitter threshold and
+# reads this query as the calibration check.
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tk AS (
+        SELECT string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    toks AS (
+        SELECT unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS tok
+        FROM tk WHERE len(toks) >= 3
+    ),
+    counters AS (
+        SELECT d, bucket, COUNT(*) AS c FROM (
+            {" UNION ALL ".join(
+                f"SELECT {d} AS d, {_cms_bucket_sql('tok', d)} AS bucket FROM toks"
+                for d in range(CMS_DEPTH)
+            )}
+        ) GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, n FROM (
+            SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn
+            FROM exact
+        ) WHERE rn <= {CMS_TOP_K}
+    ),
+    est AS (
+        SELECT t.tok, t.n, MIN(c.c) AS cms_est
+        FROM top t JOIN counters c
+          ON c.d < {CMS_DEPTH}
+         AND c.bucket = CASE c.d
+             {" ".join(
+                f"WHEN {d} THEN {_cms_bucket_sql('t.tok', d)}"
+                for d in range(CMS_DEPTH)
+             )} END
+        GROUP BY 1, 2
+    )
+    SELECT tok, CAST(n AS BIGINT) AS exact_count,
+           CAST(cms_est AS BIGINT) AS cms_estimate,
+           CAST(cms_est - n AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.registry import persist_once
+
+    docs = tbl(spark, sf_dir, "documents")
+    # trigram OCCURRENCES (every position, no per-doc distinct): the
+    # heavy-hitter universe is boilerplate n-grams, the thing a corpus
+    # audit actually hunts (the fixture's whitespace-token vocabulary is
+    # only ~31 words — zero CMS collisions, a vacuous demo)
+    toked = docs.select(
+        F.split(F.trim(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    toks = persist_once(toked.select(F.explode(grams).alias("tok")))
+    counters = None
+    for d in range(CMS_DEPTH):
+        part = toks.select(
+            F.lit(d).alias("d"), _cms_bucket_spark(F.col("tok"), d).alias("bucket")
+        )
+        counters = part if counters is None else counters.unionByName(part)
+    counters = counters.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    top = (
+        exact.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+        )
+        .filter(F.col("rn") <= CMS_TOP_K)
+        .select("tok", "n")
+    )
+    # probe: each top token joins its D counter cells (broadcast both tiny
+    # sides), min over depth = the CMS estimate
+    bucket_for = None
+    for d in range(CMS_DEPTH):
+        expr = _cms_bucket_spark(F.col("tok"), d)
+        bucket_for = (
+            F.when(F.col("d") == d, expr)
+            if bucket_for is None
+            else bucket_for.when(F.col("d") == d, expr)
+        )
+    est = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(counters.select("d").distinct()))
+        .withColumn("bucket", bucket_for)
+        .join(counters, ["d", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("bigint").alias("exact_count"),
+        F.col("cms_est").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_est") - F.col("n")).cast("bigint").alias("overestimate"),
+    )
