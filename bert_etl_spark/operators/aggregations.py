@@ -794,3 +794,176 @@ def agg_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key_v)["v"].alias("last_value"),
         F.count("*").alias("n_events"),
     )
+
+
+ZORDER_BITS = 8       # interleaved bits per dimension (range-normalized)
+ZORDER_BUCKETS = 16   # file-sized range buckets over the z curve
+
+_Z_SCALE = (1 << ZORDER_BITS) - 1  # normalize each key to 0..255
+
+# Horner fold over the interleaved bits of the RANGE-NORMALIZED keys.
+# Normalization matters: raw keys with unequal ranges (suppkey uses ~7
+# bits where partkey uses ~11) leave the curve dominated by the wider
+# key's high bits — measured sk_share 1.0, i.e. a degenerate partkey
+# sort. Scaling both to the same 8-bit budget restores the curve.
+_Z_EXPR_SPARK = f"""aggregate(sequence(0, {ZORDER_BITS - 1}), CAST(0 AS BIGINT),
+    (acc, i) -> acc * 4
+        + ((spk div CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2) * 2
+        + (ssk div CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2)"""
+
+_Z_EXPR_SQL = f"""list_reduce(list_transform(range({ZORDER_BITS}),
+    i -> 2 * ((spk // CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2)
+           + (ssk // CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2),
+    (a, x) -> a * 4 + x)"""
+
+
+# Z-order layout audit — the multi-dimensional data-skipping layout
+# (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits of two
+# predicate columns, range-partition files along the resulting
+# space-filling curve, and per-file min/max stats become tight in BOTH
+# dimensions — a linear sort gives perfect pruning on its sort key and
+# near-zero on the other. This query runs the audit that justifies the
+# rewrite: bucket lineitem 16 ways under BOTH layouts (z-curve vs plain
+# l_partkey sort) and emit each bucket's (partkey, suppkey) min/max
+# envelope plus its normalized PER-DIMENSION span shares — the fraction
+# of one key's range a predicate on that key must still consider when
+# this bucket survives pruning. A linear sort gives ~1/B on its sort key
+# and ~1.0 on the other (zero pruning for the second predicate); the
+# z-curve gives ~1/sqrt(B) on BOTH — the whole point of the layout.
+# Everything is integer/deterministic: the z-value is a Horner fold over
+# the interleaved bits (identical expression both engines; the
+# pow(2, b) casts are exact — powers of two below 2^53), bucketing is
+# the distributed exact-ntile machinery (never a single-partition
+# window), tie-broken by the unique (l_orderkey, l_linenumber) key. At
+# 100 TB the bucket boundaries become the file-writer's
+# repartitionByRange keys; the audit's area column is the number a
+# layout tuner actually compares.
+@query(
+    "layout_zorder_audit",
+    oracle=f"""
+    WITH spans0 AS (
+        SELECT MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+               MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+        FROM lineitem
+    ),
+    spans AS (
+        SELECT pk_min, sk_min,
+               pk_max - pk_min + 1 AS pk_span,
+               sk_max - sk_min + 1 AS sk_span
+        FROM spans0
+    ),
+    z AS (
+        SELECT l_partkey, l_suppkey,
+               {_Z_EXPR_SQL} AS zval,
+               l_orderkey * 8 + l_linenumber AS tb
+        FROM (
+            SELECT l.*,
+                   (l.l_partkey - s.pk_min) * {_Z_SCALE} // (s.pk_span - 1 + CAST(s.pk_span = 1 AS BIGINT)) AS spk,
+                   (l.l_suppkey - s.sk_min) * {_Z_SCALE} // (s.sk_span - 1 + CAST(s.sk_span = 1 AS BIGINT)) AS ssk
+            FROM lineitem l CROSS JOIN spans s
+        )
+    ),
+    tiled AS (
+        SELECT l_partkey, l_suppkey,
+               ntile({ZORDER_BUCKETS}) OVER (ORDER BY zval, tb) AS zb,
+               ntile({ZORDER_BUCKETS}) OVER (ORDER BY l_partkey, tb) AS lb
+        FROM z
+    ),
+    lay AS (
+        SELECT 'zorder' AS layout, zb AS bucket, l_partkey, l_suppkey FROM tiled
+        UNION ALL
+        SELECT 'linear', lb, l_partkey, l_suppkey FROM tiled
+    )
+    SELECT layout, CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS pk_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS sk_max,
+           ROUND(CAST(MAX(l_partkey) - MIN(l_partkey) + 1 AS DOUBLE)
+                 / (SELECT pk_span FROM spans), 6) AS pk_share,
+           ROUND(CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1 AS DOUBLE)
+                 / (SELECT sk_span FROM spans), 6) AS sk_share
+        FROM lay GROUP BY 1, 2
+    """,
+)
+def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.global_order import with_ntile_multi
+
+    raw = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    spans0 = raw.agg(
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    ).selectExpr(
+        "pk_min", "sk_min",
+        "pk_max - pk_min + 1 AS pk_span",
+        "sk_max - sk_min + 1 AS sk_span",
+    )
+    li = (
+        raw.crossJoin(F.broadcast(spans0))
+        .selectExpr(
+            "l_partkey",
+            "l_suppkey",
+            f"(l_partkey - pk_min) * {_Z_SCALE} div"
+            " (pk_span - 1 + CAST(pk_span = 1 AS INT)) AS spk",
+            f"(l_suppkey - sk_min) * {_Z_SCALE} div"
+            " (sk_span - 1 + CAST(sk_span = 1 AS INT)) AS ssk",
+            "l_orderkey * 8 + l_linenumber AS tb",
+        )
+        .selectExpr(
+            "l_partkey", "l_suppkey", f"{_Z_EXPR_SPARK} AS zval", "tb"
+        )
+    )
+    tiled = with_ntile_multi(
+        li,
+        ZORDER_BUCKETS,
+        [("zb", F.col("zval")), ("lb", F.col("l_partkey"))],
+        tiebreak="tb",
+    )
+    spans = tiled.agg(
+        (F.max("l_partkey") - F.min("l_partkey") + 1).alias("pk_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("sk_span"),
+    )
+    both = tiled.select(
+        F.lit("zorder").alias("layout"),
+        F.col("zb").alias("bucket"),
+        "l_partkey",
+        "l_suppkey",
+    ).unionByName(
+        tiled.select(
+            F.lit("linear").alias("layout"),
+            F.col("lb").alias("bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+    )
+    g = both.groupBy("layout", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    )
+    return g.crossJoin(F.broadcast(spans)).select(
+        "layout",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        "pk_min",
+        "pk_max",
+        "sk_min",
+        "sk_max",
+        F.round(
+            (F.col("pk_max") - F.col("pk_min") + 1).cast("double")
+            / F.col("pk_span"),
+            6,
+        ).alias("pk_share"),
+        F.round(
+            (F.col("sk_max") - F.col("sk_min") + 1).cast("double")
+            / F.col("sk_span"),
+            6,
+        ).alias("sk_share"),
+    )

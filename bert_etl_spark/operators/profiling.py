@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bert_etl_spark.functions.deterministic import sql_dsum
 from bert_etl_spark.operators.registry import query, spread, tbl
 
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_linestatus", "l_shipdate")
@@ -334,3 +335,76 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cms_est").cast("bigint").alias("cms_estimate"),
         (F.col("cms_est") - F.col("n")).cast("bigint").alias("overestimate"),
     )
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+# Pairwise Pearson correlation matrix over the fact table's numeric
+# columns — the profiling step that finds redundant features and
+# join-key/metric dependencies before a training run. ONE corpus pass:
+# every pair's (Σx, Σy, Σx², Σy², Σxy) comes from the same partial-agg
+# scan (map-side combined, 14 decimal sums + a count cross the exchange
+# — O(columns²) state, zero extra passes), then the closed form
+# r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) evaluates on the
+# driver-sized 1-row frame. All reductions use the decimal recipe, so
+# the r values are order-free and hash-identical to the oracle's — no
+# tolerance window. (Spark's built-in corr() is a float reduction whose
+# partial combines are partition-order-dependent; this form trades two
+# extra sums per pair for reproducibility, the same trade dsum makes.)
+@query(
+    "profile_correlations",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {", ".join(f"{sql_dsum(c)} AS s_{c}" for c in CORR_COLS)},
+               {", ".join(f"{sql_dsum(f'{c} * {c}')} AS ss_{c}" for c in CORR_COLS)},
+               {", ".join(
+                   f"{sql_dsum(f'{a} * {b}')} AS sp_{a}_{b}"
+                   for i, a in enumerate(CORR_COLS)
+                   for b in CORR_COLS[i + 1:]
+               )}
+        FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"ROUND((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), 6)"
+        f" AS pearson_r FROM s"
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1:]
+    )}
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.deterministic import dsum
+
+    li = tbl(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(dsum(F.col(c), f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c), f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(dsum(F.col(a) * F.col(b), f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        r = (
+            (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+        )
+        row = s.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.round(r, 6).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
