@@ -392,19 +392,28 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in pairs:
         aggs.append(dsum(F.col(a) * F.col(b), f"sp_{a}_{b}"))
     s = li.agg(*aggs)
-    out = None
-    for a, b in pairs:
-        r = (
-            (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
-            / F.sqrt(
-                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
-                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
-            )
+
+    def r_expr(a: str, b: str):
+        return (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ) / F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
         )
-        row = s.select(
-            F.lit(a).alias("col_x"),
-            F.lit(b).alias("col_y"),
-            F.round(r, 6).alias("pearson_r"),
+
+    # ONE row explodes into the matrix — a per-pair unionByName would
+    # re-execute the scan+aggregate once per branch (plan test pins the
+    # single scan)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.round(r_expr(a, b), 6).alias("pearson_r"),
+                )
+                for a, b in pairs
+            ]
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    ).alias("x")
+    return s.select(rows).select("x.col_x", "x.col_y", "x.pearson_r")

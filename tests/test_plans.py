@@ -529,3 +529,25 @@ def test_iterated_graph_loops_have_zero_per_round_shuffles(spark):
     # deg (groupBy src) is the one legitimate exchange; anything growing
     # with PAGERANK_ITERS means the per-iteration shuffle came back
     assert len(pr) < PAGERANK_ITERS, pr
+
+
+def test_profile_correlations_single_pass(spark):
+    """The whole correlation matrix must come from ONE scan + ONE
+    partial-agg aggregation — an implementation that scans per pair (or
+    per column) silently multiplies the 100 TB read cost."""
+    plan = _plan(spark, "profile_correlations")
+    import re
+
+    scans = re.findall(r"Scan parquet[^\n]*lineitem", plan)
+    assert len(scans) == 1, plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_bloom_prefilter_all_broadcast(spark):
+    """The bloom position set and the passed-key list are both bounded
+    (O(bits) and O(dim keys)): every join in the plan must be broadcast —
+    a sort-merge join here means the 'prefilter' shuffled the fact table,
+    defeating its own purpose."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
