@@ -134,6 +134,15 @@ HEADLINE = [
     "sketch_quantile_mergeable",  # GK-style quantile sketch vs exact
     "streaming_windowed_quantiles",  # sketch state merged across batches
     "graph_degree_distribution",  # hub/skew diagnostic, two partial aggs
+    # round-9 family representatives
+    "dedup_containment_banded",  # pair-anchored LSH-assisted containment
+    "graph_kcore",            # unrolled peeling on the shared edge table
+    "sim_embedding_outliers",  # centroid-distance vector quality gate
+    "text_source_boilerplate_prefix",  # LCP(min,max) template detection
+    "sketch_countmin_heavy_hitters",  # deterministic CMS vs exact top-K
+    "join_bloom_prefilter",   # pre-shuffle bloom pruning audit
+    "profile_correlations",   # one-pass decimal Pearson matrix
+    "layout_zorder_audit",    # z-curve vs linear skipping envelopes
 ]
 
 
