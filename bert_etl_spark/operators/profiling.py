@@ -302,15 +302,9 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         counters = part if counters is None else counters.unionByName(part)
     counters = counters.groupBy("d", "bucket").agg(F.count("*").alias("c"))
     exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    from pyspark.sql import Window as W
-
-    top = (
-        exact.withColumn(
-            "rn", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
-        )
-        .filter(F.col("rn") <= CMS_TOP_K)
-        .select("tok", "n")
-    )
+    # deterministic top-K via orderBy+limit = TakeOrderedAndProject
+    # (per-partition heap + driver merge — never a global window/sort)
+    top = exact.orderBy(F.desc("n"), "tok").limit(CMS_TOP_K).select("tok", "n")
     # probe: each top token joins its D counter cells (broadcast both tiny
     # sides), min over depth = the CMS estimate
     bucket_for = None
