@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import sql_dsum
-from bert_etl_spark.operators.registry import query, spread, tbl
+from bert_etl_spark.operators.registry import ALL_ORACLES, query, spread, tbl
 
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_linestatus", "l_shipdate")
 
@@ -228,6 +228,66 @@ def _cms_bucket_sql(expr: str, d: int) -> str:
 # the paired exact/estimate columns exist to surface; a production
 # deployment sizes width ≈ e/ε against its heavy-hitter threshold and
 # reads this query as the calibration check.
+def cms_trigram_occurrences(docs: DataFrame) -> DataFrame:
+    """Every trigram occurrence (no per-doc distinct) as (tok) rows — the
+    CMS universe: boilerplate n-grams (the fixture's whitespace-token
+    vocabulary is only ~31 words — zero collisions, a vacuous demo)."""
+    toked = docs.select(
+        F.split(F.trim(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    return toked.select(F.explode(grams).alias("tok"))
+
+
+def cms_counters(toks: DataFrame) -> DataFrame:
+    """The depth × width counter table for a token stream — the sketch.
+    Partial sketches merge by cell-wise ADDITION, which is exactly what a
+    second groupBy-sum over unioned counter tables computes."""
+    counters = None
+    for d in range(CMS_DEPTH):
+        part = toks.select(
+            F.lit(d).alias("d"), _cms_bucket_spark(F.col("tok"), d).alias("bucket")
+        )
+        counters = part if counters is None else counters.unionByName(part)
+    return counters.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_estimates(top: DataFrame, counters: DataFrame) -> DataFrame:
+    """CMS estimates for (tok, n) rows: min over the D counter cells each
+    token hashes into (broadcast joins — both sides are tiny)."""
+    bucket_for = None
+    for d in range(CMS_DEPTH):
+        expr = _cms_bucket_spark(F.col("tok"), d)
+        bucket_for = (
+            F.when(F.col("d") == d, expr)
+            if bucket_for is None
+            else bucket_for.when(F.col("d") == d, expr)
+        )
+    est = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(counters.select("d").distinct()))
+        .withColumn("bucket", bucket_for)
+        .join(counters, ["d", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("bigint").alias("exact_count"),
+        F.col("cms_est").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_est") - F.col("n")).cast("bigint").alias("overestimate"),
+    )
+
+
+
 @query(
     "sketch_countmin_heavy_hitters",
     oracle=f"""
@@ -277,58 +337,13 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     from bert_etl_spark.operators.registry import persist_once
 
     docs = tbl(spark, sf_dir, "documents")
-    # trigram OCCURRENCES (every position, no per-doc distinct): the
-    # heavy-hitter universe is boilerplate n-grams, the thing a corpus
-    # audit actually hunts (the fixture's whitespace-token vocabulary is
-    # only ~31 words — zero CMS collisions, a vacuous demo)
-    toked = docs.select(
-        F.split(F.trim(F.col("text")), " ").alias("toks")
-    ).filter(F.size("toks") >= 3)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
-            F.element_at("toks", i + 3),
-        ),
-    )
-    toks = persist_once(toked.select(F.explode(grams).alias("tok")))
-    counters = None
-    for d in range(CMS_DEPTH):
-        part = toks.select(
-            F.lit(d).alias("d"), _cms_bucket_spark(F.col("tok"), d).alias("bucket")
-        )
-        counters = part if counters is None else counters.unionByName(part)
-    counters = counters.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    toks = persist_once(cms_trigram_occurrences(docs))
+    counters = cms_counters(toks)
     exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
     # deterministic top-K via orderBy+limit = TakeOrderedAndProject
     # (per-partition heap + driver merge — never a global window/sort)
     top = exact.orderBy(F.desc("n"), "tok").limit(CMS_TOP_K).select("tok", "n")
-    # probe: each top token joins its D counter cells (broadcast both tiny
-    # sides), min over depth = the CMS estimate
-    bucket_for = None
-    for d in range(CMS_DEPTH):
-        expr = _cms_bucket_spark(F.col("tok"), d)
-        bucket_for = (
-            F.when(F.col("d") == d, expr)
-            if bucket_for is None
-            else bucket_for.when(F.col("d") == d, expr)
-        )
-    est = (
-        F.broadcast(top)
-        .crossJoin(F.broadcast(counters.select("d").distinct()))
-        .withColumn("bucket", bucket_for)
-        .join(counters, ["d", "bucket"])
-        .groupBy("tok", "n")
-        .agg(F.min("c").alias("cms_est"))
-    )
-    return est.select(
-        "tok",
-        F.col("n").cast("bigint").alias("exact_count"),
-        F.col("cms_est").cast("bigint").alias("cms_estimate"),
-        (F.col("cms_est") - F.col("n")).cast("bigint").alias("overestimate"),
-    )
+    return cms_estimates(top, counters)
 
 
 CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -411,3 +426,118 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("x")
     return s.select(rows).select("x.col_x", "x.col_y", "x.pearson_r")
+
+
+# STREAMING form of the count-min sketch — the property that makes CMS a
+# streaming-native structure is that partial sketches merge EXACTLY: the
+# counter table is a linear function of the input multiset, so per-batch
+# sketches written independently and summed cell-wise equal the sketch of
+# the whole corpus BIT-FOR-BIT (unlike GK quantiles, where mergeability
+# is approximate and streaming_windowed_quantiles checks a flag). Here
+# the documents stream through foreachBatch in 3 micro-batch epochs; each
+# epoch writes its OWN counter table under an idempotent epoch=<id>
+# overwrite (the LSH ledger's exactly-once idiom: an at-least-once replay
+# rewrites its partition, never double-counts); the final estimates come
+# from the cell-wise SUM of the epoch sketches and are value-hash
+# IDENTICAL to the batch oracle — the strongest mergeability check the
+# driver can express. At 100 TB this is the always-on corpus frequency
+# monitor: O(depth × width) state per epoch regardless of corpus size.
+@query(
+    "streaming_countmin_merge",
+    oracle=ALL_ORACLES["sketch_countmin_heavy_hitters"],
+)
+def streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs_all = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cms_stream_")
+    try:
+        docs_all.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+
+        def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            cms_counters(cms_trigram_occurrences(batch_df)).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/sketch/epoch={epoch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .queryName("cms_merge")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # cell-wise merge of the per-epoch partial sketches = the exact
+        # global sketch (linearity of the counter table)
+        merged = (
+            spark.read.parquet(f"{tmp}/sketch")
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        toks = cms_trigram_occurrences(docs_all)
+        exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+        top = (
+            exact.orderBy(F.desc("n"), "tok").limit(CMS_TOP_K).select("tok", "n")
+        )
+        return cms_estimates(top, merged).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SKEW_TOP_KEYS = 10
+
+
+# Shuffle-key skew audit — the number a skew-join decision actually
+# reads BEFORE a 100 TB join: per-key row counts for the intended
+# shuffle key, the hottest keys' share of the table, and each hot key's
+# ratio to the mean key load (a ratio ≫ 1 on the top key says "this key
+# lands one reducer with N× the average partition" — the trigger for
+# salting / AQE skew-join). One partial-agg pass for the per-key counts,
+# one tiny agg for the totals, TakeOrderedAndProject for the top keys —
+# never a global sort. Companion to functions/skew.py's salting (which
+# fixes what this measures) and join_skew_salted (which demonstrates it).
+@query(
+    "profile_key_skew",
+    oracle=f"""
+    WITH k AS (
+        SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS n_keys
+        FROM k
+    )
+    SELECT key, CAST(n AS BIGINT) AS n_rows,
+           ROUND(n / total, 6) AS share_of_table,
+           ROUND(n / (total / n_keys), 6) AS x_mean_key
+    FROM (
+        SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rn
+        FROM k
+    ) CROSS JOIN t
+    WHERE rn <= {SKEW_TOP_KEYS}
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    t = k.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_keys"),
+    )
+    top = k.orderBy(F.desc("n"), "key").limit(SKEW_TOP_KEYS)
+    return top.crossJoin(F.broadcast(t)).select(
+        "key",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("total"), 6).alias("share_of_table"),
+        F.round(F.col("n") / (F.col("total") / F.col("n_keys")), 6).alias(
+            "x_mean_key"
+        ),
+    )
