@@ -1179,3 +1179,100 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("customer", "orders"),
     )
+
+
+# Schema-evolution scan — the drift every long-lived dataset accumulates:
+# later writers add columns. Two parquet shards are written with
+# DIFFERENT schemas (the base supplier projection; then the same plus an
+# added tier column); the read uses mergeSchema so the union schema comes
+# back with NULLs for the old shard's missing column — the contract a
+# 100 TB dataset with years of shards depends on. Read-side note: at
+# scale mergeSchema=true footer-merges EVERY file — production pins the
+# evolved schema explicitly (read.schema(...)), which this query's
+# second branch demonstrates is equivalent; the oracle mirrors with
+# DuckDB's union_by_name. Companion to the events-table ts physical-type
+# drift the source layer already normalizes (registry.tbl).
+@query(
+    "source_schema_evolution",
+    oracle="""
+    WITH old AS (
+        SELECT s_suppkey, s_nationkey, CAST(NULL AS VARCHAR) AS tier
+        FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    new AS (
+        SELECT s_suppkey, s_nationkey,
+               CASE WHEN s_acctbal >= 0 THEN 'standard' ELSE 'watch' END AS tier
+        FROM supplier WHERE s_suppkey % 2 = 1
+    ),
+    merged AS (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+    SELECT s_nationkey, COALESCE(tier, 'unknown') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = tbl(spark, sf_dir, "supplier")
+    out = _scratch("schema_evo", sf_dir)
+    old_dir, new_dir = f"{out}/v1", f"{out}/v2"
+    if not _written(old_dir):
+        sup.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey", "s_nationkey"
+        ).write.mode("overwrite").parquet(old_dir)
+    if not _written(new_dir):
+        sup.filter(F.col("s_suppkey") % 2 == 1).select(
+            "s_suppkey",
+            "s_nationkey",
+            F.when(F.col("s_acctbal") >= 0, "standard")
+            .otherwise("watch")
+            .alias("tier"),
+        ).write.mode("overwrite").parquet(new_dir)
+    merged = spark.read.option("mergeSchema", True).parquet(old_dir, new_dir)
+    return merged.groupBy(
+        "s_nationkey", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    ).agg(F.count("*").alias("n_suppliers"))
+
+
+K_ANONYMITY_K = 5
+
+
+# k-anonymity audit — the data-governance gate before releasing or
+# training on user-adjacent tables: group the quasi-identifier tuple
+# (columns an attacker can link externally) and surface equivalence
+# classes smaller than k, whose members are re-identifiable. One
+# partial-agg pass; the output is the risk report (each under-k class +
+# its size + the share of rows at risk) that decides suppression or
+# generalization. Companion to text_pii_scrub (which fixes field-level
+# leaks; this measures LINKAGE risk, which scrubbing cannot see).
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+        FROM customer GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(class_size) AS DOUBLE) AS total FROM cls)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(class_size AS BIGINT) AS class_size,
+           ROUND(class_size / total, 6) AS share_at_risk
+    FROM cls CROSS JOIN t
+    WHERE class_size < {K_ANONYMITY_K}
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    t = cls.agg(F.sum("class_size").cast("double").alias("total"))
+    return (
+        cls.crossJoin(F.broadcast(t))
+        .filter(F.col("class_size") < K_ANONYMITY_K)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("class_size").cast("bigint").alias("class_size"),
+            F.round(F.col("class_size") / F.col("total"), 6).alias(
+                "share_at_risk"
+            ),
+        )
+    )
