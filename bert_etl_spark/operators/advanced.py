@@ -1277,6 +1277,74 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_deg.select("node", "core_degree")
 
 
+GRAPH_JACCARD_MIN = 0.25  # minimum neighborhood overlap to report
+
+
+# Common-neighbor Jaccard similarity — the link-prediction primitive
+# (recommendation candidates, missing-edge inference): for every node
+# pair sharing >= 1 neighbor, |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. The
+# candidate set comes from a wedge join on the shared neighbor (the
+# triangle-count shape — never all-pairs), the intersection is a
+# map-side-combined count per pair, and the union resolves from two
+# degree lookups (|A|+|B|-|∩|) — no set materialization anywhere. On the
+# shared memoized edge build, so the family's one expensive input is
+# reused. Scale: identical profile to triangle counting — the wedge
+# fan-out is Σ_v deg(v)², bounded by the support threshold upstream; at
+# 100 TB the same degree-capping / hub-exclusion levers apply.
+@query(
+    "graph_jaccard_similarity",
+    oracle=f"""
+    WITH {{edges}},
+    und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+    inter AS (
+        SELECT a.src AS na, b.src AS nb, COUNT(*) AS ni
+        FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT na AS node_a, nb AS node_b,
+           CAST(ni AS BIGINT) AS n_common,
+           ROUND(CAST(ni AS DOUBLE) / (da.d + db.d - ni), 6) AS jaccard
+    FROM inter
+    JOIN deg da ON na = da.node
+    JOIN deg db ON nb = db.node
+    WHERE CAST(ni AS DOUBLE) / (da.d + db.d - ni) >= {{thresh}}
+    """.replace("{edges}", _SQL_COPURCHASE_EDGES)
+    .replace("{thresh}", str(GRAPH_JACCARD_MIN)),
+)
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    a = und.select(F.col("src").alias("na"), "dst")
+    b = und.select(F.col("src").alias("nb"), "dst")
+    inter = (
+        a.join(b, "dst")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count("*").alias("ni"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("db"))
+    jac = F.col("ni").cast("double") / (F.col("da") + F.col("db") - F.col("ni"))
+    return (
+        inter.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .filter(jac >= GRAPH_JACCARD_MIN)
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("ni").cast("bigint").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (blocked by
 # the coarse label, standing in for any quantizer cell) → pointer-doubling
