@@ -143,6 +143,11 @@ HEADLINE = [
     "join_bloom_prefilter",   # pre-shuffle bloom pruning audit
     "profile_correlations",   # one-pass decimal Pearson matrix
     "layout_zorder_audit",    # z-curve vs linear skipping envelopes
+    "streaming_countmin_merge",  # per-epoch CMS sketches merged cell-wise
+    "profile_key_skew",       # hot-key share pre-join audit
+    "source_schema_evolution",  # mergeSchema drift round-trip
+    "privacy_k_anonymity",    # quasi-identifier linkage-risk gate
+    "graph_jaccard_similarity",  # common-neighbor link prediction
 ]
 
 
