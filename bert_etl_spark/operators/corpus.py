@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bert_etl_spark.operators.dedup import shingles_df, tokenize
+from bert_etl_spark.operators.dedup import (
+    _SQL_MINHASH as _DEDUP_SQL_MINHASH,
+    _SQL_SHINGLES as _DEDUP_SQL_SHINGLES,
+    shingles_df,
+    tokenize,
+)
 from bert_etl_spark.operators.global_order import with_global_rank
 from bert_etl_spark.operators.registry import query, spread, tbl
 
@@ -835,3 +840,99 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_global_rank(keyed, [F.asc("_shuf"), F.asc("doc_id")], "shuffle_rank")
     return out.select("doc_id", "source", "shuffle_rank")
+
+
+FUZZY_CONTAM_TAU = 0.5  # drop a training doc whose best eval Jaccard >= this
+
+
+# FUZZY decontamination — the production form of corpus_decontaminate:
+# exact n-gram overlap misses PARAPHRASED or lightly-edited eval leakage
+# (the overlap the field actually worries about), so the probe here is
+# the dedup family's minhash banding: candidates are band collisions
+# BETWEEN the eval split and the training split (never train x train —
+# the same split-probing shape as dedup_minhash_incremental), verified
+# with exact Jaccard on the df-capped family shingle table, and a
+# training doc survives iff its WORST eval-set Jaccard stays under tau.
+# Output is the surviving roster with that worst score (0 for docs no
+# band ever matched), joinable back to text by doc_id. Scale: the
+# eval side of the band join is the small split (broadcastable), so
+# per-corpus cost is O(train bands x collision rate) + verification on
+# candidates only — the LSH economics, not all-pairs.
+@query(
+    "corpus_decontaminate_fuzzy",
+    oracle=f"""
+    WITH {_DEDUP_SQL_SHINGLES}, {_DEDUP_SQL_MINHASH},
+    xc AS (
+        SELECT doc_i, doc_j FROM cand
+        WHERE (doc_i % {EVAL_MOD} = 0) != (doc_j % {EVAL_MOD} = 0)
+    ),
+    scored AS (
+        SELECT CASE WHEN doc_i % {EVAL_MOD} = 0 THEN doc_j ELSE doc_i END
+                   AS train_doc,
+               j.jaccard
+        FROM xc JOIN jac j USING (doc_i, doc_j)
+    ),
+    worst AS (
+        SELECT train_doc, MAX(jaccard) AS mj FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id, ROUND(COALESCE(w.mj, 0), 6) AS max_eval_jaccard
+    FROM documents d LEFT JOIN worst w ON d.doc_id = w.train_doc
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+      AND COALESCE(w.mj, 0) < {FUZZY_CONTAM_TAU}
+    """,
+)
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.dedup import (
+        family_shingles,
+        lsh_bands,
+        minhash_signatures,
+        pair_jaccard,
+    )
+    from bert_etl_spark.operators.registry import persist_once
+
+    capped = family_shingles(spark, sf_dir)
+    bands = persist_once(lsh_bands(minhash_signatures(capped)))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eb = bands.filter(is_eval).select(
+        F.col("doc_id").alias("e_doc"), "band", "h"
+    )
+    tb = bands.filter(~is_eval).select(
+        F.col("doc_id").alias("t_doc"), "band", "h"
+    )
+    cand = persist_once(
+        tb.join(F.broadcast(eb), ["band", "h"])
+        .select("e_doc", "t_doc")
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("e_doc").alias("doc_id"))
+        .unionByName(cand.select(F.col("t_doc").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = persist_once(
+        capped.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    )
+    jac = pair_jaccard(sh_cand, max_doc_freq=None)
+    oriented = cand.select(
+        "t_doc",
+        F.least("e_doc", "t_doc").alias("doc_i"),
+        F.greatest("e_doc", "t_doc").alias("doc_j"),
+    )
+    worst = (
+        oriented.join(jac, ["doc_i", "doc_j"])
+        .groupBy(F.col("t_doc").alias("doc_id"))
+        .agg(F.max("jaccard").alias("mj"))
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(worst, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("mj"), F.lit(0.0)), 6).alias(
+                "max_eval_jaccard"
+            ),
+        )
+        .filter(F.coalesce(F.col("mj"), F.lit(0.0)) < FUZZY_CONTAM_TAU)
+    )
