@@ -287,3 +287,90 @@ def timeseries_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _ts_rollup_input
         GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
     """)
+
+
+CUSUM_H = 2.0  # drift alarm at h sigma of the daily deviations
+
+
+# CUSUM drift detection — the classic sequential change-point statistic
+# (manufacturing SPC, KPI drift monitors): accumulate daily deviations
+# from the series mean and alarm when the one-sided cumulative sum
+# exceeds h·σ. The textbook form is a RECURRENCE, S_i = max(0, S_{i-1} +
+# d_i) — not window-expressible as written — but it has an exact
+# prefix-form rewrite: S_i = P_i − min(0, min_{j≤i} P_j) where P is the
+# plain running sum of deviations, which IS two keyed window functions
+# (running sum + running min), shuffling once on event_type. All
+# reductions and both running aggregates use the decimal recipe over a
+# unique (event_type, day) order, so the statistic is bit-identical in
+# both engines and the h·σ comparison cannot flip — no tolerance window.
+@query(
+    "timeseries_cusum_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {sql_dsum('value')} AS v
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               {sql_dsum('v')} / COUNT(*) AS mu,
+               sqrt({sql_dsum('v * v')} / COUNT(*)
+                    - ({sql_dsum('v')} / COUNT(*))
+                    * ({sql_dsum('v')} / COUNT(*))) AS sigma
+        FROM daily GROUP BY 1
+    ),
+    p AS (
+        SELECT d.event_type, d.day,
+               CAST(SUM(CAST(d.v - m.mu AS DECIMAL(25,6)))
+                    OVER (PARTITION BY d.event_type ORDER BY d.day)
+                    AS DOUBLE) AS pf
+        FROM daily d JOIN m USING (event_type)
+    ),
+    c AS (
+        SELECT event_type, day,
+               pf - LEAST(CAST(0 AS DOUBLE),
+                          MIN(pf) OVER (PARTITION BY event_type
+                                        ORDER BY day)) AS cusum
+        FROM p
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(cusum), 6) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum > {CUSUM_H} * m.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_days
+    FROM c JOIN m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(dsum(F.col("value"), "v"))
+    n = F.count("*")
+    mu = dsum(F.col("v")) / n
+    sigma = F.sqrt(dsum(F.col("v") * F.col("v")) / n - mu * mu)
+    m = daily.groupBy("event_type").agg(
+        mu.alias("mu"), sigma.alias("sigma")
+    )
+    wsum = W.partitionBy("event_type").orderBy("day")
+    p = daily.join(F.broadcast(m), "event_type").withColumn(
+        "pf",
+        F.sum((F.col("v") - F.col("mu")).cast("decimal(25,6)"))
+        .over(wsum)
+        .cast("double"),
+    )
+    c = p.withColumn(
+        "cusum",
+        F.col("pf")
+        - F.least(F.lit(0.0), F.min("pf").over(wsum)),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.max("cusum"), 6).alias("max_cusum"),
+        F.sum(
+            F.when(F.col("cusum") > CUSUM_H * F.col("sigma"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_drift_days"),
+    )
