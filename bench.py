@@ -148,6 +148,8 @@ HEADLINE = [
     "source_schema_evolution",  # mergeSchema drift round-trip
     "privacy_k_anonymity",    # quasi-identifier linkage-risk gate
     "graph_jaccard_similarity",  # common-neighbor link prediction
+    "corpus_decontaminate_fuzzy",  # minhash-banded eval-leak removal
+    "timeseries_cusum_drift",  # prefix-form sequential change-point
 ]
 
 
