@@ -1066,3 +1066,104 @@ def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p95", 6).alias("p95_threshold"),
         )
     )
+
+
+MAXSIM_INCR_MOD = 7  # new-arrival split: doc % 7 == 0 (the dedup idiom)
+
+
+# INCREMENTAL late interaction — the production shape of the MaxSim
+# family at 100 TB: a steady-state corpus never re-ranks itself; each
+# ingest batch of NEW multi-vector documents probes the EXISTING at-rest
+# cell assignment (the checkpoint_once table sim_maxsim_ivf builds) and
+# is scored exactly against only its cell-collision candidates. This is
+# the reference's ETLState incremental contract (new items vs the
+# persisted index, never corpus x corpus — /root/reference/bert/etl/
+# __init__.py:57-80) applied to the similarity family, the same
+# batch-vs-index split dedup_minhash_incremental registers. The split is
+# deterministic (doc % 7 == 0 arrives "new") so both engines agree.
+# Costs per ingest: new-token assignment (|batch| x |C| dots), one
+# broadcast-pruned candidate join, exact rerank on candidates.
+@query(
+    "sim_maxsim_incremental",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    {_SQL_MAXSIM_SCORED},
+    assign AS (SELECT vec_id, doc, cid AS cell FROM scored
+               WHERE rn = 1 AND doc % {MAXSIM_INCR_MOD} != 0),
+    probes AS (
+        SELECT doc AS q_doc, cid AS cell
+        FROM scored WHERE rn <= {MAXSIM_IVF_PROBES}
+          AND doc % {MAXSIM_INCR_MOD} = 0
+    ),
+    cand AS (
+        SELECT DISTINCT q.q_doc, c.doc AS c_doc
+        FROM probes q JOIN assign c ON q.cell = c.cell
+    ),
+    per_tok AS (
+        SELECT q.doc AS q_doc, q.vec_id AS q_tok, c.doc AS c_doc,
+               MAX({_SQL_COS}) AS m
+        FROM d q JOIN d c ON c.doc % {MAXSIM_INCR_MOD} != 0
+        JOIN cand ON cand.q_doc = q.doc AND cand.c_doc = c.doc
+        WHERE q.doc % {MAXSIM_INCR_MOD} = 0
+        GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT q_doc, c_doc, ROUND({sql_dsum('m')}, 6) AS maxsim
+        FROM per_tok GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT q_doc, c_doc, maxsim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+                    ORDER BY maxsim DESC, c_doc) AS INTEGER) AS rn
+        FROM scores
+    ) WHERE rn <= {MAXSIM_K}
+    """,
+)
+def sim_maxsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the session-shared at-rest table, filtered to the standing corpus
+    assign = _maxsim_assign(spark, sf_dir)
+    is_new = F.col("doc") % MAXSIM_INCR_MOD == 0
+    corpus_assign = assign.filter(~is_new)
+
+    # new arrivals: assign their tokens (|batch| x |C| dots) and probe
+    cent = _maxsim_centroids(spark, sf_dir)
+    prep = _prepared(spark, sf_dir).withColumn(
+        "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
+    )
+    new_toks = prep.filter(is_new)
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    probes = (
+        new_toks.crossJoin(F.broadcast(cent))
+        .withColumn("_dot", dot(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAXSIM_IVF_PROBES)
+        .select(F.col("doc").alias("q_doc"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        corpus_assign.join(F.broadcast(probes), "cell")
+        .select("q_doc", F.col("doc").alias("c_doc"))
+        .distinct()
+    )
+    qs = new_toks.select(
+        F.col("doc").alias("q_doc"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    per_tok = (
+        corpus_assign.withColumnRenamed("doc", "c_doc")
+        .join(F.broadcast(cand), "c_doc")
+        .join(F.broadcast(qs), "q_doc")
+        .groupBy("q_doc", "q_tok", "c_doc")
+        .agg(F.max(cos).alias("m"))
+    )
+    scores = per_tok.groupBy("q_doc", "c_doc").agg(
+        F.round(dsum("m"), 6).alias("maxsim")
+    )
+    w2 = W.partitionBy("q_doc").orderBy(F.desc("maxsim"), "c_doc")
+    return (
+        scores.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= MAXSIM_K)
+        .select("q_doc", "c_doc", "maxsim", "rn")
+    )
