@@ -150,6 +150,7 @@ HEADLINE = [
     "graph_jaccard_similarity",  # common-neighbor link prediction
     "corpus_decontaminate_fuzzy",  # minhash-banded eval-leak removal
     "timeseries_cusum_drift",  # prefix-form sequential change-point
+    "sim_maxsim_incremental",  # new-arrival probe of the at-rest index
 ]
 
 

@@ -1151,9 +1151,15 @@ def sim_maxsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    # cand is O(batch x corpus collision rate) — NOT broadcastable in
+    # general (a 1/7 arrival split at the 100x replica yields tens of
+    # millions of pairs and a hinted broadcast stalls the ingest); leave
+    # the join strategy to AQE, which broadcasts small batches and
+    # shuffles doc-clustered for large ones. The query-token side IS
+    # bounded (batch tokens) and stays broadcast.
     per_tok = (
         corpus_assign.withColumnRenamed("doc", "c_doc")
-        .join(F.broadcast(cand), "c_doc")
+        .join(cand, "c_doc")
         .join(F.broadcast(qs), "q_doc")
         .groupBy("q_doc", "q_tok", "c_doc")
         .agg(F.max(cos).alias("m"))
