@@ -428,14 +428,31 @@ DHASH_OCCUPANCY_CONF = "spark.bert_etl.dhash.targetOccupancy"
 
 
 def _occupancy_ratio(target_occupancy: float) -> tuple[int, int]:
-    """The occupancy knob as an EXACT integer ratio (numer, denom). Both
-    engines derive the band width from ceil(N * denom / numer) in pure
-    integer arithmetic — float only names the knob, it never enters the
-    lockstep computation."""
-    numer, denom = float(target_occupancy).as_integer_ratio()
-    if numer <= 0:
+    """The occupancy knob as a SMALL exact integer ratio (numer, denom).
+    Both engines derive the band width from ceil(N * denom / numer) in
+    pure integer arithmetic — float only names the knob, it never enters
+    the lockstep computation.
+
+    The ratio is bounded via Fraction.limit_denominator(10**6) rather than
+    raw float.as_integer_ratio(): a non-dyadic knob like 3.3 is really
+    3.3000000000000000444... in binary, whose exact ratio has a ~2^50
+    denominator — Python's big ints shrug, but the oracle's
+    ``COUNT(*) * denom`` overflows DuckDB's BIGINT and the engines desync
+    on a perfectly legal knob value (round-9 advice). The 10^6 bound
+    recovers the intended ratio exactly for every knob anyone writes
+    (3.3 → 33/10; dyadic sub-unit knobs like 2^-12 stay exact) while
+    keeping COUNT(*) * denom inside 64 bits up to ~9e12 docs — far past
+    the 1e10-doc 100 TB profile. A knob below 1e-6 clamps to 1/10^6
+    (occupancy that small is already degenerate: one doc per million
+    buckets)."""
+    from fractions import Fraction
+
+    if not (float(target_occupancy) > 0):
         return 1, 1
-    return numer, denom
+    frac = Fraction(float(target_occupancy)).limit_denominator(10**6)
+    if frac.numerator == 0:
+        return 1, 10**6
+    return frac.numerator, frac.denominator
 
 
 def dhash_band_bits(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+
 # logical schema of events.parquet; the physical type of ``ts`` varies by
 # writer (ns / µs-NTZ / µs-UTC) and is sniffed per directory — see
 # _ts_physical_type. {ts} is filled in with the sniffed declaration.
@@ -312,19 +314,9 @@ def _ledger_buckets(spark: SparkSession) -> int:
 
 def read_ledger_bucket_marker(spark: SparkSession, ledger_dir: str) -> int | None:
     """The ``_n_buckets`` marker stamped at ledger creation, or None for a
-    ledger that predates it / doesn't exist yet."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_n_buckets")
-    fs = p.getFileSystem(hconf)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return int(txt.strip())
+    ledger that doesn't exist yet. Corrupt markers raise with the path and
+    content (markers.read_int_marker) instead of a bare int() error."""
+    return read_int_marker(spark, f"{ledger_dir}/_n_buckets")
 
 
 def validate_ledger_buckets(spark: SparkSession, ledger_dir: str) -> int:
@@ -338,20 +330,30 @@ def validate_ledger_buckets(spark: SparkSession, ledger_dir: str) -> int:
     epochs sit under the old one — the path-enumerated probe then misses
     true band collisions and cross-epoch pairs are silently lost. So the
     count is stamped into the ledger at creation (``_n_buckets`` marker
-    file) and every batch validates the conf against it, FAILING LOUDLY
-    on mismatch (round-8 advice). Returns the marker value (stamping it
-    first if the ledger is new)."""
+    file, written atomically via markers.write_int_marker) and every batch
+    validates the conf against it, FAILING LOUDLY on mismatch (round-8
+    advice). Returns the marker value (stamping it first if the ledger is
+    NEW — a marker-less ledger that already holds committed epochs is a
+    pre-marker layout whose original modulus this session cannot know, so
+    stamping the current conf onto it would lock in exactly the
+    mis-pruning the marker prevents; that case refuses and requires an
+    explicit migration, round-9 advice)."""
     conf_n = _ledger_buckets(spark)
     marker = read_ledger_bucket_marker(spark, ledger_dir)
     if marker is None:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_n_buckets")
-        stream = p.getFileSystem(hconf).create(p, True)
-        try:
-            stream.write(bytearray(str(conf_n).encode("utf-8")))
-        finally:
-            stream.close()
+        prior = committed_prior_epochs(spark, ledger_dir, 2**62)
+        if prior:
+            raise ValueError(
+                f"ledger at {ledger_dir} holds committed epochs "
+                f"{prior[:5]}{'...' if len(prior) > 5 else ''} but no "
+                "_n_buckets marker — it predates the marker, and its "
+                "original bucket modulus cannot be inferred from the "
+                "current conf. Migrate explicitly: verify the modulus the "
+                "ledger was written with (the bkt= dirs run 0..n-1) and "
+                "stamp it with markers.write_int_marker, or rebuild the "
+                "ledger"
+            )
+        write_int_marker(spark, f"{ledger_dir}/_n_buckets", conf_n)
         return conf_n
     if marker != conf_n:
         raise ValueError(
@@ -715,14 +717,18 @@ def lsh_band_ledger_stream(
     its first epoch and its bands are already in the ledger, so
     re-processing it would turn the out_dir union into a multiset. With
     the drop, the union of per-epoch emissions equals the batch candidate
-    set EXACTLY even under re-delivery. The drop requires ALL bands to
+    set EXACTLY under IDENTICAL re-delivery — the exactness claim is
+    scoped to byte-identical replays. The drop requires ALL bands to
     self-match, not any one: a doc_id re-arriving with *edited* text is a
     near-dup of its own prior version, and LSH's premise is precisely
     that near-dups collide on SOME bands — such an arrival is treated as
     a new document version (bands appended, pairs against other docs
-    emitted; the degenerate pair against its own doc_id is not). doc_id
-    plus content is the identity, mirroring the reference's
-    content-derived calc_identity.
+    emitted; the degenerate pair against its own doc_id is not). A new
+    VERSION can therefore legitimately re-emit a (doc, other) pair that an
+    earlier epoch already emitted for the prior version: out_dir readers
+    that want set semantics across epochs must DISTINCT (doc_i, doc_j)
+    over their read range. doc_id plus content is the identity, mirroring
+    the reference's content-derived calc_identity.
 
     Signatures are computed over the batch's RAW shingles (no df-cap): the
     corpus-wide document frequency is unknowable inside one micro-batch,

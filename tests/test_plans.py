@@ -531,6 +531,79 @@ def test_iterated_graph_loops_have_zero_per_round_shuffles(spark):
     assert len(pr) < PAGERANK_ITERS, pr
 
 
+def test_graph_loops_fall_back_past_broadcast_node_limit(spark):
+    """The O(|V|) loop-state broadcasts (PageRank contributions, LPA
+    labels, Jaccard degrees) must be SIZE-CONDITIONAL: with the conf'd
+    node limit at 0 (and the planner's own threshold disabled, so nothing
+    re-broadcasts behind the hint's back) every loop round must plan as a
+    shuffle join — a forced F.broadcast here is the OOM class at real
+    node counts, because the hint overrides autoBroadcastJoinThreshold."""
+    from bert_etl_spark.operators.advanced import GRAPH_BROADCAST_LIMIT_CONF
+
+    saved = {
+        GRAPH_BROADCAST_LIMIT_CONF: spark.conf.get(
+            GRAPH_BROADCAST_LIMIT_CONF, None
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+    }
+    spark.conf.set(GRAPH_BROADCAST_LIMIT_CONF, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in (
+            "graph_label_propagation",
+            "graph_pagerank_k_iters",
+            "graph_jaccard_similarity",
+        ):
+            plan = _plan(spark, name)
+            assert "BroadcastHashJoin" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_graph_loops_broadcast_below_limit(spark):
+    """Below the (default, large) limit the measured-right broadcast plan
+    is unchanged — the conditional must not cost the fixture-scale plan
+    its zero-per-round-exchange property."""
+    from bert_etl_spark.operators.advanced import LPA_ITERS
+
+    plan = _plan(spark, "graph_label_propagation")
+    assert plan.count("BroadcastHashJoin") >= LPA_ITERS
+
+
+def test_kcore_fallback_path_matches_broadcast_path(spark):
+    """graph_kcore materializes each peel (localCheckpoint), so its final
+    plan hides the per-round joins — pin the fallback by RESULT equality:
+    the shuffle-join path must produce the identical core."""
+    from bert_etl_spark.operators.advanced import GRAPH_BROADCAST_LIMIT_CONF
+
+    def rows():
+        df = registry.ALL_QUERIES["graph_kcore"](spark, SF)
+        return sorted((r["node"], r["core_degree"]) for r in df.collect())
+
+    base = rows()
+    saved = spark.conf.get(GRAPH_BROADCAST_LIMIT_CONF, None)
+    spark.conf.set(GRAPH_BROADCAST_LIMIT_CONF, "0")
+    try:
+        assert rows() == base and len(base) > 0
+    finally:
+        if saved is None:
+            spark.conf.unset(GRAPH_BROADCAST_LIMIT_CONF)
+        else:
+            spark.conf.set(GRAPH_BROADCAST_LIMIT_CONF, saved)
+
+
 def test_profile_correlations_single_pass(spark):
     """The whole correlation matrix must come from ONE scan + ONE
     partial-agg aggregation — an implementation that scans per pair (or

@@ -1032,3 +1032,57 @@ def test_ledger_bucket_marker_blocks_modulus_drift(spark, tmp_path):
             events._ledger_buckets(spark)
     finally:
         spark.conf.unset(events.LEDGER_BUCKETS_CONF)
+
+
+def test_marker_write_is_atomic_and_read_errors_are_clear(spark, tmp_path):
+    """The layout-marker helpers (round-9 advice): writes go temp+rename
+    (no half-written marker can survive a crash at the final path), and a
+    corrupt marker raises an explanatory error instead of a raw int()
+    ValueError."""
+    import pytest
+
+    from bert_etl_spark.functions import markers
+
+    path = str(tmp_path / "idx" / "_n_buckets")
+    assert markers.read_int_marker(spark, path) is None
+    markers.write_int_marker(spark, path, 16)
+    assert markers.read_int_marker(spark, path) == 16
+    # overwrite (prior-crash leftovers) still lands atomically
+    markers.write_int_marker(spark, path, 32)
+    assert markers.read_int_marker(spark, path) == 32
+    # no temp residue
+    assert not (tmp_path / "idx" / "_n_buckets._tmp").exists()
+    # a corrupt (e.g. truncated) marker explains itself
+    (tmp_path / "idx" / "_n_buckets").write_text("")
+    with pytest.raises(ValueError, match="corrupted|rebuild"):
+        markers.read_int_marker(spark, path)
+
+
+def test_markerless_ledger_with_committed_epochs_refuses_stamp(
+    spark, tmp_path
+):
+    """A pre-marker ledger that already holds committed epochs must NOT be
+    silently stamped with the CURRENT conf (round-9 advice): if the conf
+    drifted across the upgrade, stamping locks the mis-pruning in
+    permanently. validate_ledger_buckets refuses and names the migration."""
+    import pytest
+
+    from bert_etl_spark.streaming import events
+
+    ledger = tmp_path / "ledger"
+    # fabricate a committed pre-marker epoch partition
+    epoch = ledger / "epoch=0" / "bkt=3"
+    epoch.mkdir(parents=True)
+    (ledger / "epoch=0" / "_SUCCESS").touch()
+    with pytest.raises(ValueError, match="[Mm]igrate"):
+        events.validate_ledger_buckets(spark, str(ledger))
+    # a genuinely NEW ledger still gets stamped with the conf
+    fresh = tmp_path / "fresh"
+    assert (
+        events.validate_ledger_buckets(spark, str(fresh))
+        == events.LEDGER_BUCKETS_DEFAULT
+    )
+    assert (
+        events.read_ledger_bucket_marker(spark, str(fresh))
+        == events.LEDGER_BUCKETS_DEFAULT
+    )
