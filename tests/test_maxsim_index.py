@@ -1,0 +1,129 @@
+"""The durable MaxSim cell-assignment index (spark.bert_etl.maxsim.indexDir).
+
+Round-10 ask #2: the at-rest assignment must be a partitionBy(cell) parquet
+table that (a) survives the session that built it, (b) lets probes prune to
+the probed cells at PATH enumeration (the LSH-ledger idiom), and (c) yields
+bit-identical query results to the session-lifetime localCheckpoint path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bert_etl_spark.operators import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def index_conf(spark, tmp_path):
+    """Point the MaxSim index at a per-test dir; restore afterwards."""
+    from bert_etl_spark.operators.similarity import MAXSIM_INDEX_DIR_CONF
+
+    idx = str(tmp_path / "maxsim_index")
+    spark.conf.set(MAXSIM_INDEX_DIR_CONF, idx)
+    try:
+        yield idx
+    finally:
+        spark.conf.unset(MAXSIM_INDEX_DIR_CONF)
+
+
+def _rows(spark, name):
+    df = registry.ALL_QUERIES[name](spark, SF)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mtimes(idx: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(idx):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_index_matches_session_path_and_is_not_rebuilt(spark, index_conf):
+    """Results through the parquet index must equal the localCheckpoint
+    path's bit-for-bit, the layout must be partitionBy(cell) with the
+    quantizer marker stamped, and a second query must READ the standing
+    table, not rewrite it (the whole point of at-rest)."""
+    from bert_etl_spark.operators.similarity import (
+        MAXSIM_IVF_CENTROIDS,
+        _MAXSIM_MARKER,
+    )
+    from bert_etl_spark.functions.markers import read_int_marker
+
+    # baseline: session-lifetime path (conf momentarily unset)
+    from bert_etl_spark.operators.similarity import MAXSIM_INDEX_DIR_CONF
+
+    spark.conf.unset(MAXSIM_INDEX_DIR_CONF)
+    base_ivf = _rows(spark, "sim_maxsim_ivf")
+    base_incr = _rows(spark, "sim_maxsim_incremental")
+    spark.conf.set(MAXSIM_INDEX_DIR_CONF, index_conf)
+
+    assert _rows(spark, "sim_maxsim_ivf") == base_ivf
+    # layout: cell= partition dirs + atomic marker
+    cells = [d for d in os.listdir(index_conf) if d.startswith("cell=")]
+    assert len(cells) > 1
+    assert (
+        read_int_marker(spark, f"{index_conf}/{_MAXSIM_MARKER}")
+        == MAXSIM_IVF_CENTROIDS
+    )
+    # second query (and the incremental sibling) reads, never rebuilds
+    before = _mtimes(index_conf)
+    assert _rows(spark, "sim_maxsim_ivf") == base_ivf
+    assert _rows(spark, "sim_maxsim_incremental") == base_incr
+    assert _mtimes(index_conf) == before
+
+
+def test_index_probe_prunes_to_probed_cell_paths(spark, index_conf):
+    """Candidate generation through the index must enumerate ONLY the
+    probed cell=/ dirs (inputFiles ⊆ probed cells) and carry the cell
+    predicate as a PartitionFilter — the ledger_probe contract."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.operators import similarity as sim
+
+    # force the build
+    assign = sim._maxsim_assign(spark, SF)
+    all_cells = sorted(
+        r["cell"] for r in assign.select("cell").distinct().collect()
+    )
+    probed = all_cells[:2]
+    pruned = sim._maxsim_cells_scan(spark, SF, assign, probed)
+    files = pruned.inputFiles()
+    assert files, "pruned scan must read the at-rest table"
+    for f in files:
+        assert any(f"cell={c}/" in f or f"cell={c}%2F" in f for c in probed), f
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and the full query's plan carries a cell PartitionFilter too
+    df = registry.ALL_QUERIES["sim_maxsim_ivf"](spark, SF)
+    qplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in qplan.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
+    ) or "cell#" in "".join(
+        seg.split("]")[0]
+        for seg in qplan.split("PartitionFilters:")[1:]
+    )
+
+
+def test_index_quantizer_marker_mismatch_fails_loudly(spark, index_conf):
+    """The quantizer size is a persistent layout property: a standing
+    index stamped under a different centroid count must refuse to serve
+    (the ledger's _n_buckets contract), never silently mis-assign."""
+    from bert_etl_spark.functions.markers import write_int_marker
+    from bert_etl_spark.operators import similarity as sim
+
+    sim._maxsim_assign(spark, SF)  # builds + stamps
+    write_int_marker(
+        spark, f"{index_conf}/{sim._MAXSIM_MARKER}", 999
+    )
+    with pytest.raises(ValueError, match="centroid"):
+        sim._maxsim_assign(spark, SF)
