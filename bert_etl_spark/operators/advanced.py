@@ -570,11 +570,27 @@ MIN_SUPPORT = 2
 GRAPH_LINEITEM_TABLE_CONF = "spark.bert_etl.graph.lineitemTable"
 
 
+def _enable_bucketed_sort_metadata(spark: SparkSession) -> None:
+    """Turn on ``spark.sql.legacy.bucketedTableScan.outputOrdering`` —
+    required for the zero-sort bucketed self-join. SESSION-SCOPE WARNING
+    (documented, round-9 advice): the flag changes plan shape for EVERY
+    bucketed-table scan in the session — sort metadata is trusted (only
+    valid with one file per bucket, which bucketize_lineitem guarantees
+    for ITS table) and scan parallelism narrows to the bucket count. It
+    is therefore set only at the two explicit opt-in moments
+    (bucketize_lineitem / register_bucketed_lineitem), never silently
+    inside the read path."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+
+
 def bucketize_lineitem(
     spark: SparkSession,
     sf_dir: str,
     table: str = "li_copurchase_bucketed",
     n_buckets: int = 32,
+    location: str | None = None,
 ) -> str:
     """ONE-TIME at-rest prep for the graph family: write the (l_orderkey,
     l_partkey) lineitem projection as a table bucketed AND sorted by
@@ -583,37 +599,77 @@ def bucketize_lineitem(
     needs neither exchange nor sort — 100× replica: 90.8 s vs 214.6 s
     from plain parquet (2.4×), write cost ~12 s.
 
-    Caveats, deliberately the caller's choices:
-    - reading sort metadata requires
-      ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (set by
-      copurchase_edges only when it takes this path) and exactly one file
-      per bucket (the repartition below guarantees it) — with many files
-      per bucket Spark must re-sort anyway and the flag only narrows scan
-      parallelism to the bucket count;
-    - table metadata lives in the session catalog; production deployments
-      use a persistent metastore (or re-register with CREATE TABLE ...
-      CLUSTERED BY ... LOCATION) so the one-time write amortizes across
-      sessions.
+    ``location`` makes the table EXTERNAL at that path: the bucketed
+    files outlive the catalog entry, and a LATER session recovers the
+    whole fast path with ``register_bucketed_lineitem(spark, location)``
+    — no re-write, no hand-run DDL (round-10 session-survival ask).
+    Without it the table is managed in the session catalog (warehouse
+    dir) and a new JVM must rebuild or know the warehouse path.
+
+    Calling this opts the session into
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (see
+    _enable_bucketed_sort_metadata for the session-scope warning): sort
+    metadata is only safe with exactly one file per bucket, which the
+    repartition below guarantees — with many files per bucket Spark must
+    re-sort anyway and the flag would only narrow scan parallelism.
     """
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    (
+    writer = (
         li.repartition(n_buckets, "l_orderkey")
         .write.bucketBy(n_buckets, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
-        .saveAsTable(table)
     )
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(table)
+    _enable_bucketed_sort_metadata(spark)
+    return table
+
+
+def register_bucketed_lineitem(
+    spark: SparkSession,
+    location: str,
+    table: str = "li_copurchase_bucketed",
+    n_buckets: int = 32,
+) -> str:
+    """Re-register a bucketed lineitem table written by an EARLIER session
+    (``bucketize_lineitem(..., location=...)``) into THIS session's
+    catalog, recovering the zero-exchange zero-sort edge build without
+    re-running the write.
+
+    The in-memory catalog dies with the JVM but the bucketed FILES don't:
+    Spark encodes the bucket id in each file name, so a CREATE TABLE with
+    the identical CLUSTERED BY/SORTED BY spec over the same LOCATION
+    reads them as bucketed+sorted again. The bucket count must match the
+    layout on disk — it is part of the files' identity, exactly like the
+    ledger's ``_n_buckets`` (a mismatched registration would mis-route
+    every bucket probe), so pass the count the table was written with.
+
+    Also points ``spark.bert_etl.graph.lineitemTable`` at the table and
+    opts into the sort-metadata flag — one call restores the whole
+    opt-in. Production deployments with a persistent metastore skip this
+    entirely: saveAsTable's metadata survives there.
+    """
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} "
+        "(l_orderkey BIGINT, l_partkey BIGINT) USING PARQUET "
+        f"CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) "
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+    _enable_bucketed_sort_metadata(spark)
+    spark.conf.set(GRAPH_LINEITEM_TABLE_CONF, table)
     return table
 
 
 def _lineitem_for_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The edge build's input: the bucketed at-rest table when configured
-    (zero-exchange, zero-sort self-join), else the plain parquet scan."""
+    (zero-exchange, zero-sort self-join; the sort-metadata flag was set
+    at the bucketize/register opt-in moment, not here), else the plain
+    parquet scan."""
     table = spark.conf.get(GRAPH_LINEITEM_TABLE_CONF, None)
     if table:
-        spark.conf.set(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-        )
         return spark.table(table).select("l_orderkey", "l_partkey")
     return tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
 
