@@ -825,6 +825,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEDGE_DEGREE_CAP = 12  # hub-exclusion threshold for the capped wedge join
+
+
+# Degree-CAPPED triangle counting — the 100 TB skew lever the wedge-join
+# docstrings name (and profile_key_skew measures) made a first-class,
+# oracle-checked operator (round-9 verdict ask #5). The wedge join's
+# fan-out is Σ_v deg(v)² — ONE celebrity hub with degree 10^6 contributes
+# 10^12 wedge rows from a single join key, the classic straggler/OOM task
+# at real co-occurrence scale. Hub EXCLUSION bounds it: drop every node
+# whose degree exceeds the cap, count triangles on the induced subgraph,
+# and report how many hubs were excluded so the consumer knows what the
+# number omits (hub-incident triangles are dominated by promiscuous
+# co-occurrence — pathological for similarity semantics — which is why
+# hub exclusion, not salting, is the standard cut for ANALYTIC wedge
+# counts; salting would keep exact counts but still pay the full fan-out
+# volume). Per-center fan-out is then ≤ cap², independent of the data's
+# skew tail: the bound a planner can size tasks against. Same oriented
+# (degree, id) wedge shape as graph_triangle_count, same shared memoized
+# edge build; the orientation uses the ORIGINAL degrees (kept nodes'
+# degrees are ≤ cap by construction, so the bound holds either way and
+# the subgraph needs no second degree pass).
+@query(
+    "graph_triangle_count_capped",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE_EDGES},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    kept AS (SELECT node, d FROM deg WHERE d <= {WEDGE_DEGREE_CAP}),
+    ecap AS (
+        SELECT e.u, e.v FROM edges e
+        JOIN kept a ON e.u = a.node JOIN kept b ON e.v = b.node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_d
+        FROM ecap e
+        JOIN kept du ON du.node = e.u
+        JOIN kept dv ON dv.node = e.v
+    ),
+    wedges AS (
+        SELECT o1.dst AS w1, o2.dst AS w2
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src
+        WHERE (o1.dst_d, o1.dst) < (o2.dst_d, o2.dst)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n FROM wedges w
+        JOIN oriented o ON o.src = w.w1 AND o.dst = w.w2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg WHERE d > {WEDGE_DEGREE_CAP})
+                AS BIGINT) AS n_hubs_excluded,
+           CAST((SELECT COUNT(*) FROM ecap) AS BIGINT) AS n_edges_kept,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    bc = _node_hint(edges)  # degree/keep tables are O(|V|)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    deg = persist_once(deg)
+    kept = deg.filter(F.col("d") <= WEDGE_DEGREE_CAP)
+    n_hubs = deg.filter(F.col("d") > WEDGE_DEGREE_CAP).agg(
+        F.count("*").alias("n_hubs_excluded")
+    )
+    ecap = persist_once(
+        edges.join(bc(kept.select(F.col("node").alias("u"))), "u", "left_semi")
+        .join(bc(kept.select(F.col("node").alias("v"))), "v", "left_semi")
+        .select("u", "v")
+    )
+    lower = F.struct(F.col("du.d"), F.col("u")) < F.struct(F.col("dv.d"), F.col("v"))
+    oriented = persist_once(
+        ecap.join(bc(kept.alias("du")), F.col("du.node") == F.col("u"))
+        .join(bc(kept.alias("dv")), F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
+        )
+    )
+    wedges = (
+        oriented.alias("o1")
+        .join(oriented.alias("o2"), "src")
+        .filter(
+            F.struct(F.col("o1.dst_d"), F.col("o1.dst"))
+            < F.struct(F.col("o2.dst_d"), F.col("o2.dst"))
+        )
+        .select(F.col("o1.dst").alias("w1"), F.col("o2.dst").alias("w2"))
+    )
+    closed = wedges.join(
+        oriented.alias("o"),
+        (F.col("o.src") == F.col("w1")) & (F.col("o.dst") == F.col("w2")),
+        "left",
+    )
+    return (
+        n_hubs.crossJoin(ecap.agg(F.count("*").alias("n_edges_kept")))
+        .crossJoin(
+            closed.agg(
+                F.count("*").alias("n_wedges"),
+                F.count(F.col("o.src")).alias("n_triangles"),
+            )
+        )
+    )
+
+
 # One damped power-iteration step of PageRank from the uniform vector over
 # the (undirected → symmetrized) co-purchase graph. Every iteration of the
 # full algorithm is this exact shape — contributions r(u)/deg(u) flow along

@@ -616,6 +616,34 @@ def test_profile_correlations_single_pass(spark):
     assert "partial_count" in plan or "partial" in plan
 
 
+def test_zorder_write_is_one_range_shuffle_no_window(spark):
+    """The production z-order write path must be ONE repartitionByRange
+    exchange on the z-value plus a LOCAL (non-global) sort — never the
+    audit's exact global ntile (two full-sort windows). The cheap path is
+    the whole point of registering the sibling."""
+    from bert_etl_spark.operators.aggregations import zorder_write_frame
+
+    df = zorder_write_frame(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(zval" in plan, plan
+    assert "Window" not in plan
+    # the only full-row exchange is the range repartition (the spans agg
+    # exchanges one 4-column row for the broadcast)
+    import re
+
+    range_ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange rangepartitioning" in line
+    ]
+    assert len(range_ex) == 1, plan
+    # any Sort present is local (global=false) — the write-side row-group
+    # ordering, not a global sort
+    for line in plan.splitlines():
+        if re.search(r"\bSort \[", line):
+            assert "false, 0" in line or "global=false" in line.lower(), line
+
+
 def test_bloom_prefilter_all_broadcast(spark):
     """The bloom position set and the passed-key list are both bounded
     (O(bits) and O(dim keys)): every join in the plan must be broadcast —
