@@ -758,9 +758,19 @@ _SQL_MAXSIM_SCORED = f"""
 
 def _maxsim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic coarse-quantizer table: the first
-    MAXSIM_IVF_CENTROIDS corpus vectors (same idiom as sim_ivf; at real
-    scale these would be k-means-trained and versioned with the index).
-    The vec_id < N predicate reaches the parquet scan."""
+    MAXSIM_IVF_CENTROIDS corpus vectors. The vec_id < N predicate reaches
+    the parquet scan.
+
+    First-N was A/B-tested against TRAINED centroids (deterministic
+    k-means-lite: 3 Lloyd rounds, argmax-dot assignment, 6-dp decimal
+    means — tools/centroid_ab.py) at EQUAL probe budget P=1 and REJECTED
+    with numbers (round-10): recall@5 first-N vs trained = 0.9333 vs
+    0.9333 at sf0.01, 0.9333 vs 0.8667 at sf0.1 (trained LOSES — balanced
+    cells break up the collision clusters recall rides on in a
+    near-uniform cloud), 1.0000 vs 1.0000 at the 100x replica, with
+    training costing 131 s at 100x and candidate-set sizes within ±1%.
+    On embeddings with real cluster structure the trade can reverse —
+    revisit with the same harness if the corpus changes."""
     return _prepared(spark, sf_dir).filter(
         F.col("vec_id") < MAXSIM_IVF_CENTROIDS
     ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
@@ -1264,6 +1274,19 @@ def sim_maxsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _maxsim_assign(spark, sf_dir)
     is_new = F.col("doc") % MAXSIM_INCR_MOD == 0
     corpus_assign = assign.filter(~is_new)
+    if _maxsim_index_dir(spark):
+        # durable-index reads arrive as ~1 scan split per 128 MB (64 small
+        # cell files coalesce to 1-2 partitions locally), which serializes
+        # the rerank's O(batch x candidates x G^2) cosine work on one core
+        # — measured: the at-rest incremental ran >13 min at the 100x
+        # replica before this spread (registry.spread's documented
+        # purpose: the shuffled payload is the token table, negligible
+        # next to the compute it unlocks; post-fix number in SCALING.md).
+        # The session-lifetime checkpoint keeps its 32 blocks and needs
+        # none of this.
+        from bert_etl_spark.operators.registry import spread
+
+        corpus_assign = spread(corpus_assign)
 
     # new arrivals: assign their tokens (|batch| x |C| dots) and probe
     cent = _maxsim_centroids(spark, sf_dir)
