@@ -801,15 +801,24 @@ ZORDER_BUCKETS = 16   # file-sized range buckets over the z curve
 
 _Z_SCALE = (1 << ZORDER_BITS) - 1  # normalize each key to 0..255
 
-# Horner fold over the interleaved bits of the RANGE-NORMALIZED keys.
-# Normalization matters: raw keys with unequal ranges (suppkey uses ~7
-# bits where partkey uses ~11) leave the curve dominated by the wider
-# key's high bits — measured sk_share 1.0, i.e. a degenerate partkey
-# sort. Scaling both to the same 8-bit budget restores the curve.
-_Z_EXPR_SPARK = f"""aggregate(sequence(0, {ZORDER_BITS - 1}), CAST(0 AS BIGINT),
-    (acc, i) -> acc * 4
-        + ((spk div CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2) * 2
-        + (ssk div CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2)"""
+# Interleave of the RANGE-NORMALIZED keys' bits. Normalization matters:
+# raw keys with unequal ranges (suppkey uses ~7 bits where partkey uses
+# ~11) leave the curve dominated by the wider key's high bits — measured
+# sk_share 1.0, i.e. a degenerate partkey sort. Scaling both to the same
+# 8-bit budget restores the curve.
+#
+# Spark side is the UNROLLED constant-literal sum, not a higher-order
+# aggregate-over-sequence fold: HOFs run on the interpreted expression
+# path outside whole-stage codegen, and the fold measured ~10 s for the
+# 600k-row sf0.1 zval pass ALONE (round 10) — the unrolled integer
+# arithmetic codegens and drops that to sub-second. Value-identical to
+# the oracle's Horner fold: acc*4 + 2*spk_bit + ssk_bit over descending
+# bits == Σ_b 4^b · (2·bit_b(spk) + bit_b(ssk)).
+_Z_EXPR_SPARK = " + ".join(
+    f"((spk div {1 << b}) % 2) * {2 * (4 ** b)}"
+    f" + ((ssk div {1 << b}) % 2) * {4 ** b}"
+    for b in range(ZORDER_BITS)
+)
 
 _Z_EXPR_SQL = f"""list_reduce(list_transform(range({ZORDER_BITS}),
     i -> 2 * ((spk // CAST(pow(2, {ZORDER_BITS - 1} - i) AS BIGINT)) % 2)
