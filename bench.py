@@ -154,6 +154,7 @@ HEADLINE = [
     # round-10 family representatives
     "layout_zorder_write",    # production z-order path: one range shuffle
     "graph_triangle_count_capped",  # degree-capped wedge join (hub exclusion)
+    "sim_lsh_index_probe",    # standing sign-LSH bucket index, probed
 ]
 
 

@@ -114,6 +114,54 @@ def test_index_probe_prunes_to_probed_cell_paths(spark, index_conf):
     )
 
 
+def test_lsh_index_probe_durable_path(spark, tmp_path):
+    """The sign-LSH analog of the MaxSim index: durable bucket table at
+    rest → identical results to the session path, probes read ONLY the
+    queries' bucket= dirs with a real PartitionFilter, rereads don't
+    rebuild, and a plane-count marker mismatch refuses loudly."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.functions.markers import (
+        read_int_marker,
+        write_int_marker,
+    )
+    from bert_etl_spark.operators import similarity as sim
+
+    base = _rows(spark, "sim_lsh_index_probe")  # session path
+    idx = str(tmp_path / "lsh_index")
+    spark.conf.set(sim.SIMLSH_INDEX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "sim_lsh_index_probe") == base and base
+        assert (
+            read_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}")
+            == sim.N_PLANES
+        )
+        before = _mtimes(idx)
+        assert _rows(spark, "sim_lsh_index_probe") == base
+        assert _mtimes(idx) == before
+        # probe prunes by path: only the queries' buckets are read
+        table = sim._lsh_bucket_table(spark, SF)
+        some = sorted(
+            r["bucket"]
+            for r in table.select("bucket").distinct().limit(2).collect()
+        )
+        pruned = sim._lsh_buckets_scan(spark, table, some)
+        files = pruned.inputFiles()
+        assert files
+        for f in files:
+            assert any(f"bucket={b}/" in f for b in some), f
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # marker mismatch refuses
+        write_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}", 99)
+        with pytest.raises(ValueError, match="plane"):
+            sim._lsh_bucket_table(spark, SF)
+    finally:
+        spark.conf.unset(sim.SIMLSH_INDEX_DIR_CONF)
+
+
 def test_index_quantizer_marker_mismatch_fails_loudly(spark, index_conf):
     """The quantizer size is a persistent layout property: a standing
     index stamped under a different centroid count must refuse to serve
