@@ -155,6 +155,7 @@ HEADLINE = [
     "layout_zorder_write",    # production z-order path: one range shuffle
     "graph_triangle_count_capped",  # degree-capped wedge join (hub exclusion)
     "sim_lsh_index_probe",    # standing sign-LSH bucket index, probed
+    "profile_salt_advisor",   # skew audit -> exact per-key salt plan
 ]
 
 

@@ -541,3 +541,76 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_mean_key"
         ),
     )
+
+
+SALT_TARGET_PARTITIONS = 32  # the task budget the advisor sizes against
+
+
+# Salt ADVISOR — the actionable output of the skew audit: for the
+# intended shuffle key, which keys overflow one average task's row
+# budget, and the exact salt factor that brings each back under it.
+# budget = ceil(total / SALT_TARGET_PARTITIONS) (one average reducer's
+# share); a key with n > budget lands a single reducer with n rows no
+# matter how many partitions exist — the straggler/OOM task — and needs
+# salts = ceil(n / budget) sub-keys so its worst task carries
+# ceil(n / salts) <= budget rows. Integer ceil-divs only, so both engines
+# agree bit-for-bit. Demonstrated on orders.o_orderpriority — the classic
+# low-cardinality join key where EVERY key needs salting (5 keys, 32-way
+# cluster: the advisor is how join_skew_salted's salt factor should be
+# chosen instead of guessed). One partial-agg pass + one tiny agg; at
+# 100 TB this is a driver-side advisory read before planning the join,
+# the profile_key_skew companion (functions/skew.py fixes what it
+# measures).
+@query(
+    "profile_salt_advisor",
+    oracle=f"""
+    WITH k AS (
+        SELECT o_orderpriority AS key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM k
+    ),
+    b AS (
+        SELECT (total + {SALT_TARGET_PARTITIONS} - 1)
+               // {SALT_TARGET_PARTITIONS} AS budget
+        FROM t
+    )
+    SELECT key, n AS n_rows,
+           CAST(budget AS BIGINT) AS task_budget,
+           CAST((n + budget - 1) // budget AS BIGINT) AS recommended_salts,
+           CAST((n + ((n + budget - 1) // budget) - 1)
+                // ((n + budget - 1) // budget) AS BIGINT)
+               AS rows_per_task_after
+    FROM k CROSS JOIN b
+    WHERE n > budget
+    """,
+)
+def profile_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    b = k.agg(
+        F.expr(
+            f"CAST((sum(n) + {SALT_TARGET_PARTITIONS} - 1) "
+            f"div {SALT_TARGET_PARTITIONS} AS BIGINT)"
+        ).alias("budget")
+    )
+    salts = F.expr("(n + budget - 1) div budget")
+    return (
+        k.crossJoin(F.broadcast(b))
+        .filter(F.col("n") > F.col("budget"))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("budget").cast("bigint").alias("task_budget"),
+            salts.cast("bigint").alias("recommended_salts"),
+            F.expr(
+                "(n + ((n + budget - 1) div budget) - 1)"
+                " div ((n + budget - 1) div budget)"
+            )
+            .cast("bigint")
+            .alias("rows_per_task_after"),
+        )
+    )
