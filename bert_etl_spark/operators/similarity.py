@@ -997,9 +997,30 @@ def _maxsim_assign_at_rest(
             .mode("overwrite")
             .parquet(index_dir)
         )
+        # the quantizer is PART OF the index artifact: later ingests must
+        # assign with the codebook the table was built under, and the
+        # standing corpus isn't guaranteed to still contain the centroid
+        # vectors (an arrival batch may BE docs 0..k). The underscore
+        # prefix hides the subdir from the root table scan.
+        _write_codebook(spark, sf_dir, index_dir)
         write_int_marker(spark, marker_path, MAXSIM_IVF_CENTROIDS)
     return _index_columns(
         spark.read.option("basePath", index_dir).parquet(index_dir)
+    )
+
+
+def _write_codebook(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Freeze the coarse quantizer into the index dir (``_codebook``
+    parquet: cid, ce) — the artifact ingest assigns against."""
+    _maxsim_centroids(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/_codebook")
+
+
+def read_codebook(spark: SparkSession, index_dir: str) -> list:
+    """The frozen codebook rows (cid, ce), ordered by cid."""
+    return (
+        spark.read.parquet(f"{index_dir}/_codebook").orderBy("cid").collect()
     )
 
 
@@ -1362,6 +1383,83 @@ def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p95", 6).alias("p95_threshold"),
         )
     )
+
+
+def maxsim_index_ingest(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> int:
+    """Ingest a batch of NEW multi-vector documents into the standing
+    durable MaxSim index: assign each token vector to its cell with the
+    quantizer THE INDEX ITSELF carries (the ``_codebook`` artifact frozen
+    at build time — the standing corpus need not still contain the
+    centroid vectors, and a side-channel codebook could drift),
+    drop token ids already present (anti-join on the index's slim vec_id
+    column: at-least-once producers re-deliver, the reference's ETLState
+    contract is new-items-vs-persisted-index, never blind append), and
+    APPEND the survivors into the cell= partition dirs. Returns the
+    number of token rows ingested.
+
+    ``batch``: (vec_id, embedding array<float|double>) — the raw arrival
+    shape. The marker is validated (and the quantizer loaded) through the
+    normal read path, so a mismatched standing index refuses before any
+    write. Growth math at 100 TB: an append touches only the partitions
+    its batch's cells hash to; probes keep pruning by path; the exact
+    rerank reads the grown table the same way. Compaction of many small
+    per-ingest files is sink_compaction's job, orthogonal here.
+    """
+    from bert_etl_spark.functions.markers import read_int_marker
+
+    marker = read_int_marker(spark, f"{index_dir}/{_MAXSIM_MARKER}")
+    if marker is None:
+        raise ValueError(
+            f"no standing MaxSim index at {index_dir} — build it first "
+            "(set spark.bert_etl.maxsim.indexDir and run any MaxSim "
+            "query, or call _maxsim_assign)"
+        )
+    if marker != MAXSIM_IVF_CENTROIDS:
+        raise ValueError(
+            f"MaxSim index at {index_dir} was built with {marker} "
+            f"centroids but this build quantizes into "
+            f"{MAXSIM_IVF_CENTROIDS} — rebuild or point at a fresh dir"
+        )
+    table = _index_columns(
+        spark.read.option("basePath", index_dir).parquet(index_dir)
+    )
+    cent_rows = read_codebook(spark, index_dir)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r.ce]) for r in cent_rows]
+    )
+    prep = batch.select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", l2_norm(F.col("e"))).withColumn(
+        "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
+    )
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda ce, i: F.struct(
+                dot(F.col("e"), ce).alias("d"), (-i).alias("ncid")
+            ),
+        )
+    )
+    assigned = prep.select(
+        "vec_id", "doc", "e", "nrm", (-best["ncid"]).alias("cell")
+    )
+    fresh = assigned.join(
+        table.select("vec_id"), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+        )
+        (
+            fresh.repartition(min(n_parts, MAXSIM_IVF_CENTROIDS), "cell")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(index_dir)
+        )
+    return n
 
 
 MAXSIM_INCR_MOD = 7  # new-arrival split: doc % 7 == 0 (the dedup idiom)

@@ -162,6 +162,80 @@ def test_lsh_index_probe_durable_path(spark, tmp_path):
         spark.conf.unset(sim.SIMLSH_INDEX_DIR_CONF)
 
 
+def test_maxsim_index_ingest_appends_dedupes_and_matches_rebuild(
+    spark, tmp_path
+):
+    """The production ingest loop: build the index on the STANDING corpus
+    (doc % 7 != 0), ingest the 'new arrivals' (doc % 7 == 0) as a raw
+    (vec_id, embedding) batch, and the grown index must (a) equal a
+    fresh full-corpus build row-for-row, (b) ignore a re-delivered batch
+    entirely (ETLState new-vs-index semantics), (c) refuse to ingest into
+    a missing or quantizer-mismatched index."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.operators import registry as reg
+    from bert_etl_spark.operators import similarity as sim
+
+    emb = reg.tbl(spark, SF, "embeddings")
+    is_new = (F.col("vec_id") / sim.MAXSIM_GROUP).cast("long") % 7 == 0
+    standing = emb.filter(~is_new)
+    arrivals = emb.filter(is_new).select("vec_id", "embedding")
+
+    # standing-corpus index: write the assignment for the standing rows
+    idx = str(tmp_path / "grow_index")
+    spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, idx)
+    try:
+        # build from the full corpus path but restricted: simplest honest
+        # standing build = full build, then subtract arrivals' rows by
+        # rebuilding from scratch — instead build full index in a SEPARATE
+        # dir as the rebuild reference, and the standing index by
+        # filtering the full assignment before write
+        full = sim._maxsim_assign_plan(spark, SF)
+        standing_assign = full.filter(
+            F.col("doc") % 7 != 0
+        )
+        (
+            standing_assign.repartition(4, "cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(idx)
+        )
+        from bert_etl_spark.functions.markers import write_int_marker
+
+        sim._write_codebook(spark, SF, idx)
+        write_int_marker(
+            spark, f"{idx}/{sim._MAXSIM_MARKER}", sim.MAXSIM_IVF_CENTROIDS
+        )
+
+        n = sim.maxsim_index_ingest(spark, arrivals, idx)
+        assert n == arrivals.count() and n > 0
+        # (a) grown index == fresh full build (order-insensitive)
+        grown = sorted(
+            (r.vec_id, r.doc, r.cell)
+            for r in spark.read.option("basePath", idx)
+            .parquet(idx)
+            .select("vec_id", "doc", "cell")
+            .collect()
+        )
+        want = sorted(
+            (r.vec_id, r.doc, r.cell)
+            for r in full.select("vec_id", "doc", "cell").collect()
+        )
+        assert grown == want
+        # (b) re-delivery is a no-op
+        assert sim.maxsim_index_ingest(spark, arrivals, idx) == 0
+        # (c) refusal paths
+        with pytest.raises(ValueError, match="no standing"):
+            sim.maxsim_index_ingest(
+                spark, arrivals, str(tmp_path / "nowhere")
+            )
+        write_int_marker(spark, f"{idx}/{sim._MAXSIM_MARKER}", 7)
+        with pytest.raises(ValueError, match="centroid"):
+            sim.maxsim_index_ingest(spark, arrivals, idx)
+    finally:
+        spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
+
+
 def test_index_quantizer_marker_mismatch_fails_loudly(spark, index_conf):
     """The quantizer size is a persistent layout property: a standing
     index stamped under a different centroid count must refuse to serve
