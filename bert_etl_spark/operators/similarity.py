@@ -1462,6 +1462,40 @@ def maxsim_index_ingest(
     return n
 
 
+def maxsim_index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Always-on ingest of arriving multi-vector documents into the
+    standing durable MaxSim index: ``readStream`` of (vec_id, embedding)
+    → foreachBatch → maxsim_index_ingest per micro-batch. The streaming
+    sibling of the LSH band ledger (streaming/events.py) for the
+    similarity family.
+
+    Exactly-once WITHOUT epoch bookkeeping: foreachBatch is
+    at-least-once, but ingest's anti-join against the index's vec_id
+    column makes a replayed or re-delivered batch a measured NO-OP (the
+    test pins it), so the sink is idempotent by construction — the same
+    property the ledger buys with epoch=<id> overwrite partitions, here
+    free because the index is keyed by content id rather than
+    accumulating per-epoch emissions. Returns the StreamingQuery; callers
+    await it (availableNow trigger: drain-and-stop, the batch-parity
+    harness shape).
+    """
+    spark = stream.sparkSession
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        maxsim_index_ingest(spark, batch_df, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 MAXSIM_INCR_MOD = 7  # new-arrival split: doc % 7 == 0 (the dedup idiom)
 
 

@@ -236,6 +236,66 @@ def test_maxsim_index_ingest_appends_dedupes_and_matches_rebuild(
         spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
 
 
+def test_maxsim_index_stream_ingests_to_rebuild_parity(spark, tmp_path):
+    """Streaming ingest (foreachBatch → maxsim_index_ingest) over multiple
+    micro-batches must grow the standing index to exact rebuild parity,
+    and a REPLAYED source (fresh checkpoint, same files — the
+    at-least-once worst case) must add zero rows."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.functions.markers import write_int_marker
+    from bert_etl_spark.operators import registry as reg
+    from bert_etl_spark.operators import similarity as sim
+
+    emb = reg.tbl(spark, SF, "embeddings")
+    is_new = (F.col("vec_id") / sim.MAXSIM_GROUP).cast("long") % 7 == 0
+    arrivals = emb.filter(is_new).select("vec_id", "embedding")
+    src = str(tmp_path / "arrivals")
+    # several files → several micro-batches under maxFilesPerTrigger=1
+    arrivals.repartition(3).write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "stream_index")
+    full = sim._maxsim_assign_plan(spark, SF)
+    (
+        full.filter(F.col("doc") % 7 != 0)
+        .repartition(4, "cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(idx)
+    )
+    sim._write_codebook(spark, SF, idx)
+    write_int_marker(
+        spark, f"{idx}/{sim._MAXSIM_MARKER}", sim.MAXSIM_IVF_CENTROIDS
+    )
+
+    def _drain(ckpt: str):
+        stream = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sim.maxsim_index_stream(stream, idx, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    _drain("ckpt1")
+    grown = sorted(
+        (r.vec_id, r.doc, r.cell)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .select("vec_id", "doc", "cell")
+        .collect()
+    )
+    want = sorted(
+        (r.vec_id, r.doc, r.cell)
+        for r in full.select("vec_id", "doc", "cell").collect()
+    )
+    assert grown == want
+    # full replay from a fresh checkpoint: idempotent, zero growth
+    _drain("ckpt2")
+    again = spark.read.option("basePath", idx).parquet(idx).count()
+    assert again == len(want)
+
+
 def test_index_quantizer_marker_mismatch_fails_loudly(spark, index_conf):
     """The quantizer size is a persistent layout property: a standing
     index stamped under a different centroid count must refuse to serve
