@@ -91,6 +91,28 @@ def test_dhash_band_width_scales_with_corpus_size():
     assert dhash_band_bits(500_000, 2.0) == 18
 
 
+def test_occupancy_ratio_bounded_for_non_dyadic_knobs():
+    """Round-9 advice: a non-dyadic knob (3.3) must yield a SMALL exact
+    ratio (33/10), not float.as_integer_ratio()'s ~2^50 denominator that
+    overflows the oracle's COUNT(*) * denom in DuckDB BIGINT. Dyadic
+    sub-unit knobs (2^-12, used by the adaptive-width test) stay exact;
+    degenerate knobs clamp safely."""
+    from bert_etl_spark.operators.multimodal import (
+        _occupancy_ratio,
+        dhash_band_bits,
+    )
+
+    assert _occupancy_ratio(4.0) == (4, 1)
+    assert _occupancy_ratio(3.3) == (33, 10)
+    assert _occupancy_ratio(1.0 / 4096) == (1, 4096)
+    n, d = _occupancy_ratio(1e-9)  # below the bound: clamps, never 0/1
+    assert n >= 1 and d <= 10**6
+    assert _occupancy_ratio(0.0) == (1, 1)
+    assert _occupancy_ratio(-2.0) == (1, 1)
+    # the downstream integer derivation stays sane at 100 TB scale
+    assert 16 <= dhash_band_bits(10**10, 3.3) <= 63
+
+
 def test_dhash_adaptive_width_matches_duckdb_oracle(spark):
     """Run the WHOLE pipeline with the adaptive width genuinely ENGAGED
     (occupancy forced tiny so w > the 16-bit floor on a small corpus) and
