@@ -1462,6 +1462,66 @@ def maxsim_index_ingest(
     return n
 
 
+def maxsim_index_compact(spark: SparkSession, index_dir: str) -> int:
+    """Compact a grown MaxSim index (per-ingest appends leave one file
+    per touched cell per batch) back to one file per cell, preserving the
+    partitionBy(cell) layout — the index-aware counterpart of
+    sources.sinks.compact_dataset (which would flatten the partitioning
+    the probes prune on). Returns the compacted row count.
+
+    CRASH-SAFE by marker choreography, leaning on the index being
+    DERIVED data: (1) the compacted table is written to a sibling tmp
+    dir; (2) the ``_n_centroids`` marker is DELETED — from this moment a
+    crash leaves a marker-less dir, which readers treat as "no index →
+    rebuild" (never a partial table served as whole); (3) old cell dirs
+    are swapped for the compacted ones; (4) the marker is re-stamped
+    atomically. The ledger's compaction needs epoch bookkeeping because
+    its content is unreproducible history; here the rebuild IS the
+    recovery path, so the protocol stays four steps.
+    """
+    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+
+    marker_path = f"{index_dir}/{_MAXSIM_MARKER}"
+    marker = read_int_marker(spark, marker_path)
+    if marker is None:
+        raise ValueError(
+            f"no standing MaxSim index at {index_dir} — nothing to compact"
+        )
+    table = _index_columns(
+        spark.read.option("basePath", index_dir).parquet(index_dir)
+    )
+    tmp = f"{index_dir}_compact_tmp"
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    (
+        table.repartition(min(n_parts, MAXSIM_IVF_CENTROIDS), "cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    fs = _p(index_dir).getFileSystem(hconf)
+    fs.delete(_p(marker_path), False)  # readers now see "rebuild needed"
+    st = fs.globStatus(_p(f"{index_dir}/cell=*"))
+    for s in st or []:
+        fs.delete(s.getPath(), True)
+    for s in fs.globStatus(_p(f"{tmp}/cell=*")) or []:
+        dst = _p(f"{index_dir}/{s.getPath().getName()}")
+        if not fs.rename(s.getPath(), dst):
+            raise IOError(f"compaction swap failed moving {s.getPath()}")
+    fs.delete(_p(tmp), True)
+    write_int_marker(spark, marker_path, marker)
+    return int(n_rows)
+
+
 def maxsim_index_stream(
     stream: DataFrame,
     index_dir: str,

@@ -296,6 +296,52 @@ def test_maxsim_index_stream_ingests_to_rebuild_parity(spark, tmp_path):
     assert again == len(want)
 
 
+def test_maxsim_index_compact_preserves_layout_and_results(
+    spark, index_conf
+):
+    """After streaming/batch ingests fragment the cell dirs, compaction
+    must restore one file per cell, keep the partition layout and marker,
+    and leave query results bit-identical."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators import registry as reg
+    from bert_etl_spark.operators import similarity as sim
+
+    _rows(spark, "sim_maxsim_ivf")  # builds the index under conf
+    # fragment: ingest a disjoint batch (shifted vec_ids so the anti-join
+    # keeps them) to add files to existing cells
+    emb = reg.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert sim.maxsim_index_ingest(spark, emb.limit(64), index_conf) > 0
+    # the post-ingest results are the compaction baseline: the ingested
+    # docs are real corpus members now and may legitimately rank
+    base = _rows(spark, "sim_maxsim_ivf")
+    frag = max(
+        len(_glob.glob(f"{d}/*.parquet"))
+        for d in _glob.glob(f"{index_conf}/cell=*")
+    )
+    assert frag > 1  # non-vacuous: at least one cell dir is fragmented
+    total = (
+        spark.read.option("basePath", index_conf)
+        .parquet(index_conf)
+        .count()
+    )
+    assert sim.maxsim_index_compact(spark, index_conf) == total
+    for d in _glob.glob(f"{index_conf}/cell=*"):
+        assert len(_glob.glob(f"{d}/*.parquet")) == 1, d
+    assert (
+        read_int_marker(spark, f"{index_conf}/{sim._MAXSIM_MARKER}")
+        == sim.MAXSIM_IVF_CENTROIDS
+    )
+    assert not _glob.glob(f"{index_conf}_compact_tmp")
+    # compaction is a pure layout rewrite: results bit-identical
+    assert _rows(spark, "sim_maxsim_ivf") == base
+
+
 def test_index_quantizer_marker_mismatch_fails_loudly(spark, index_conf):
     """The quantizer size is a persistent layout property: a standing
     index stamped under a different centroid count must refuse to serve
