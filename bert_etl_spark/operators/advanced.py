@@ -997,10 +997,37 @@ GRAPH_EAGER_CONF = "spark.bert_etl.graph.eagerEdgePartition"
 
 # Row-count ceiling for broadcasting O(|V|) loop-state tables (PageRank's
 # contribution vector, LPA's labels, k-core's keep set, Jaccard's degrees).
-# Above it the loops fall back to plain shuffle joins; -1 disables the
-# broadcast path entirely (the autoBroadcastJoinThreshold convention).
+# Above it the loops fall back to plain shuffle joins; -1 (or 0) disables
+# the broadcast path entirely (the autoBroadcastJoinThreshold convention);
+# "auto" picks by DEPLOYMENT: on a local[*] master the shuffle fallback,
+# elsewhere the default limit. The round-10 A/B (forward AND reversed,
+# 100x replica, SCALING.md) measured the fallback FASTER warm at local[32]
+# — pagerank 5.3 vs 7.3 s, LPA 5.3 vs 15.3 s — because an in-process
+# shuffle is nearly free while the forced hint pays a serial driver
+# broadcast-build per round; on a real cluster the broadcast saves k
+# per-round network exchanges, so "auto" maps master → arm. The DEFAULT
+# stays the broadcast limit (cluster-safe; plan tests pin both arms) —
+# local users set "auto" or 0 to get the measured-faster arm, per
+# README's conf table.
 GRAPH_BROADCAST_LIMIT_CONF = "spark.bert_etl.graph.broadcastNodeLimit"
 GRAPH_BROADCAST_LIMIT_DEFAULT = 50_000_000
+
+
+def _resolve_broadcast_limit(master: str, raw: str | None) -> int:
+    """The effective node-broadcast limit for ``master`` given the conf's
+    raw value: "auto" → 0 on local masters (shuffle fallback — the
+    measured-faster warm arm in-process) and the default limit otherwise;
+    an integer string → itself; unset/garbage → the default. Pure so the
+    deployment flip is unit-testable without a non-local master."""
+    if raw is None:
+        return GRAPH_BROADCAST_LIMIT_DEFAULT
+    v = raw.strip().lower()
+    if v == "auto":
+        return 0 if master.startswith("local") else GRAPH_BROADCAST_LIMIT_DEFAULT
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return GRAPH_BROADCAST_LIMIT_DEFAULT
 
 
 def _node_hint(edges: DataFrame):
@@ -1033,13 +1060,12 @@ def _node_hint(edges: DataFrame):
     """
     spark = edges.sparkSession
     try:
-        limit = int(
-            spark.conf.get(
-                GRAPH_BROADCAST_LIMIT_CONF, str(GRAPH_BROADCAST_LIMIT_DEFAULT)
-            )
-        )
-    except (TypeError, ValueError):
-        limit = GRAPH_BROADCAST_LIMIT_DEFAULT
+        raw = spark.conf.get(GRAPH_BROADCAST_LIMIT_CONF, None)
+    except Exception:
+        raw = None
+    limit = _resolve_broadcast_limit(spark.sparkContext.master or "", raw)
+    if limit <= 0:  # disabled (or auto-on-local): skip the count entirely
+        return lambda df: df
     if 2 * edges.count() <= limit:
         return F.broadcast
     return lambda df: df

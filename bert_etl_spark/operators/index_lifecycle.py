@@ -265,6 +265,33 @@ def compact_index(
     return int(n_rows)
 
 
+def pruned_scan(
+    spark: SparkSession, index_dir: str, part_col: str, values: list[int]
+):
+    """Probe-side scan of the durable index restricted to ``values`` of the
+    partition column: path-enumerate exactly the probed ``part=`` dirs (ONE
+    FS glob — the ledger_probe idiom, so listing and scan are O(probed
+    partitions), not O(index)) and keep the predicate as a real filter so
+    it shows as PartitionFilters and a mis-enumerated path can never leak
+    rows. Returns None when there is nothing to prune to (no values, or no
+    matching dirs) — callers fall back to their unpruned table."""
+    from pyspark.sql import functions as F
+
+    if not values:
+        return None
+    fs, p = _fs(spark, index_dir)
+    pat = "{" + ",".join(str(v) for v in sorted(set(values))) + "}"
+    st = fs.globStatus(p(f"{index_dir}/{part_col}={pat}"))
+    dirs = [] if st is None else [s.getPath().toString() for s in st]
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", index_dir)
+        .parquet(*dirs)
+        .filter(F.col(part_col).isin(values))
+    )
+
+
 def index_file_stats(
     spark: SparkSession, index_dir: str, part_col: str
 ) -> DataFrame:

@@ -468,6 +468,55 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ADVISOR-driven salted join (round-10 verdict ask #4): join_skew_salted
+# guesses a uniform bucket constant; here the per-key salt factors come
+# from the MEASURED key histogram (functions.skew.advised_salt_plan — the
+# profile_salt_advisor computation in join-able form), so each hot key
+# gets exactly the parallelism the measurement says it needs and the cold
+# tail pays zero dim replication. Demonstrated on orders.o_orderpriority —
+# the advisor's own demo key, where all 5 keys exceed one average task's
+# budget. The oracle is the PLAIN join: salting must be result-invisible.
+# Skewed-replica measurement (advised vs uniform vs unsalted) lives in
+# tools/r11_measurements.py `salt`; numbers in SCALING.md round 11.
+@query(
+    "join_salted_advised",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority AS pri,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS urgency
+        FROM orders
+    )
+    SELECT d.pri AS o_orderpriority, d.urgency,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice / d.urgency')} AS weighted_volume
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.pri
+    GROUP BY 1, 2
+    """,
+)
+def join_salted_advised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.skew import (
+        advised_salt_plan,
+        advised_salted_join,
+    )
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "urgency", F.substring("o_orderpriority", 1, 1).cast("int")
+        )
+    )
+    plan = advised_salt_plan(orders, "o_orderpriority", 32)
+    joined = advised_salted_join(orders, dim, "o_orderpriority", plan)
+    return joined.groupBy("o_orderpriority", "urgency").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum(F.col("o_totalprice") / F.col("urgency"), "weighted_volume"),
+    )
+
+
 ASOF_TOLERANCE_MS = 3_600_000  # 1 hour
 
 

@@ -382,3 +382,129 @@ def test_index_file_stats_reports_fragmentation(spark, tmp_path):
         assert sum(r["n_rows"] for r in after) == total_rows
     finally:
         spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
+
+
+# ---------------------------------------------------------------------------
+# durable single-vector IVF index (round-11 ask #2)
+# ---------------------------------------------------------------------------
+
+
+def _mtimes(idx: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(idx):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_ivf_index_matches_session_path_and_prunes(spark, tmp_path):
+    """sim_ivf through the durable index: identical results to the
+    session path, partitionBy(cell) layout + marker + frozen codebook,
+    rereads never rebuild, probes path-prune with a real PartitionFilter,
+    and a quantizer-marker mismatch refuses loudly."""
+    base = _rows(spark, "sim_ivf")  # session path
+    idx = str(tmp_path / "ivf_index")
+    spark.conf.set(sim.IVF_INDEX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "sim_ivf") == base and base
+        assert (
+            read_int_marker(spark, f"{idx}/{sim._IVF_MARKER}")
+            == sim.N_CENTROIDS
+        )
+        assert os.path.isdir(f"{idx}/_codebook")
+        cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+        assert len(cells) > 1
+        before = _mtimes(idx)
+        assert _rows(spark, "sim_ivf") == base
+        assert _mtimes(idx) == before
+        # probe-side pruning: only the probed cell= dirs are read
+        assign = sim._ivf_assign(spark, SF)
+        some = sorted(
+            r["cell"]
+            for r in assign.select("cell").distinct().limit(2).collect()
+        )
+        pruned = sim._ivf_cells_scan(spark, assign, some)
+        files = pruned.inputFiles()
+        assert files
+        for f in files:
+            assert any(f"cell={c}/" in f for c in some), f
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # the full query's plan path-prunes too
+        df = registry.ALL_QUERIES["sim_ivf"](spark, SF)
+        qplan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters:" in qplan
+        # marker mismatch refuses
+        write_int_marker(spark, f"{idx}/{sim._IVF_MARKER}", 99)
+        with pytest.raises(ValueError, match="centroid"):
+            sim._ivf_assign(spark, SF)
+    finally:
+        spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
+
+
+def test_ivf_ingest_stream_compact_lifecycle(spark, tmp_path):
+    """The IVF index's full lifecycle: ingest of held-out vectors reaches
+    exact rebuild parity, replay is a no-op, streaming ingest drains to
+    the same table, compaction restores one file per cell and keeps
+    sim_ivf results identical."""
+    emb = registry.tbl(spark, SF, "embeddings")
+    is_new = F.col("vec_id") % 6 == 0
+    arrivals = emb.filter(is_new).select("vec_id", "embedding")
+
+    idx = str(tmp_path / "ivf_grow")
+    full = sim._ivf_assign_plan(spark, SF)
+    full.filter(~is_new).repartition(4, "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(idx)
+    sim._write_codebook(spark, SF, idx, sim._ivf_centroids(spark, SF))
+    write_int_marker(spark, f"{idx}/{sim._IVF_MARKER}", sim.N_CENTROIDS)
+
+    n = sim.ivf_index_ingest(spark, arrivals, idx)
+    assert n == arrivals.count() and n > 0
+    grown = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cell) for r in full.select("vec_id", "cell").collect()
+    )
+    assert grown == want
+    assert sim.ivf_index_ingest(spark, arrivals, idx) == 0  # replay no-op
+    with pytest.raises(ValueError, match="no standing"):
+        sim.ivf_index_ingest(spark, arrivals, str(tmp_path / "nowhere"))
+
+    # streaming sibling over a disjoint second arrival set
+    extra = emb.filter(F.col("vec_id") % 6 == 3).select(
+        (F.col("vec_id") + 4_000_000).alias("vec_id"), "embedding"
+    )
+    src = str(tmp_path / "arrivals")
+    extra.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(extra.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sim.ivf_index_stream(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    total = len(want) + extra.count()
+    assert (
+        spark.read.option("basePath", idx).parquet(idx).count() == total
+    )
+
+    # compact: one file per cell, results preserved through the probe path
+    spark.conf.set(sim.IVF_INDEX_DIR_CONF, idx)
+    try:
+        before = _rows(spark, "sim_ivf")
+        assert sim.ivf_index_compact(spark, idx) == total
+        for d in glob.glob(f"{idx}/cell=*"):
+            assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+        assert not glob.glob(f"{idx}{life.TMP_SUFFIX}")
+        assert _rows(spark, "sim_ivf") == before
+    finally:
+        spark.conf.unset(sim.IVF_INDEX_DIR_CONF)

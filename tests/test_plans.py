@@ -652,3 +652,65 @@ def test_bloom_prefilter_all_broadcast(spark):
     plan = _plan(spark, "join_bloom_prefilter")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_graph_broadcast_limit_auto_resolution():
+    """"auto" maps deployment → arm: local masters get the shuffle
+    fallback (measured faster warm at local[32] — SCALING.md round-10
+    A/B), anything else keeps the cluster-safe broadcast limit. Explicit
+    integers pass through; garbage falls back to the default."""
+    from bert_etl_spark.operators.advanced import (
+        GRAPH_BROADCAST_LIMIT_DEFAULT,
+        _resolve_broadcast_limit,
+    )
+
+    assert _resolve_broadcast_limit("local[32]", "auto") == 0
+    assert _resolve_broadcast_limit("local", "AUTO") == 0
+    assert (
+        _resolve_broadcast_limit("spark://host:7077", "auto")
+        == GRAPH_BROADCAST_LIMIT_DEFAULT
+    )
+    assert (
+        _resolve_broadcast_limit("yarn", "auto")
+        == GRAPH_BROADCAST_LIMIT_DEFAULT
+    )
+    assert (
+        _resolve_broadcast_limit("local[32]", None)
+        == GRAPH_BROADCAST_LIMIT_DEFAULT
+    )
+    assert _resolve_broadcast_limit("local[32]", "123") == 123
+    assert (
+        _resolve_broadcast_limit("local[32]", "garbage")
+        == GRAPH_BROADCAST_LIMIT_DEFAULT
+    )
+
+
+def test_graph_loops_auto_mode_plans_shuffle_on_local(spark):
+    """conf=auto on the local test master must produce the same
+    no-forced-broadcast plan as an explicit 0."""
+    from bert_etl_spark.operators.advanced import GRAPH_BROADCAST_LIMIT_CONF
+
+    saved = {
+        GRAPH_BROADCAST_LIMIT_CONF: spark.conf.get(
+            GRAPH_BROADCAST_LIMIT_CONF, None
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+    }
+    spark.conf.set(GRAPH_BROADCAST_LIMIT_CONF, "auto")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "graph_label_propagation")
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
