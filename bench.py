@@ -156,6 +156,9 @@ HEADLINE = [
     "graph_triangle_count_capped",  # degree-capped wedge join (hub exclusion)
     "sim_lsh_index_probe",    # standing sign-LSH bucket index, probed
     "profile_salt_advisor",   # skew audit -> exact per-key salt plan
+    # round-11 family representatives
+    "join_salted_advised",    # advisor-driven per-key salted join
+    "sim_index_stats",        # index occupancy over the at-rest assignment
 ]
 
 

@@ -1329,9 +1329,14 @@ def _write_codebook(
 
 
 def read_codebook(spark: SparkSession, index_dir: str) -> list:
-    """The frozen codebook rows (cid, ce), ordered by cid."""
+    """The frozen codebook rows (cid, ce), ordered by cid. The glob reads
+    the data files directly: pointing spark.read at the underscore-hidden
+    dir itself works but logs a spurious 'All paths were ignored' WARN
+    per query."""
     return (
-        spark.read.parquet(f"{index_dir}/_codebook").orderBy("cid").collect()
+        spark.read.parquet(f"{index_dir}/_codebook/*.parquet")
+        .orderBy("cid")
+        .collect()
     )
 
 

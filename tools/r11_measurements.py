@@ -98,7 +98,9 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", "false"
         )  # measure the salting itself, not AQE's rescue
-        n_fact, n_keys = 50_000_000, 100_000
+        # dim sized so uniform replication is a real cost (5M rows x32 =
+        # 160M shuffled dim rows; advised replicates hot keys only)
+        n_fact, n_keys = 50_000_000, 5_000_000
         fact = spark.range(n_fact).select(
             F.when(F.col("id") % 2 == 0, F.lit(0))
             .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
@@ -113,9 +115,12 @@ def main() -> None:
         print(f"advisor: {hot} hot keys of {n_keys}", flush=True)
 
         def timed(tag, df):
-            t0 = time.time()
-            n = df.groupBy().agg(F.sum("v"), F.sum("w")).collect()
-            print(f"{tag}: {time.time() - t0:.1f} s {n}", flush=True)
+            for i in range(2):  # second run is the warm number
+                t0 = time.time()
+                n = df.groupBy().agg(F.sum("v"), F.sum("w")).collect()
+                print(
+                    f"{tag} run{i}: {time.time() - t0:.1f} s {n}", flush=True
+                )
 
         timed("unsalted  ", fact.join(dim, "k"))
         timed("uniform x32", salted_join(fact, dim, on=["k"], buckets=32))
