@@ -159,6 +159,8 @@ HEADLINE = [
     # round-11 family representatives
     "join_salted_advised",    # advisor-driven per-key salted join
     "sim_index_stats",        # index occupancy over the at-rest assignment
+    "sim_topk_filtered",      # filtered ANN: predicate pushed below scoring
+    "streaming_maxsim_scoring",  # always-on arrival scoring vs standing index
 ]
 
 

@@ -188,6 +188,59 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTER_LABELS = (2, 5)  # the metadata predicate of the filtered-ANN demo
+
+
+# FILTERED vector search — the most common production retrieval shape:
+# top-k under a metadata predicate ("nearest docs WHERE lang='en' AND
+# license='permissive'"). PRE-filtering, not post-filtering: the predicate
+# lands in the scan (PushedFilters, plan-tested), so candidates shrink
+# BEFORE any cosine is computed and k always fills — post-filtering a
+# plain top-k under-fills k whenever fewer than k of the nearest pass the
+# predicate (the classic filtered-ANN correctness bug). At 100 TB the
+# predicate additionally prunes partitions/row groups via column stats;
+# with the selective filter applied, the scored set is |matches| x |Q|,
+# not |corpus| x |Q|.
+@query(
+    "sim_topk_filtered",
+    oracle=f"""
+    WITH {_SQL_PREP}
+    SELECT * FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.label,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rn
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+          AND c.label IN {FILTER_LABELS}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    cand = prep.filter(F.col("label").isin(*FILTER_LABELS))
+    queries_df = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.join(F.broadcast(queries_df), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 # kNN classification: majority label of the 5 nearest neighbors (ties →
 # smaller label). One broadcast pass + two tiny aggregations.
 @query(
@@ -1995,3 +2048,120 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.countDistinct("doc").alias("n_docs"),
     )
+
+
+# ALWAYS-ON late-interaction scoring — the streaming form of
+# sim_maxsim_incremental and the production deployment of the whole MaxSim
+# family: arriving multi-vector documents flow through readStream →
+# foreachBatch, and each micro-batch is assigned, probed against the
+# STANDING at-rest cell table, exactly reranked against only its
+# cell-collision candidates, and its top-k appended to a results sink.
+# Per-doc scores are independent, so the union of per-batch results equals
+# the one-shot batch query bit-for-bit — which is exactly what the oracle
+# checks (same SQL as sim_maxsim_incremental). The arrival files are
+# written doc-clustered (repartition by doc) so a micro-batch always holds
+# WHOLE documents — scoring half a query doc's tokens would silently
+# produce partial maxsim sums; at 100 TB this is the "one event = one
+# complete document" framing contract of any late-interaction ingest
+# queue (the reference's work items are whole payloads for the same
+# reason — /root/reference/bert/etl/__init__.py:57-80).
+@query(
+    "streaming_maxsim_scoring",
+    oracle=ALL_ORACLES["sim_maxsim_incremental"],
+)
+def streaming_maxsim_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    # the standing corpus side: the session-shared (or durable) assignment
+    assign = _maxsim_assign(spark, sf_dir)
+    max_vec = (
+        tbl(spark, sf_dir, "embeddings").agg(F.max("vec_id")).collect()[0][0]
+    )
+    thr = int(max_vec) // MAXSIM_GROUP - (MAXSIM_INCR_DOCS - 1)
+    is_new = F.col("doc") >= thr
+    corpus_assign = assign.filter(~is_new)
+    if _maxsim_index_dir(spark):
+        from bert_etl_spark.operators.registry import spread
+
+        corpus_assign = spread(corpus_assign)
+    cent = _maxsim_centroids(spark, sf_dir)
+
+    # arrivals land as a DOC-CLUSTERED file source: 3 files → 3
+    # micro-batches under maxFilesPerTrigger=1, each holding whole docs
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/bert_etl_maxsim_stream_{run_id}"
+    src, out_dir, ckpt = f"{base}/arrivals", f"{base}/scores", f"{base}/ckpt"
+    arrivals = (
+        tbl(spark, sf_dir, "embeddings")
+        .withColumn("doc", F.expr(f"vec_id div {MAXSIM_GROUP}"))
+        .filter(is_new)
+        .select("vec_id", "doc", "embedding")
+    )
+    arrivals.repartition(3, "doc").write.mode("overwrite").parquet(src)
+
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        prep = batch_df.select(
+            "vec_id",
+            "doc",
+            as_double(F.col("embedding")).alias("e"),
+        ).withColumn("nrm", l2_norm(F.col("e")))
+        w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+        probes = (
+            prep.crossJoin(F.broadcast(cent))
+            .withColumn("_dot", dot(F.col("e"), F.col("ce")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= MAXSIM_IVF_PROBES)
+            .select(F.col("doc").alias("q_doc"), F.col("cid").alias("cell"))
+        )
+        cand_side = _maxsim_cells_scan(
+            spark,
+            sf_dir,
+            corpus_assign,
+            _probed_cells(probes) if _maxsim_index_dir(spark) else [],
+        )
+        if cand_side is not corpus_assign:
+            cand_side = cand_side.filter(~is_new)
+        cand = (
+            cand_side.join(F.broadcast(probes), "cell")
+            .select("q_doc", F.col("doc").alias("c_doc"))
+            .distinct()
+        )
+        qs = prep.select(
+            F.col("doc").alias("q_doc"),
+            F.col("vec_id").alias("q_tok"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+        per_tok = (
+            corpus_assign.withColumnRenamed("doc", "c_doc")
+            .join(cand, "c_doc")
+            .join(F.broadcast(qs), "q_doc")
+            .groupBy("q_doc", "q_tok", "c_doc")
+            .agg(F.max(cos).alias("m"))
+        )
+        scores = per_tok.groupBy("q_doc", "c_doc").agg(
+            F.round(dsum("m"), 6).alias("maxsim")
+        )
+        w2 = W.partitionBy("q_doc").orderBy(F.desc("maxsim"), "c_doc")
+        (
+            scores.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= MAXSIM_K)
+            .select("q_doc", "c_doc", "maxsim", "rn")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -714,3 +714,18 @@ def test_graph_loops_auto_mode_plans_shuffle_on_local(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_filtered_topk_pushes_label_predicate_to_scan(spark):
+    """Filtered ANN must PRE-filter: the label predicate reaches the
+    parquet scan as a pushed filter (at 100 TB it prunes row groups
+    before any cosine), never a post-top-k filter (which under-fills k)."""
+    plan = _plan(spark, "sim_topk_filtered")
+    scans = [
+        seg.split("ReadSchema")[0]
+        for seg in plan.split("FileScan parquet")[1:]
+    ]
+    assert any(
+        "PushedFilters" in s and "In(label" in s.split("PushedFilters")[1]
+        for s in scans
+    ), plan
