@@ -161,6 +161,7 @@ HEADLINE = [
     "sim_index_stats",        # index occupancy over the at-rest assignment
     "sim_topk_filtered",      # filtered ANN: predicate pushed below scoring
     "streaming_maxsim_scoring",  # always-on arrival scoring vs standing index
+    "sim_ivf_filtered",       # cell pruning + payload predicate composed
 ]
 
 

@@ -322,21 +322,28 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_index_columns(df: DataFrame) -> DataFrame:
     return df.select(
-        "vec_id", "e", "nrm", F.col("cell").cast("int").alias("cell")
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "e",
+        "nrm",
+        F.col("cell").cast("int").alias("cell"),
     )
 
 
 def _ivf_assign_plan(
     spark: SparkSession, sf_dir: str, cent_rows: list | None = None
 ) -> DataFrame:
-    """The lazy single-vector cell assignment (vec_id, e, nrm, cell): one
-    narrow constant-folded projection over the corpus (the
+    """The lazy single-vector cell assignment (vec_id, label, e, nrm,
+    cell): one narrow constant-folded projection over the corpus (the
     _maxsim_assign_plan idiom — the crossJoin+window form it replaces
-    measured 264.6 s vs 13.8 s at the 100x replica for MaxSim)."""
+    measured 264.6 s vs 13.8 s at the 100x replica for MaxSim). ``label``
+    rides along as the index's PAYLOAD column — the thing filtered ANN
+    filters on without a corpus join (the vector-store convention of
+    storing metadata next to the vector)."""
     if cent_rows is None:
         cent_rows = _ivf_centroids(spark, sf_dir).orderBy("cid").collect()
     return _prepared(spark, sf_dir).select(
-        "vec_id", "e", "nrm", _argmax_cell(cent_rows).alias("cell")
+        "vec_id", "label", "e", "nrm", _argmax_cell(cent_rows).alias("cell")
     )
 
 
@@ -427,10 +434,21 @@ def ivf_index_ingest(
             "point at a fresh dir"
         )
     cent_rows = read_codebook(spark, index_dir)
+    # the payload column rides along when the arrival carries it; a
+    # payload-less arrival lands with a NULL label (filtered probes then
+    # simply never match it — the vector-store semantics)
+    lbl = (
+        F.col("label").cast("int")
+        if "label" in batch.columns
+        else F.lit(None).cast("int")
+    )
     assigned = (
-        batch.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        batch.select("vec_id", lbl.alias("label"), F.col("embedding"))
+        .withColumn("e", as_double(F.col("embedding")))
         .withColumn("nrm", l2_norm(F.col("e")))
-        .select("vec_id", "e", "nrm", _argmax_cell(cent_rows).alias("cell"))
+        .select(
+            "vec_id", "label", "e", "nrm", _argmax_cell(cent_rows).alias("cell")
+        )
     )
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
@@ -533,13 +551,8 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # need not still contain the centroid vectors after ingests), the
     # first-N scan otherwise
     index_dir = _ivf_index_dir(spark)
-    if index_dir:
-        rows = read_codebook(spark, index_dir)
-        cent = spark.createDataFrame(
-            [(int(r.cid), [float(x) for x in r.ce]) for r in rows],
-            "cid bigint, ce array<double>",
-        )
-    else:
+    cent = _codebook_frame(spark, index_dir) if index_dir else None
+    if cent is None:
         cent = _ivf_centroids(spark, sf_dir)
     qprep = _prepared(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
     w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
@@ -1302,6 +1315,37 @@ def _maxsim_index_dir(spark: SparkSession) -> str | None:
         return None
 
 
+def _codebook_frame(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The frozen quantizer as a (cid, ce) DataFrame, or None when the
+    index has no codebook artifact yet (cold dir mid-build)."""
+    try:
+        rows = read_codebook(spark, index_dir)
+    except Exception:
+        return None
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        [(int(r.cid), [float(x) for x in r.ce]) for r in rows],
+        "cid bigint, ce array<double>",
+    )
+
+
+def _maxsim_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantizer the PROBE stages rank against: the index's own frozen
+    ``_codebook`` when a durable index is configured (ingests may have
+    changed the corpus — the standing corpus need not still contain the
+    centroid vectors, the exact drift the codebook artifact exists to
+    prevent), the first-N corpus scan otherwise. Identical values at
+    build time, so the registered queries' results don't depend on the
+    mode."""
+    index_dir = _maxsim_index_dir(spark)
+    if index_dir:
+        cb = _codebook_frame(spark, index_dir)
+        if cb is not None:
+            return cb
+    return _maxsim_centroids(spark, sf_dir)
+
+
 def _index_columns(df: DataFrame) -> DataFrame:
     # canonical column order + types (partition-column inference appends
     # cell last and reads it as int — make both paths identical)
@@ -1550,7 +1594,7 @@ def sim_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id < Q*G is pushed to the parquet scan; 24 rows x 64 centroids)
     n_query_toks = MAXSIM_QUERY_DOCS * MAXSIM_GROUP
     prep = _prepared(spark, sf_dir).filter(F.col("vec_id") < n_query_toks)
-    cent = _maxsim_centroids(spark, sf_dir)
+    cent = _maxsim_quantizer(spark, sf_dir)
     w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
     probes = (
         prep.crossJoin(F.broadcast(cent))
@@ -1963,7 +2007,8 @@ def sim_maxsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_assign = spread(corpus_assign)
 
     # new arrivals: assign their tokens (|batch| x |C| dots) and probe
-    cent = _maxsim_centroids(spark, sf_dir)
+    # (against the index's frozen codebook when durable)
+    cent = _maxsim_quantizer(spark, sf_dir)
     prep = _prepared(spark, sf_dir).withColumn(
         "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
     )
@@ -2084,7 +2129,7 @@ def streaming_maxsim_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         from bert_etl_spark.operators.registry import spread
 
         corpus_assign = spread(corpus_assign)
-    cent = _maxsim_centroids(spark, sf_dir)
+    cent = _maxsim_quantizer(spark, sf_dir)
 
     # arrivals land as a DOC-CLUSTERED file source: 3 files → 3
     # micro-batches under maxFilesPerTrigger=1, each holding whole docs
@@ -2165,3 +2210,86 @@ def streaming_maxsim_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# FILTERED IVF — the two prunings composed, which is what filtered ANN
+# looks like at 100 TB: the probe prunes to P cell= partition dirs by PATH
+# (PartitionFilters) and the metadata predicate prunes row groups inside
+# them (PushedFilters on the index's payload column) — the predicate is
+# applied to CANDIDATES before any cosine, so k always fills and the
+# scored set is |cell matches ∩ label matches| x |Q|. This is why the
+# index stores the payload column next to the vector (the vector-store
+# convention): a post-probe corpus join to fetch labels would shuffle the
+# candidates against the corpus just to filter them.
+@query(
+    "sim_ivf_filtered",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM scored
+               WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id, v.label
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        JOIN n v ON v.vec_id = a.vec_id
+        WHERE a.vec_id != p.q_id AND v.label IN {FILTER_LABELS}
+    )
+    SELECT * FROM (
+        SELECT cand.q_id, cand.neighbor_id, cand.label,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                    ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS INTEGER) AS rn
+        FROM cand
+        JOIN n q ON q.vec_id = cand.q_id
+        JOIN n c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _ivf_assign(spark, sf_dir)
+    index_dir = _ivf_index_dir(spark)
+    cent = _codebook_frame(spark, index_dir) if index_dir else None
+    if cent is None:
+        cent = _ivf_centroids(spark, sf_dir)
+    qprep = _prepared(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    probes = (
+        qprep.crossJoin(F.broadcast(cent))
+        .withColumn("_dot", dot(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("cid").cast("int").alias("cell"),
+        )
+    )
+    cand_side = _ivf_cells_scan(
+        spark, assign, _probed_cells(probes) if index_dir else []
+    ).filter(F.col("label").isin(*FILTER_LABELS))
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand_side.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+            "rn",
+        )
+    )

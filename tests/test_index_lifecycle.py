@@ -508,3 +508,23 @@ def test_ivf_ingest_stream_compact_lifecycle(spark, tmp_path):
         assert _rows(spark, "sim_ivf") == before
     finally:
         spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
+
+
+def test_ivf_filtered_composes_partition_and_pushed_filters(spark, tmp_path):
+    """Filtered ANN on the durable index: the probe's cell pruning
+    (PartitionFilters) and the payload predicate (PushedFilters on label)
+    must BOTH reach the same scan — and results must equal the session
+    path's."""
+    base = _rows(spark, "sim_ivf_filtered")  # session path
+    idx = str(tmp_path / "ivf_filtered_idx")
+    spark.conf.set(sim.IVF_INDEX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "sim_ivf_filtered") == base and base
+        df = registry.ALL_QUERIES["sim_ivf_filtered"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters:" in plan
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in pf
+        assert "In(label" in plan.split("PushedFilters:")[1].split("]")[0]
+    finally:
+        spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
