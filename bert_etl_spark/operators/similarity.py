@@ -2209,6 +2209,12 @@ def streaming_maxsim_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the drained source and checkpoint are scratch; the scores dir stays
+    # alive behind the returned (lazy) DataFrame
+    import shutil
+
+    for scratch in (src, ckpt):
+        shutil.rmtree(scratch, ignore_errors=True)
     return spark.read.parquet(out_dir)
 
 
