@@ -1754,3 +1754,143 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res): each
+# row gets key ln(u)/w for a uniform u and weight w; the global top-n by
+# key IS an exact weighted sample without replacement. u is derived from
+# an md5 prefix of the row id, so — unlike rand()-based TABLESAMPLE — the
+# sample is reproducible across engines, runs, partitionings, and cluster
+# sizes, and the whole operator is one scan + TakeOrderedAndProject (per-
+# partition heaps of n rows; no shuffle of the corpus, no global sort).
+# The training-data use: sample documents proportionally to length/quality
+# weights for mixture construction, deterministically enough to replay.
+# Reference analog: none — the reference can only subsample by consuming
+# the whole queue (SURVEY §2A#12).
+# ---------------------------------------------------------------------------
+
+RESERVOIR_N = 40
+# 8 hex chars of md5(doc_id) → uniform in (0,1): (v+1)/(16^8+2) keeps u
+# strictly inside the open interval so ln(u) is finite and nonzero
+_U_DENOM = 16 ** 8 + 2
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / {_U_DENOM})
+                   / n_chars AS res_key
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, ROUND(res_key, 6) AS res_key
+    FROM keyed
+    ORDER BY res_key DESC, doc_id
+    LIMIT {RESERVOIR_N}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(_U_DENOM))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("res_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("res_key"), "doc_id")
+        .limit(RESERVOIR_N)
+        .select("doc_id", "source", "n_chars", F.round("res_key", 6).alias("res_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: classify every key across two table snapshots as
+# INSERT / UPDATE / DELETE via one full-outer join on the key, with a
+# row FINGERPRINT (md5 over a canonical column encoding) standing in for
+# column-by-column comparison — at 100 TB the fingerprint is computed
+# scan-side in codegen and only 16 bytes per row reach the join, however
+# wide the table; unchanged rows drop out with one hash equality. The two
+# snapshots here are deterministic transformations of orders (old misses
+# keys ≡ 0 mod 7, new misses ≡ 0 mod 5 and re-prices keys ≡ 0 mod 3),
+# standing in for two loads of the same source table. Reference analog:
+# ETLState's changed-row detection, one item at a time
+# (/root/reference/bert/etl/__init__.py:86-164).
+# ---------------------------------------------------------------------------
+
+_SQL_SNAP_OLD = """
+    SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 7 != 0
+"""
+_SQL_SNAP_NEW = """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END AS status,
+           o_totalprice AS price
+    FROM orders WHERE o_orderkey % 5 != 0
+"""
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old AS ({_SQL_SNAP_OLD}),
+    new AS ({_SQL_SNAP_NEW}),
+    oldh AS (SELECT *, md5(status || '|' ||
+             CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR)) AS fp FROM old),
+    newh AS (SELECT *, md5(status || '|' ||
+             CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR)) AS fp FROM new)
+    SELECT COALESCE(oldh.k, newh.k) AS o_orderkey,
+           CASE WHEN oldh.k IS NULL THEN 'I'
+                WHEN newh.k IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           oldh.price AS old_price, newh.price AS new_price
+    FROM oldh FULL OUTER JOIN newh ON oldh.k = newh.k
+    WHERE oldh.k IS NULL OR newh.k IS NULL OR oldh.fp != newh.fp
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("R"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    fp = F.md5(
+        F.concat_ws(
+            "|", F.col("status"), F.col("price").cast("decimal(18,2)").cast("string")
+        )
+    )
+    oldh = old.withColumn("fp", fp).alias("o")
+    newh = new.withColumn("fp", fp).alias("n")
+    return (
+        oldh.join(newh, F.col("o.k") == F.col("n.k"), "full_outer")
+        .filter(
+            F.col("o.k").isNull()
+            | F.col("n.k").isNull()
+            | (F.col("o.fp") != F.col("n.fp"))
+        )
+        .select(
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+            F.when(F.col("o.k").isNull(), "I")
+            .when(F.col("n.k").isNull(), "D")
+            .otherwise("U")
+            .alias("change_type"),
+            F.col("o.price").alias("old_price"),
+            F.col("n.price").alias("new_price"),
+        )
+    )

@@ -2299,3 +2299,94 @@ def sim_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a dense (cosine) ranking and
+# a lexical (BM25) ranking — the standard two-tower RAG retrieval shape
+# (RRF: Cormack/Clarke/Buettcher). Document doc_id carries embedding
+# vec_id = doc_id in the fixture corpus, the usual "one embedding per
+# document" layout.
+#
+# Scale shape: each leg is independently the scalable form of its family —
+# the dense leg broadcasts ONE query vector over the corpus scan (exact
+# top-pool; swap in the IVF probe for approximate at larger pools), the
+# lexical leg is the inverted-index BM25 plan (text.bm25_scores); both
+# legs end in TakeOrderedAndProject, so only 2×RRF_POOL rows reach the
+# fusion join, which is trivially broadcast. Rank fusion never touches
+# raw scores, so the two legs' score scales never need calibration —
+# the reason RRF is the production default.
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60  # the standard RRF damping constant
+RRF_POOL = 50  # per-leg candidate pool
+RRF_TOP_K = 10
+
+from bert_etl_spark.operators.text import SQL_BM25_CTES, bm25_scores  # noqa: E402
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    {SQL_BM25_CTES},
+    dense AS (
+        SELECT c.vec_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY {_SQL_COS} DESC, c.vec_id)
+                    AS INTEGER) AS dense_rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id = 0
+        QUALIFY dense_rank <= {RRF_POOL}
+    ),
+    lex AS (
+        SELECT doc_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INTEGER) AS lex_rank
+        FROM bscore
+        QUALIFY lex_rank <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(dense.id, lex.id) AS id, dense_rank, lex_rank,
+               COALESCE(1.0 / ({RRF_K0} + dense_rank), 0.0)
+                   + COALESCE(1.0 / ({RRF_K0} + lex_rank), 0.0) AS rrf
+        FROM dense FULL OUTER JOIN lex ON dense.id = lex.id
+    )
+    SELECT id, dense_rank, lex_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, id
+    LIMIT {RRF_TOP_K}
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    q0 = prep.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dense = topk_neighbors(prep, q0, RRF_POOL).select(
+        F.col("vec_id").alias("id"), F.col("rn").alias("dense_rank")
+    )
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_POOL)
+    )
+    lex = lex_top.withColumn(
+        "lex_rank", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+    ).select(F.col("doc_id").alias("id"), "lex_rank")
+    fused = (
+        dense.join(lex, "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (RRF_K0 + F.col("dense_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K0 + F.col("lex_rank")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "id")
+        .limit(RRF_TOP_K)
+        .select(
+            "id", "dense_rank", "lex_rank", F.round("rrf", 6).alias("rrf_score")
+        )
+    )

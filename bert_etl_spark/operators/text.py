@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bert_etl_spark.functions.deterministic import dsum, sql_dsum
 from bert_etl_spark.operators.dedup import shingles_df, tokenize
 from bert_etl_spark.operators.registry import persist_once, query, spread, tbl
 
@@ -1095,3 +1096,120 @@ def text_source_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the standard lexical scoring function (Robertson/
+# Sparck Jones; the tf-saturated, length-normalized upgrade of the TF-IDF
+# query above). Reference analog: none — the reference (SURVEY §2A#13)
+# could only score documents one queue item at a time in Python; here the
+# whole corpus is scored in one shuffle on token + one on doc.
+#
+# Scale shape (the inverted-index plan, not a scan-per-query):
+# - the posting list is filtered to the QUERY'S terms before any exchange,
+#   so the shuffled volume is O(docs containing a query term), not O(tokens);
+# - df/N/avgdl are term- and corpus-level scalars: vocabulary-sized and
+#   1-row broadcasts riding into the per-doc score stage;
+# - per-(doc, term) contributions reduce with an exact decimal sum (dsum),
+#   so scores — and therefore ranks — are identical across partition
+#   orders, runs, and cluster sizes;
+# - the final top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+#   heaps, no global sort), rank stamped AFTER the limit on k rows.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "vector", "spark")
+BM25_TOP_K = 15
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# per-(doc, term) BM25 contribution — ONE expression string interpolated
+# into the oracle, mirrored operation-for-operation on the Spark side so
+# the doubles agree bitwise before the decimal reduction
+_SQL_BM25_CONTRIB = (
+    f"ln((bstats.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)"
+    f" * (btf.tf * ({BM25_K1} + 1)) / "
+    f"(btf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}"
+    f" * (CAST(bdl.dl AS DOUBLE) / bstats.avgdl)))"
+)
+
+# the full scoring pipeline as oracle CTEs, shared with sim_hybrid_rrf
+SQL_BM25_CTES = f"""
+btok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+),
+bdl AS (
+    SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents
+),
+bstats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM bdl
+),
+btf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM btok
+    WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+bdf AS (SELECT token, COUNT(*) AS df FROM btf GROUP BY 1),
+bscore AS (
+    SELECT btf.doc_id, {sql_dsum(_SQL_BM25_CONTRIB)} AS bm25
+    FROM btf
+    JOIN bdf USING (token)
+    JOIN bdl ON btf.doc_id = bdl.doc_id
+    CROSS JOIN bstats
+    GROUP BY btf.doc_id
+)
+"""
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document containing >= 1 query term —
+    the Spark twin of SQL_BM25_CTES' ``bscore``."""
+    docs = tbl(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(dsum("contrib", "bm25"))
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {SQL_BM25_CTES}
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS rank
+    FROM bscore
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = bm25_scores(spark, sf_dir)
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+    w = W.orderBy(F.desc("bm25"), "doc_id")  # k rows only, post-limit
+    return top.withColumn("rank", F.row_number().over(w))
