@@ -1894,3 +1894,72 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.price").alias("new_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source bounded BFS: min-hop distance from a seed set, the
+# neighborhood-expansion primitive (contamination blast radius, related-
+# item exploration, GNN sampling fan-out). Pregel-style frontier loop on
+# the family's ONE shared edge build:
+# - each hop is: frontier ⋈ edges (frontier broadcast when it fits — the
+#   size-conditional _node_hint arm), distinct on dst, anti-join against
+#   the settled distance table; the undirected edge view is pre-hash-
+#   partitioned on dst (_und_by_dst), so the per-hop distinct reduces
+#   without an edge-sized exchange.
+# - BFS invariant: a node first reached at hop h has min-distance h, so
+#   the anti-join IS the min() — no re-relaxation (this is why BFS loops
+#   beat a general shortest-path relaxation when edges are unweighted).
+# - per-hop localCheckpoint truncates the union/anti-join lineage that
+#   would otherwise re-execute every prior frontier each hop.
+# Oracle: DuckDB recursive CTE bounded by the same hop count.
+# ---------------------------------------------------------------------------
+
+BFS_SOURCES = 3  # seed set: the BFS_SOURCES smallest node ids
+BFS_HOPS = 3
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_COPURCHASE_EDGES},
+    sym AS (
+        SELECT u, v FROM edges
+        UNION SELECT v, u FROM edges
+    ),
+    srcs AS (
+        SELECT DISTINCT u AS node FROM sym ORDER BY node LIMIT {BFS_SOURCES}
+    ),
+    walk(node, dist) AS (
+        SELECT node, 0 FROM srcs
+        UNION
+        SELECT s.v, w.dist + 1
+        FROM walk w JOIN sym s ON w.node = s.u
+        WHERE w.dist < {BFS_HOPS}
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    hint = _node_hint(edges)
+    und = _und_by_dst(edges)
+    srcs = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SOURCES)
+    )
+    dist = srcs.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, BFS_HOPS + 1):
+        nxt = (
+            und.join(hint(frontier), und["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(hint(dist.select("node")), "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(nxt)
+        frontier = nxt.select("node")
+    return dist

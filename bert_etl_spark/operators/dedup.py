@@ -1491,3 +1491,110 @@ def keep_first_dup_windows(win: DataFrame) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs similarity join via prefix filtering (AllPairs/PPJoin,
+# Bayardo et al. WWW'07) — the third candidate-generation strategy in the
+# family, complementing the df-cap (lossy: hot shingles leave the
+# representation) and MinHash-LSH (probabilistic: banding misses pairs).
+# Prefix filtering is LOSSLESS: order each document's shingles by a global
+# rarity order (ascending document frequency, shingle as tie-break); a
+# document with |x| shingles keeps only its first |x| - ceil(tau*|x|) + 1
+# as its PREFIX. If Jaccard(x,y) >= tau then |x∩y| >= ceil(tau*max(|x|,|y|))
+# and the globally-smallest common shingle provably lands in BOTH prefixes
+# — so the prefix self-join finds every qualifying pair, while boilerplate
+# (high-df) shingles sort to the END of each document and rarely enter any
+# prefix: the candidate fan-out collapses without dropping a single pair.
+#
+# Scale shape: df-annotate (one shuffle on shingle) → per-doc rank window
+# (one shuffle on doc) → prefix self-join emits only rare-token collisions
+# → verify with one array_intersect per CANDIDATE (JVM-side, O(len)), not
+# per posting pair. The length filter (tau*|x| <= |y| <= |x|/tau) prunes
+# candidates before any array moves.
+# ---------------------------------------------------------------------------
+
+ALLPAIRS_TAU = JACCARD_THRESHOLD  # same threshold as the family pair table
+
+
+@query(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    rsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                   AS shingle
+        FROM tok WHERE len(toks) >= 3
+    ),
+    rsizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY doc_id),
+    rinter AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+        FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_i, doc_j,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM rinter
+    JOIN rsizes sa ON doc_i = sa.doc_id
+    JOIN rsizes sb ON doc_j = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+          >= {ALLPAIRS_TAU}
+    """,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tau = ALLPAIRS_TAU
+    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1)
+        .select("doc_id", "shingle", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: tau*|x| <= |y| <= |x|/tau or the pair can't reach tau
+            & (F.col("b.sz") >= F.ceil(tau * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(tau * F.col("b.sz"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    arrays = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"), F.count("*").alias("sz")
+    )
+    ai = arrays.select(
+        F.col("doc_id").alias("doc_i"),
+        F.col("arr").alias("arr_i"),
+        F.col("sz").alias("sz_i"),
+    )
+    aj = arrays.select(
+        F.col("doc_id").alias("doc_j"),
+        F.col("arr").alias("arr_j"),
+        F.col("sz").alias("sz_j"),
+    )
+    n_inter = F.size(F.array_intersect("arr_i", "arr_j")).cast("double")
+    jac = n_inter / (F.col("sz_i") + F.col("sz_j") - n_inter)
+    return (
+        cand.join(ai, "doc_i")
+        .join(aj, "doc_j")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_i", "doc_j", F.round("jaccard", 6).alias("jaccard"))
+    )
