@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 BUILDING_SENTINEL = "_building"
 PENDING_SENTINEL = "_compact_pending"
 TMP_SUFFIX = "_compact_tmp"
+TOMBSTONE_DIR = "_tombstones"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -196,7 +197,10 @@ def ingest_rows(
     row survives is immaterial — round-10 advice, the 'medium' item);
     (2) ACROSS batches, an anti-join against the index's slim key column
     drops everything already present. Re-validates the layout marker
-    immediately before the append (single-writer tripwire)."""
+    immediately before the append (single-writer tripwire). The
+    across-batch anti-join is against PHYSICAL keys, so a tombstoned but
+    not-yet-compacted key cannot be resurrected by re-ingest — see
+    delete_keys for the stated semantics."""
     from pyspark.sql import functions as F
 
     from bert_etl_spark.functions.markers import read_int_marker
@@ -228,18 +232,123 @@ def ingest_rows(
     return n
 
 
+def _tombstone_files(fs, p, index_dir: str) -> list:
+    """Data files currently in the index's tombstone sub-table."""
+    td = p(f"{index_dir}/{TOMBSTONE_DIR}")
+    if not fs.exists(td):
+        return []
+    return [
+        f.getPath()
+        for f in fs.listStatus(td)
+        if not f.getPath().getName().startswith(("_", "."))
+    ]
+
+
+def tombstones(spark: SparkSession, index_dir: str):
+    """The index's tombstoned-key table (slim, one column), or None when
+    no deletes are pending. Tombstones live in a ``_tombstones`` parquet
+    sub-table next to the partition dirs (the underscore prefix hides it
+    from the main table's reader, the same convention as the markers)."""
+    fs, p = _fs(spark, index_dir)
+    files = _tombstone_files(fs, p, index_dir)
+    if not files:
+        return None
+    return spark.read.parquet(f"{index_dir}/{TOMBSTONE_DIR}")
+
+
+def apply_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame, key: str = "vec_id"
+) -> DataFrame:
+    """Mask deleted rows out of an index scan: broadcast anti-join on the
+    key against the pending tombstones (no-op when none exist). The
+    broadcast is bounded by the count of uncompacted deletes — a tombstone
+    table big enough to strain a broadcast is the signal that compaction
+    (which applies and clears tombstones physically) is overdue; see
+    index_file_stats for the trigger."""
+    from pyspark.sql import functions as F
+
+    t = tombstones(spark, index_dir)
+    if t is None:
+        return df
+    return df.join(F.broadcast(t.select(key)), key, "left_anti")
+
+
+def delete_keys(
+    spark: SparkSession,
+    index_dir: str,
+    marker_name: str,
+    expected: int,
+    keys: DataFrame,
+    key: str = "vec_id",
+) -> int:
+    """Tombstone-delete keys from the standing index. Returns the number
+    of NEW tombstones recorded.
+
+    Deletes are logical until the next compaction: the key lands in the
+    ``_tombstones`` sub-table and every reader (probes via pruned_scan,
+    full-table opens) anti-joins it out; compact_index applies tombstones
+    physically during its rewrite and clears the applied files after the
+    swap commits. Idempotence mirrors ingest_rows: duplicate keys within
+    the request collapse, keys already tombstoned are skipped, and keys
+    not physically present in the index are skipped (deleting a
+    never-ingested key records nothing). Consequence, stated explicitly:
+    re-ingesting a tombstoned-but-uncompacted key is a no-op — ingest's
+    anti-join sees the physical row and drops the arrival while the
+    tombstone keeps masking it. Compact first, then re-ingest, to
+    resurrect a deleted key. Single-writer with ingest/compact, like all
+    index maintenance (module docstring)."""
+    from bert_etl_spark.functions.markers import read_int_marker
+
+    marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
+    if marker is None:
+        raise ValueError(
+            f"no standing index at {index_dir} — nothing to delete from"
+        )
+    if marker != expected:
+        raise ValueError(
+            f"index at {index_dir} carries layout marker {marker}, "
+            f"expected {expected} — refusing to tombstone against a "
+            "different layout"
+        )
+    live = (
+        spark.read.option("basePath", index_dir).parquet(index_dir).select(key)
+    )
+    fresh = keys.select(key).dropDuplicates([key]).join(live, key, "left_semi")
+    existing = tombstones(spark, index_dir)
+    if existing is not None:
+        fresh = fresh.join(existing.select(key), key, "left_anti")
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        fresh.coalesce(1).write.mode("append").parquet(
+            f"{index_dir}/{TOMBSTONE_DIR}"
+        )
+    return n
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
     marker_name: str,
     part_col: str,
     n_parts: int,
+    key: str = "vec_id",
 ) -> int:
     """Compact a grown index (per-ingest appends leave one file per
     touched partition per batch) back to one file per partition,
     preserving the partition layout the probes prune on. Returns the
     compacted row count. Recoverable at every step once the
-    ``_compact_pending`` sentinel lands — see the module docstring."""
+    ``_compact_pending`` sentinel lands — see the module docstring.
+
+    Pending tombstones are APPLIED here: the rewrite anti-joins them out
+    (on ``key``), and the tombstone files that were read are cleared only
+    AFTER the swap commits. A crash between the swap and the clear leaves
+    tombstones whose rows are already physically gone — the reader-side
+    anti-join then masks nothing (harmless) and the next compaction
+    clears the files; recovery via finish_compaction_swap never needs to
+    know about them."""
+    from pyspark.sql import functions as F
+
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
 
     marker_path = f"{index_dir}/{marker_name}"
@@ -248,7 +357,14 @@ def compact_index(
         raise ValueError(
             f"no standing index at {index_dir} — nothing to compact"
         )
+    fs, p = _fs(spark, index_dir)
+    # snapshot the tombstone files this compaction will apply — files
+    # appended after this point (single-writer violation) are left alone
+    applied = _tombstone_files(fs, p, index_dir)
     table = spark.read.option("basePath", index_dir).parquet(index_dir)
+    if applied:
+        t = spark.read.parquet(*[f.toString() for f in applied])
+        table = table.join(F.broadcast(t.select(key)), key, "left_anti")
     tmp = f"{index_dir}{TMP_SUFFIX}"
     (
         table.repartition(n_parts, part_col)
@@ -259,21 +375,28 @@ def compact_index(
     n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
     # COMMIT POINT: tmp is complete — from here a crash is recoverable
     write_int_marker(spark, f"{index_dir}/{PENDING_SENTINEL}", marker)
-    fs, p = _fs(spark, index_dir)
     fs.delete(p(marker_path), False)  # readers now defer to the sentinel
     finish_compaction_swap(spark, index_dir, marker_name, part_col)
+    for f in applied:  # post-commit: masked rows are physically gone
+        fs.delete(f, False)
     return int(n_rows)
 
 
 def pruned_scan(
-    spark: SparkSession, index_dir: str, part_col: str, values: list[int]
+    spark: SparkSession,
+    index_dir: str,
+    part_col: str,
+    values: list[int],
+    key: str = "vec_id",
 ):
     """Probe-side scan of the durable index restricted to ``values`` of the
     partition column: path-enumerate exactly the probed ``part=`` dirs (ONE
     FS glob — the ledger_probe idiom, so listing and scan are O(probed
     partitions), not O(index)) and keep the predicate as a real filter so
     it shows as PartitionFilters and a mis-enumerated path can never leak
-    rows. Returns None when there is nothing to prune to (no values, or no
+    rows. Pending tombstones are masked out (apply_tombstones on ``key``),
+    so every probe across the index families sees deletes immediately.
+    Returns None when there is nothing to prune to (no values, or no
     matching dirs) — callers fall back to their unpruned table."""
     from pyspark.sql import functions as F
 
@@ -285,11 +408,12 @@ def pruned_scan(
     dirs = [] if st is None else [s.getPath().toString() for s in st]
     if not dirs:
         return None
-    return (
+    scan = (
         spark.read.option("basePath", index_dir)
         .parquet(*dirs)
         .filter(F.col(part_col).isin(values))
     )
+    return apply_tombstones(spark, index_dir, scan, key)
 
 
 def index_file_stats(

@@ -347,14 +347,21 @@ def _ivf_assign_plan(
     )
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assign(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
     """The at-rest IVF cell assignment: durable partitionBy(cell) parquet
-    under ``spark.bert_etl.ivf.indexDir`` (shared lifecycle: open
-    recovers/refuses, build is sentinel-guarded, the quantizer freezes
-    as ``_codebook``), else built once per session via checkpoint_once."""
-    from bert_etl_spark.operators.index_lifecycle import build_index, open_index
+    under ``index_dir`` (defaulting to ``spark.bert_etl.ivf.indexDir``;
+    shared lifecycle: open recovers/refuses, build is sentinel-guarded,
+    the quantizer freezes as ``_codebook``, pending tombstones are masked
+    out of the read), else built once per session via checkpoint_once."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        apply_tombstones,
+        build_index,
+        open_index,
+    )
 
-    index_dir = _ivf_index_dir(spark)
+    index_dir = index_dir or _ivf_index_dir(spark)
     if index_dir:
         marker = open_index(spark, index_dir, _IVF_MARKER, "cell")
         if marker is not None and marker != N_CENTROIDS:
@@ -380,8 +387,12 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, sf_dir, index_dir, _ivf_centroids(spark, sf_dir)
                 ),
             )
-        return _ivf_index_columns(
-            spark.read.option("basePath", index_dir).parquet(index_dir)
+        return apply_tombstones(
+            spark,
+            index_dir,
+            _ivf_index_columns(
+                spark.read.option("basePath", index_dir).parquet(index_dir)
+            ),
         )
     hit = checkpoint_get(spark, "ivf_assign", sf_dir)
     if hit is not None:
@@ -396,14 +407,18 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_cells_scan(
-    spark: SparkSession, assign: DataFrame, cells: list[int]
+    spark: SparkSession,
+    assign: DataFrame,
+    cells: list[int],
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Candidate side of an IVF probe restricted to ``cells``: path-pruned
-    at-rest scan with a real PartitionFilter when durable, the in-memory
-    assignment otherwise (the cell predicate rides the probe join)."""
+    at-rest scan with a real PartitionFilter when durable (tombstones
+    masked by pruned_scan), the in-memory assignment otherwise (the cell
+    predicate rides the probe join)."""
     from bert_etl_spark.operators.index_lifecycle import pruned_scan
 
-    index_dir = _ivf_index_dir(spark)
+    index_dir = index_dir or _ivf_index_dir(spark)
     if not index_dir:
         return assign
     pruned = pruned_scan(spark, index_dir, "cell", cells)
@@ -499,6 +514,86 @@ def ivf_index_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
     )
 
 
+def ivf_index_delete(
+    spark: SparkSession, keys: DataFrame, index_dir: str
+) -> int:
+    """Tombstone-delete vectors from the standing durable IVF index —
+    the lifecycle's DELETE verb (build/ingest/stream/compact existed;
+    vector stores also need removal: revoked documents, opted-out users,
+    re-embedded corpora). Logical until the next compact: probes mask the
+    keys immediately (pruned_scan anti-joins the ``_tombstones`` table),
+    ivf_index_compact applies them physically and clears them. ``keys``:
+    any frame with a vec_id column. Returns new tombstones recorded."""
+    from bert_etl_spark.operators.index_lifecycle import delete_keys
+
+    return delete_keys(spark, index_dir, _IVF_MARKER, N_CENTROIDS, keys)
+
+
+# The registered delete demo: build the durable IVF index in a session-
+# scoped scratch dir (the query must run on a VANILLA session, so it
+# cannot assume — or mutate! — the conf'd standing index that sim_ivf and
+# the bench share), tombstone a deterministic key set, and re-run the
+# exact sim_ivf probe over the masked index. The oracle is sim_ivf's SQL
+# with the deleted keys filtered from the candidate assignment — the
+# contract that a tombstone behaves exactly like the row never existing.
+IVF_DELETE_MOD = 50
+IVF_DELETE_RESIDUE = 7  # deletes vec_id ≡ 7 (mod 50); queries (< 5) unaffected
+
+
+@query(
+    "sim_index_delete",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM scored
+        WHERE rn = 1 AND vec_id % {IVF_DELETE_MOD} != {IVF_DELETE_RESIDUE}
+    ),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM scored
+               WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    )
+    SELECT * FROM (
+        SELECT cand.q_id, cand.neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                    ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS INTEGER) AS rn
+        FROM cand
+        JOIN n q ON q.vec_id = cand.q_id
+        JOIN n c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    index_dir = (
+        f"{tempfile.gettempdir()}/bert_etl_spark_{app}/ivf_delete_demo_{tag}"
+    )
+    _ivf_assign(spark, sf_dir, index_dir)  # fresh build (or reopen)
+    doomed = _prepared(spark, sf_dir).filter(
+        F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_RESIDUE
+    )
+    ivf_index_delete(spark, doomed, index_dir)
+    # re-open: the masked read reflects the tombstones just recorded
+    assign = _ivf_assign(spark, sf_dir, index_dir)
+    return _ivf_topk(spark, sf_dir, assign, index_dir)
+
+
 # IVF (inverted-file) ANN: coarse-quantize the corpus into cells, probe only
 # the top-P cells per query. Centroids here are the first N_CENTROIDS data
 # vectors (deterministic stand-in for a k-means codebook — the assignment/
@@ -543,14 +638,22 @@ def ivf_index_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: the at-rest cell assignment (session-shared, or the durable
     # partitionBy(cell) index under spark.bert_etl.ivf.indexDir)
+    index_dir = _ivf_index_dir(spark)
     assign = _ivf_assign(spark, sf_dir)
+    return _ivf_topk(spark, sf_dir, assign, index_dir)
 
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, assign: DataFrame, index_dir: str | None
+) -> DataFrame:
+    """Probe + exact-rerank stages of the IVF search over a given cell
+    assignment (sim_ivf's body, shared with sim_index_delete so the
+    deleted-index probe is the SAME plan over a masked assignment)."""
     # stage 2a: probe — ONLY the query vectors are re-derived (vec_id <
     # N_QUERIES is pushed to the parquet scan), ranked against the
     # quantizer: the frozen _codebook when durable (the standing corpus
     # need not still contain the centroid vectors after ingests), the
     # first-N scan otherwise
-    index_dir = _ivf_index_dir(spark)
     cent = _codebook_frame(spark, index_dir) if index_dir else None
     if cent is None:
         cent = _ivf_centroids(spark, sf_dir)
@@ -574,7 +677,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors, so the exact rerank needs no second corpus join: one
     # broadcast hash join on cell, cosine, group-limit-pushed top-k
     cand_side = _ivf_cells_scan(
-        spark, assign, _probed_cells(probes) if index_dir else []
+        spark, assign, _probed_cells(probes) if index_dir else [], index_dir
     )
     cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
     w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
@@ -763,8 +866,14 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_index(
             spark, index_dir, _SIMLSH_MARKER, N_PLANES, assign, "bucket", n_parts
         )
-    return _lsh_index_columns(
-        spark.read.option("basePath", index_dir).parquet(index_dir)
+    from bert_etl_spark.operators.index_lifecycle import apply_tombstones
+
+    return apply_tombstones(
+        spark,
+        index_dir,
+        _lsh_index_columns(
+            spark.read.option("basePath", index_dir).parquet(index_dir)
+        ),
     )
 
 
@@ -1409,8 +1518,14 @@ def _maxsim_assign_at_rest(
             n_parts,
             finalize=lambda: _write_codebook(spark, sf_dir, index_dir),
         )
-    return _index_columns(
-        spark.read.option("basePath", index_dir).parquet(index_dir)
+    from bert_etl_spark.operators.index_lifecycle import apply_tombstones
+
+    return apply_tombstones(
+        spark,
+        index_dir,
+        _index_columns(
+            spark.read.option("basePath", index_dir).parquet(index_dir)
+        ),
     )
 
 

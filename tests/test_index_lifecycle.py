@@ -528,3 +528,82 @@ def test_ivf_filtered_composes_partition_and_pushed_filters(spark, tmp_path):
         assert "In(label" in plan.split("PushedFilters:")[1].split("]")[0]
     finally:
         spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
+
+
+def test_ivf_delete_masks_probes_then_compact_applies(spark, tmp_path):
+    """Tombstone deletes (the lifecycle's DELETE verb): recording is
+    idempotent and bounded to live keys, probes mask immediately, the
+    probe plan still path-prunes, compaction applies tombstones
+    physically and clears them, and results are identical before and
+    after the physical apply."""
+    idx = str(tmp_path / "ivf_del")
+    sim._ivf_assign(spark, SF, idx)
+    table = spark.read.option("basePath", idx).parquet(idx)
+    total = table.count()
+    doomed = (
+        sim._prepared(spark, SF)
+        .filter(F.col("vec_id") % 10 == 3)
+        .select("vec_id")
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    assert sim.ivf_index_delete(spark, doomed, idx) == n_doomed
+    # masked immediately, without a rewrite
+    masked = sim._ivf_assign(spark, SF, idx)
+    assert masked.filter(F.col("vec_id") % 10 == 3).count() == 0
+    assert masked.count() == total - n_doomed
+    # idempotent: re-delete and never-present keys record nothing
+    assert sim.ivf_index_delete(spark, doomed, idx) == 0
+    ghost = spark.range(10**9, 10**9 + 5).select(F.col("id").alias("vec_id"))
+    assert sim.ivf_index_delete(spark, ghost, idx) == 0
+    # the probed scan masks too, and still path-prunes
+    cells = sorted(
+        r["cell"] for r in masked.select("cell").distinct().limit(2).collect()
+    )
+    pruned = life.pruned_scan(spark, idx, "cell", cells)
+    assert pruned.filter(F.col("vec_id") % 10 == 3).count() == 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    res_masked = sorted(
+        tuple(r)
+        for r in sim._ivf_topk(spark, SF, masked, idx).collect()
+    )
+    # re-ingesting a tombstoned key is a no-op (documented: compact first)
+    arrival = (
+        sim._prepared(spark, SF)
+        .filter(F.col("vec_id") % 10 == 3)
+        .limit(1)
+        .select("vec_id", F.col("e").alias("embedding"))
+    )
+    assert sim.ivf_index_ingest(spark, arrival, idx) == 0
+    assert (
+        sim._ivf_assign(spark, SF, idx)
+        .filter(F.col("vec_id") % 10 == 3)
+        .count()
+        == 0
+    )
+    # compaction applies tombstones physically and clears them
+    assert sim.ivf_index_compact(spark, idx) == total - n_doomed
+    assert life.tombstones(spark, idx) is None
+    physical = spark.read.option("basePath", idx).parquet(idx)
+    assert physical.filter(F.col("vec_id") % 10 == 3).count() == 0
+    assert physical.count() == total - n_doomed
+    after = sorted(
+        tuple(r)
+        for r in sim._ivf_topk(
+            spark, SF, sim._ivf_assign(spark, SF, idx), idx
+        ).collect()
+    )
+    assert after == res_masked
+    # a deleted-then-compacted key CAN be re-ingested (resurrection path)
+    assert sim.ivf_index_ingest(spark, arrival, idx) == 1
+
+
+def test_delete_refuses_without_or_against_wrong_marker(spark, tmp_path):
+    idx = str(tmp_path / "ivf_del_guard")
+    keys = spark.range(3).select(F.col("id").alias("vec_id"))
+    with pytest.raises(ValueError, match="nothing to delete"):
+        life.delete_keys(spark, idx, sim._IVF_MARKER, sim.N_CENTROIDS, keys)
+    sim._ivf_assign(spark, SF, idx)
+    with pytest.raises(ValueError, match="layout"):
+        life.delete_keys(spark, idx, sim._IVF_MARKER, 99, keys)
