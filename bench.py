@@ -162,6 +162,15 @@ HEADLINE = [
     "sim_topk_filtered",      # filtered ANN: predicate pushed below scoring
     "streaming_maxsim_scoring",  # always-on arrival scoring vs standing index
     "sim_ivf_filtered",       # cell pruning + payload predicate composed
+    # round-11 second wave
+    "text_bm25_topk",         # inverted-index BM25 lexical retrieval
+    "sim_hybrid_rrf",         # dense+lexical reciprocal-rank fusion
+    "dedup_allpairs_prefix",  # lossless exact-threshold prefix-filter join
+    "graph_bfs_hops",         # multi-source bounded BFS over shared edges
+    "cdc_snapshot_diff",      # fingerprinted I/U/D snapshot diff
+    "sim_index_delete",       # tombstone-masked probe of the durable index
+    "sim_mmr_diversify",      # MMR re-rank of the retrieval pool
+    "streaming_cdc_apply",    # LSN-argmax CDC merge into a keyed table
 ]
 
 

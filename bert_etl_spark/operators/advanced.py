@@ -1963,3 +1963,100 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(nxt)
         frontier = nxt.select("node")
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: the change-capture counterpart of cdc_snapshot_diff
+# above — a GENUINE Structured Streaming run that materializes a change
+# stream into a keyed table (streaming.events.cdc_apply_stream: per-batch
+# union + max-seq-per-key merge, versioned commits). The op set is a
+# deterministic derivation of orders covering insert, update, delete, and
+# re-insert-after-delete across sequence epochs; files are split RANDOMLY
+# across micro-batches on purpose — LSN-argmax convergence must not
+# depend on arrival grouping, and the oracle (the one-shot SQL over the
+# full op set) only matches if it doesn't.
+# ---------------------------------------------------------------------------
+
+_SQL_CDC_OPS = """
+    SELECT o_orderkey AS k, 0 AS seq, 'U' AS op, o_totalprice AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 1, 'U', o_totalprice + 1000 FROM orders
+    WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, 1, 'D', NULL FROM orders WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', o_totalprice + 5000 FROM orders
+    WHERE o_orderkey % 8 = 2
+    UNION ALL
+    SELECT o_orderkey, 2, 'D', NULL FROM orders WHERE o_orderkey % 4 = 3
+"""
+
+
+def _cdc_ops_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_CDC_OPS."""
+    o = tbl(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def part(flt, seq, op, price):
+        return o.filter(flt).select(
+            k.alias("k"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            price.cast("double").alias("price"),
+        )
+
+    p = F.col("o_totalprice")
+    null = F.lit(None)
+    return (
+        part(F.lit(True), 0, "U", p)
+        .unionByName(part(k % 4 == 1, 1, "U", p + 1000))
+        .unionByName(part(k % 4 == 2, 1, "D", null))
+        .unionByName(part(k % 8 == 2, 2, "U", p + 5000))
+        .unionByName(part(k % 4 == 3, 2, "D", null))
+    )
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle=f"""
+    WITH ops AS ({_SQL_CDC_OPS}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY seq DESC, op) AS rn
+        FROM ops
+    )
+    SELECT k AS o_orderkey, price, CAST(seq AS INTEGER) AS last_seq
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import cdc_apply_stream, latest_cdc_state
+
+    tmp = tempfile.mkdtemp(prefix="cdc_apply_")
+    try:
+        _cdc_ops_frame(spark, sf_dir).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("k long, seq int, op string, price double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = cdc_apply_stream(stream, f"{tmp}/state", f"{tmp}/ckpt")
+        q.awaitTermination()
+        return (
+            latest_cdc_state(spark, f"{tmp}/state")
+            .filter(F.col("op") == "U")
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "price",
+                F.col("seq").cast("int").alias("last_seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

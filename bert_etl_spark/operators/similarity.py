@@ -2505,3 +2505,130 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id", "dense_rank", "lex_rank", F.round("rrf", 6).alias("rrf_score")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR result diversification (Carbonell/Goldstein '98): greedily re-rank a
+# retrieval pool balancing query relevance against redundancy with what's
+# already selected — the standard post-retrieval step when near-duplicate
+# passages would otherwise fill all k RAG slots. score(d) = λ·rel(d) −
+# (1−λ)·max_{s∈S} sim(d, s), first pick λ·rel.
+#
+# Scale shape: the DISTRIBUTED work is candidate generation (the same
+# broadcast-query corpus scan as sim_topk_bruteforce, swap in the IVF
+# probe at larger corpora) plus the pool's pairwise similarities
+# (MMR_POOL² = 400 rows). The greedy selection itself is inherently
+# sequential and O(k·pool) on a CONSTANT-bounded set, so it runs on the
+# driver — same class as the registry's other bounded collects (64-row
+# codebooks, BPE argmax). The oracle unrolls the identical greedy rounds
+# as CTEs (the _sql_kcore_peels idiom).
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _sql_mmr(k: int) -> str:
+    """Unrolled MMR greedy selection as DuckDB CTEs over pool/sims."""
+    ctes = [
+        f"""s1 AS (
+        SELECT id, {MMR_LAMBDA} * rel AS score FROM pool
+        ORDER BY score DESC, id LIMIT 1
+    ),
+    cum1 AS (SELECT id, 1 AS mmr_rank, score FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""s{i} AS (
+        SELECT p.id,
+               {MMR_LAMBDA} * p.rel - (1 - {MMR_LAMBDA}) * MAX(s.sim) AS score
+        FROM pool p JOIN sims s ON s.ai = p.id
+            AND s.bi IN (SELECT id FROM cum{i - 1})
+        WHERE p.id NOT IN (SELECT id FROM cum{i - 1})
+        GROUP BY p.id, p.rel
+        ORDER BY score DESC, p.id LIMIT 1
+    ),
+    cum{i} AS (
+        SELECT * FROM cum{i - 1}
+        UNION ALL SELECT id, {i}, score FROM s{i}
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    pool AS (
+        SELECT id, rel FROM (
+            SELECT c.vec_id AS id, {_SQL_COS} AS rel
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id = 0
+        ) ORDER BY rel DESC, id LIMIT {MMR_POOL}
+    ),
+    sims AS (
+        SELECT q.vec_id AS ai, c.vec_id AS bi, {_SQL_COS} AS sim
+        FROM n q JOIN n c ON q.vec_id != c.vec_id
+        WHERE q.vec_id IN (SELECT id FROM pool)
+          AND c.vec_id IN (SELECT id FROM pool)
+    ),
+    {_sql_mmr(MMR_K)}
+    SELECT id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           ROUND(score, 6) AS mmr_score
+    FROM cum{MMR_K}
+    """,
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    q0 = prep.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # bounded (MMR_POOL rows), consumed three times → materialize once
+    pool = (
+        topk_neighbors(prep, q0, MMR_POOL)
+        .select(
+            F.col("vec_id").alias("id"), F.col("cosine").alias("rel"), "e", "nrm"
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("id").alias("ai"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
+    )
+    b = pool.select(
+        F.col("id").alias("bi"), F.col("e").alias("be"), F.col("nrm").alias("bnrm")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ai") != F.col("bi"))
+        .select(
+            "ai",
+            "bi",
+            (
+                dot(F.col("ae"), F.col("be")) / (F.col("anrm") * F.col("bnrm"))
+            ).alias("sim"),
+        )
+    )
+    rel = {r["id"]: r["rel"] for r in pool.select("id", "rel").collect()}
+    sim = {(r["ai"], r["bi"]): r["sim"] for r in sims.collect()}
+    lam = MMR_LAMBDA
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    remaining = set(rel)
+    for rank in range(1, MMR_K + 1):
+        # argmax (score DESC, id ASC), msim = 0 for the first pick —
+        # operation-for-operation the oracle's unrolled round
+        best_id, best_score = None, None
+        for i in sorted(remaining):
+            msim = max((sim[(i, s)] for s in chosen), default=None)
+            score = lam * rel[i] if msim is None else lam * rel[i] - (1 - lam) * msim
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        selected.append((best_id, rank, round(best_score, 6)))
+        chosen.append(best_id)
+        remaining.discard(best_id)
+    return spark.createDataFrame(
+        selected, schema="id long, mmr_rank int, mmr_score double"
+    )

@@ -918,3 +918,81 @@ def write_stream_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: materialize a change stream into a keyed table
+# ---------------------------------------------------------------------------
+
+
+def _cdc_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v=*")
+    fs = p.getFileSystem(hconf)
+    st = fs.globStatus(p)
+    if st is None:
+        return []
+    return sorted(
+        int(s.getPath().getName().split("=", 1)[1]) for s in st
+    )
+
+
+def latest_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest committed version of the CDC-applied table."""
+    versions = _cdc_versions(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no applied CDC state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+
+
+def cdc_apply_stream(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Apply a CDC change stream — rows (k, seq, op, payload...) — to a
+    keyed materialized table via foreachBatch: each batch unions into the
+    standing state and reduces to the MAX-seq row per key (LSN
+    resolution, Debezium-style), then commits as a new ``v=<epoch>``
+    version dir; readers take the newest version (latest_cdc_state).
+
+    Convergence does not depend on arrival order: because the merge is a
+    per-key argmax over a total sequence, ANY batch split or permutation
+    of the same op set reaches the same final table, and a replayed
+    micro-batch (at-least-once source) is absorbed by the same argmax —
+    the exactly-once-at-the-sink story every other foreachBatch sink in
+    this module tells via anti-joins, told here via idempotent merge.
+    Deletes stay as tombstone rows (op='D') inside the state so a
+    late-arriving lower-seq upsert cannot resurrect a deleted key;
+    readers filter them (the registered query does), mirroring the
+    durable-index tombstone contract (operators/index_lifecycle.py).
+
+    Scale: the state rewrite is full-table here; the production shape
+    buckets the state by key (sources/sinks bucketize idiom) so each
+    merge co-locates without a shuffle and rewrites only the buckets the
+    batch touches. Reference analog: ETLState's per-item read-modify-
+    write (/root/reference/bert/etl/__init__.py:86-164), batched.
+    """
+    from pyspark.sql import Window
+
+    spark = stream.sparkSession
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        versions = _cdc_versions(spark, state_dir)
+        merged_in = batch_df
+        if versions:
+            cur = spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+            merged_in = cur.unionByName(batch_df)
+        w = Window.partitionBy("k").orderBy(F.desc("seq"), "op")
+        merged = (
+            merged_in.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

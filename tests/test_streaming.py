@@ -1086,3 +1086,71 @@ def test_markerless_ledger_with_committed_epochs_refuses_stamp(
         events.read_ledger_bucket_marker(spark, str(fresh))
         == events.LEDGER_BUCKETS_DEFAULT
     )
+
+
+def test_cdc_apply_converges_and_replay_is_idempotent(spark, tmp_path):
+    """cdc_apply_stream: (1) the streamed merge over randomly-split files
+    equals the one-shot argmax over all ops; (2) a full replay through a
+    FRESH checkpoint (worst-case re-delivery: every batch again) leaves
+    the state unchanged; (3) a late lower-seq upsert cannot resurrect a
+    deleted key (the tombstone row wins the argmax)."""
+    from bert_etl_spark.operators.advanced import _cdc_ops_frame
+    from bert_etl_spark.streaming.events import cdc_apply_stream, latest_cdc_state
+
+    ops = _cdc_ops_frame(spark, SF)
+    ops.repartition(3).write.parquet(str(tmp_path / "in"))
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("k long, seq int, op string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    state = str(tmp_path / "state")
+    cdc_apply_stream(stream(), state, str(tmp_path / "ckpt")).awaitTermination()
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in latest_cdc_state(spark, state)
+            .filter(F.col("op") == "U")
+            .select("k", "price", "seq")
+            .collect()
+        )
+
+    from pyspark.sql import Window
+
+    expect = sorted(
+        tuple(r)
+        for r in ops.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.desc("seq"), "op")
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("k", "price", "seq")
+        .collect()
+    )
+    first = snapshot()
+    assert first == expect and first
+    # full replay, fresh checkpoint: every batch re-delivered
+    cdc_apply_stream(stream(), state, str(tmp_path / "ckpt2")).awaitTermination()
+    assert snapshot() == first
+    # a deleted key (op D at its max seq) must not resurrect from a late
+    # lower-seq upsert
+    deleted = (
+        latest_cdc_state(spark, state)
+        .filter(F.col("op") == "D")
+        .select("k", "seq")
+        .first()
+    )
+    late = spark.createDataFrame(
+        [(deleted["k"], deleted["seq"] - 1, "U", 1.0)],
+        schema="k long, seq int, op string, price double",
+    )
+    late.write.parquet(str(tmp_path / "in2"))
+    s2 = (
+        spark.readStream.schema("k long, seq int, op string, price double")
+        .parquet(str(tmp_path / "in2"))
+    )
+    cdc_apply_stream(s2, state, str(tmp_path / "ckpt3")).awaitTermination()
+    assert snapshot() == first
