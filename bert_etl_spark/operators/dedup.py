@@ -1516,6 +1516,21 @@ def keep_first_dup_windows(win: DataFrame) -> DataFrame:
 
 ALLPAIRS_TAU = JACCARD_THRESHOLD  # same threshold as the family pair table
 
+# Pre-flight tractability budget for the prefix self-join. Prefix
+# filtering's candidate count is EXACTLY bounded by sum over shingles of
+# prefix-df² — one cheap aggregation over the prefix postings predicts the
+# join's output volume before any pair is emitted. On natural text the
+# rarity order makes prefixes nearly unique and the bound tiny; on a
+# dense/low-entropy shingle space (tiny vocabulary, boilerplate floods)
+# every shingle is hot and the bound goes quadratic — measured on the
+# 100x replica (500k docs over a 31-token vocabulary): bound ~10^10,
+# and the unguarded join spilled 45 GB and died. The guard REFUSES with
+# that number and points at the two strategies that stay tractable there
+# (df-capped inverted index, MinHash-LSH banding) — predictable refusal
+# over cluster melt, the autoBroadcastJoinThreshold philosophy.
+ALLPAIRS_BUDGET_CONF = "spark.bert_etl.allpairs.candidateBudget"
+ALLPAIRS_BUDGET_DEFAULT = 500_000_000
+
 
 @query(
     "dedup_allpairs_prefix",
@@ -1550,7 +1565,15 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     tau = ALLPAIRS_TAU
-    sh = persist_once(shingles_df(tbl(spark, sf_dir, "documents")))
+    # checkpoint_once, NOT persist_once: the raw shingle table feeds the
+    # heaviest join in the family and executing it into the block cache
+    # would run the whole pipeline on the AQE-suppressed cached-plan path
+    # (the round-8 family lesson, registry.checkpoint_once's docstring)
+    sh = checkpoint_once(
+        shingles_df(tbl(spark, sf_dir, "documents")),
+        "allpairs_raw_shingles",
+        sf_dir,
+    )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
@@ -1561,6 +1584,29 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1)
         .select("doc_id", "shingle", "sz")
     )
+    prefix = checkpoint_once(prefix, "allpairs_prefix", sf_dir)
+    try:
+        budget = int(
+            spark.conf.get(ALLPAIRS_BUDGET_CONF, str(ALLPAIRS_BUDGET_DEFAULT))
+        )
+    except Exception:
+        budget = ALLPAIRS_BUDGET_DEFAULT
+    bound = (
+        prefix.groupBy("shingle")
+        .agg(F.count("*").alias("dfp"))
+        .agg(F.sum(F.col("dfp") * F.col("dfp")).alias("b"))
+        .first()["b"]
+        or 0
+    )
+    if bound > budget:
+        raise ValueError(
+            f"prefix self-join candidate bound {bound:,} exceeds the "
+            f"{ALLPAIRS_BUDGET_CONF} budget ({budget:,}): this corpus' "
+            "shingle-df distribution has no rare tail, so exact lossless "
+            "all-pairs is intractable here — use the df-capped inverted "
+            "index (dedup_ngram_jaccard) or MinHash-LSH banding "
+            "(dedup_minhash_lsh), or raise the budget deliberately"
+        )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(

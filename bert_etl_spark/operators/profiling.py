@@ -614,3 +614,65 @@ def profile_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_per_task_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns — the feature-
+# selection/leakage-detection profiling primitive (which metadata columns
+# actually carry signal about each other). MI(X;Y) = Σ_xy p(x,y) ·
+# ln(p(x,y) / (p(x)p(y))), all probabilities exact integer counts over one
+# scan: the joint contingency table is one groupBy (cells ≪ rows cross the
+# exchange after partial aggregation), the margins reduce FROM the joint
+# table (no second scan), and both margins are cell-cardinality-sized →
+# broadcast back onto the cells. The float total reduces in exact decimal
+# (dsum) so the score is partition-order-free.
+# ---------------------------------------------------------------------------
+
+_SQL_MI_TERM = (
+    "(CAST(n_xy AS DOUBLE) / n_tot) * ln((CAST(n_xy AS DOUBLE) * n_tot)"
+    " / (CAST(n_x AS DOUBLE) * n_y))"
+)
+
+
+@query(
+    "profile_mutual_information",
+    oracle=f"""
+    WITH joint AS (
+        SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n_xy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(n_xy) AS n_x FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(n_xy) AS n_y FROM joint GROUP BY y),
+    tot AS (SELECT SUM(n_xy) AS n_tot FROM joint)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           {sql_dsum(_SQL_MI_TERM)} AS mi_nats
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    """,
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.deterministic import dsum
+
+    joint = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("x"), F.col("o_orderpriority").alias("y")
+        )
+        .agg(F.count("*").alias("n_xy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n_tot"))
+    term = (F.col("n_xy").cast("double") / F.col("n_tot")) * F.log(
+        (F.col("n_xy").cast("double") * F.col("n_tot"))
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            dsum("term", "mi_nats"),
+        )
+    )

@@ -2437,6 +2437,29 @@ RRF_K0 = 60  # the standard RRF damping constant
 RRF_POOL = 50  # per-leg candidate pool
 RRF_TOP_K = 10
 
+
+def _topk_single_query(
+    corpus: DataFrame, q: DataFrame, k: int
+) -> DataFrame:
+    """Exact top-k cosine neighbors of ONE query vector, ranked.
+
+    topk_neighbors' rank window partitions by q_id — correct for a query
+    SET, but with a single query it funnels the whole scored corpus into
+    one partition (measured 33 s warm at the 100x replica for the RRF
+    dense leg). A single query wants orderBy+limit instead: per-partition
+    top-k heaps (TakeOrderedAndProject), the rank stamped on k rows
+    after the limit. 33.1 -> 2.4 s warm."""
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    top = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+    return top.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("cosine"), "vec_id"))
+    )
+
 from bert_etl_spark.operators.text import SQL_BM25_CTES, bm25_scores  # noqa: E402
 
 
@@ -2479,7 +2502,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
-    dense = topk_neighbors(prep, q0, RRF_POOL).select(
+    dense = _topk_single_query(prep, q0, RRF_POOL).select(
         F.col("vec_id").alias("id"), F.col("rn").alias("dense_rank")
     )
     lex_top = (
@@ -2589,7 +2612,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded (MMR_POOL rows), consumed three times → materialize once
     pool = (
-        topk_neighbors(prep, q0, MMR_POOL)
+        _topk_single_query(prep, q0, MMR_POOL)
         .select(
             F.col("vec_id").alias("id"), F.col("cosine").alias("rel"), "e", "nrm"
         )
@@ -2631,4 +2654,62 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining.discard(best_id)
     return spark.createDataFrame(
         selected, schema="id long, mmr_rank int, mmr_score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: for each query vector, the top-k most-similar
+# vectors whose label DIFFERS from the query's — the contrastive-training
+# data op (high-similarity different-class examples are the negatives that
+# actually move an embedding model). Same broadcast-queries corpus scan as
+# sim_topk_bruteforce; the label inequality rides the join condition so
+# mismatched candidates never reach the rank window. At larger corpora the
+# probe swaps onto the IVF index exactly like sim_ivf (candidates carry
+# the label payload column — see sim_ivf_filtered).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH {_SQL_PREP}
+    SELECT * FROM (
+        SELECT q.vec_id AS q_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS neg_label,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rn
+        FROM n q JOIN n c
+          ON c.vec_id != q.vec_id AND c.label != q.label
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    queries_df = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        prep.join(
+            F.broadcast(queries_df),
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            F.round("cosine", 6).alias("cosine"),
+            "rn",
+        )
     )
