@@ -171,6 +171,9 @@ HEADLINE = [
     "sim_index_delete",       # tombstone-masked probe of the durable index
     "sim_mmr_diversify",      # MMR re-rank of the retrieval pool
     "streaming_cdc_apply",    # LSN-argmax CDC merge into a keyed table
+    "sim_hard_negatives",     # label-mismatch top-k contrastive mining
+    "graph_modularity",       # partition quality of the LPA labeling
+    "profile_mutual_information",  # exact categorical MI, one scan
 ]
 
 

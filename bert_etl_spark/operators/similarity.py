@@ -514,6 +514,28 @@ def ivf_index_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
     )
 
 
+def ivf_index_delete_stream(
+    stream: DataFrame, index_dir: str, checkpoint_dir: str
+):
+    """Always-on deletes against the standing durable IVF index
+    (foreachBatch → ivf_index_delete) — the delete verb's streaming
+    sibling, completing verb parity with ingest (ivf_index_stream).
+    Idempotent under replay: delete_keys skips keys already tombstoned,
+    so a re-delivered batch records nothing. ``stream``: rows carrying a
+    vec_id column (a CDC delete feed, a GDPR opt-out topic)."""
+    spark = stream.sparkSession
+
+    def _delete(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_index_delete(spark, batch_df, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_delete)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ivf_index_delete(
     spark: SparkSession, keys: DataFrame, index_dir: str
 ) -> int:

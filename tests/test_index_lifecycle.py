@@ -607,3 +607,36 @@ def test_delete_refuses_without_or_against_wrong_marker(spark, tmp_path):
     sim._ivf_assign(spark, SF, idx)
     with pytest.raises(ValueError, match="layout"):
         life.delete_keys(spark, idx, sim._IVF_MARKER, 99, keys)
+
+
+def test_ivf_delete_stream_masks_and_replay_is_noop(spark, tmp_path):
+    """Streaming deletes (foreachBatch → delete_keys): the drained feed
+    masks every key it carried, and a full replay through a fresh
+    checkpoint records zero new tombstones (idempotence — the at-least-
+    once contract the ingest stream already proves, for the delete verb)."""
+    idx = str(tmp_path / "ivf_sdel")
+    sim._ivf_assign(spark, SF, idx)
+    doomed = (
+        sim._prepared(spark, SF)
+        .filter(F.col("vec_id") % 10 == 4)
+        .select("vec_id")
+    )
+    n_doomed = doomed.count()
+    doomed.repartition(2).write.parquet(str(tmp_path / "feed"))
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "feed"))
+    )
+    sim.ivf_index_delete_stream(
+        stream(), idx, str(tmp_path / "ck1")
+    ).awaitTermination()
+    masked = sim._ivf_assign(spark, SF, idx)
+    assert masked.filter(F.col("vec_id") % 10 == 4).count() == 0
+    t = life.tombstones(spark, idx)
+    assert t is not None and t.count() == n_doomed
+    # replay: fresh checkpoint, same feed -> no new tombstones
+    sim.ivf_index_delete_stream(
+        stream(), idx, str(tmp_path / "ck2")
+    ).awaitTermination()
+    assert life.tombstones(spark, idx).count() == n_doomed

@@ -729,3 +729,49 @@ def test_filtered_topk_pushes_label_predicate_to_scan(spark):
         "PushedFilters" in s and "In(label" in s.split("PushedFilters")[1]
         for s in scans
     ), plan
+
+
+def test_single_query_topk_avoids_one_partition_window(spark):
+    """The RRF dense leg and the MMR pool must plan TakeOrderedAndProject
+    (per-partition heaps), not a rank window over one q_id partition —
+    the 33.1 -> 4.7 s warm fix at the 100x replica (SCALING.md r11
+    second wave). The rank window that remains operates on k rows AFTER
+    the limit, so the corpus-sized exchange is gone."""
+    for name in ("sim_hybrid_rrf", "sim_mmr_diversify"):
+        plan = _plan(spark, name) if name != "sim_mmr_diversify" else None
+        if plan is None:
+            # MMR returns a driver-built frame; assert on the pool builder
+            from bert_etl_spark.operators import similarity as sim
+            from pyspark.sql import functions as F
+
+            prep = sim._prepared(spark, SF)
+            q0 = prep.filter(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("e").alias("qe"),
+                F.col("nrm").alias("qnrm"),
+            )
+            pool = sim._topk_single_query(prep, q0, sim.MMR_POOL)
+            plan = pool._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_scan_prunes_to_needed_columns(spark):
+    """The BM25 documents scans must read only (doc_id, text) — a
+    retrieval plan that drags source/lang/n_chars through the explode
+    multiplies dead bytes by token count."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "n_chars" not in plan and "source" not in plan, plan
+
+
+def test_allpairs_budget_guard_refuses_with_bound(spark):
+    """With the candidate budget forced to 1, the prefix join must refuse
+    BEFORE emitting any pair, and the message must carry the computed
+    bound and the fallback strategies."""
+    from bert_etl_spark.operators import dedup
+
+    spark.conf.set(dedup.ALLPAIRS_BUDGET_CONF, "1")
+    try:
+        with pytest.raises(ValueError, match="candidate bound .* exceeds"):
+            registry.ALL_QUERIES["dedup_allpairs_prefix"](spark, SF)
+    finally:
+        spark.conf.unset(dedup.ALLPAIRS_BUDGET_CONF)
