@@ -1949,6 +1949,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
         .limit(BFS_SOURCES)
     )
+    # one persistent generation at a time: each hop checkpoints the grown
+    # distance table and releases the previous generation's blocks (the
+    # checkpoint is self-contained data, not lineage), so the query holds
+    # ONE cached RDD however many hops run — the footprint the lifecycle
+    # sweep (tests/test_lifecycle.py) pins repo-wide
     dist = srcs.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     frontier = dist.select("node")
     for h in range(1, BFS_HOPS + 1):
@@ -1958,10 +1963,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(hint(dist.select("node")), "node", "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint(eager=True)
         )
-        dist = dist.unionAll(nxt)
-        frontier = nxt.select("node")
+        grown = dist.unionAll(nxt).localCheckpoint(eager=True)
+        dist.unpersist()
+        dist = grown
+        frontier = dist.filter(F.col("dist") == h).select("node")
     return dist
 
 

@@ -111,6 +111,21 @@ def _single(df: DataFrame) -> DataFrame:
     return df.repartition(1).withColumn(_PID, F.spark_partition_id())
 
 
+def rank_bounded(
+    df: DataFrame, order: list[Column], rank_col: str = "rank"
+) -> DataFrame:
+    """Stamp a global 1..n rank on a BOUNDED frame (typically the k rows
+    surviving an orderBy+limit) without an empty-partition-spec window:
+    the _single idiom — one-partition exchange of the k rows plus
+    spark_partition_id as a real partition key. Keeps the repo-wide
+    no-global-windows invariant meaningful (an ACCIDENTAL corpus-sized
+    global window still has an empty spec and still fails the sweep),
+    while the deliberate one here moves only the already-bounded rows."""
+    d = _single(df)
+    w = W.partitionBy(_PID).orderBy(*order)
+    return d.withColumn(rank_col, F.row_number().over(w)).drop(_PID)
+
+
 def _ranged(
     df: DataFrame, order_cols: list[Column], partitions: int | None
 ) -> tuple[DataFrame, int]:

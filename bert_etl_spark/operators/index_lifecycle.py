@@ -213,23 +213,29 @@ def ingest_rows(
         .join(table_keys, key, "left_anti")
         .localCheckpoint(eager=True)
     )
-    n = fresh.count()
-    if n:
-        marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
-        if marker != expected:
-            raise ValueError(
-                f"index at {index_dir} changed underneath this ingest "
-                f"(marker now {marker}, expected {expected}) — a concurrent "
-                "compact/rebuild violated the single-writer assumption; "
-                "re-run the ingest against the settled index"
+    try:
+        n = fresh.count()
+        if n:
+            marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
+            if marker != expected:
+                raise ValueError(
+                    f"index at {index_dir} changed underneath this ingest "
+                    f"(marker now {marker}, expected {expected}) — a "
+                    "concurrent compact/rebuild violated the single-writer "
+                    "assumption; re-run the ingest against the settled index"
+                )
+            (
+                fresh.repartition(n_parts, part_col)
+                .write.partitionBy(part_col)
+                .mode("append")
+                .parquet(index_dir)
             )
-        (
-            fresh.repartition(n_parts, part_col)
-            .write.partitionBy(part_col)
-            .mode("append")
-            .parquet(index_dir)
-        )
-    return n
+        return n
+    finally:
+        # deterministic release: an always-on ingest calls this per
+        # micro-batch, and leaking one checkpoint block set per batch
+        # (until the ContextCleaner happens to GC it) grows without bound
+        fresh.unpersist()
 
 
 def _tombstone_files(fs, p, index_dir: str) -> list:
@@ -318,12 +324,15 @@ def delete_keys(
     if existing is not None:
         fresh = fresh.join(existing.select(key), key, "left_anti")
     fresh = fresh.localCheckpoint(eager=True)
-    n = fresh.count()
-    if n:
-        fresh.coalesce(1).write.mode("append").parquet(
-            f"{index_dir}/{TOMBSTONE_DIR}"
-        )
-    return n
+    try:
+        n = fresh.count()
+        if n:
+            fresh.coalesce(1).write.mode("append").parquet(
+                f"{index_dir}/{TOMBSTONE_DIR}"
+            )
+        return n
+    finally:
+        fresh.unpersist()  # the ingest_rows per-batch hygiene, same reason
 
 
 def compact_index(

@@ -2471,6 +2471,8 @@ def _topk_single_query(
     dense leg). A single query wants orderBy+limit instead: per-partition
     top-k heaps (TakeOrderedAndProject), the rank stamped on k rows
     after the limit. 33.1 -> 2.4 s warm."""
+    from bert_etl_spark.operators.global_order import rank_bounded
+
     cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
     top = (
         corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
@@ -2478,9 +2480,7 @@ def _topk_single_query(
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )
-    return top.withColumn(
-        "rn", F.row_number().over(W.orderBy(F.desc("cosine"), "vec_id"))
-    )
+    return rank_bounded(top, [F.desc("cosine"), F.col("vec_id")], "rn")
 
 from bert_etl_spark.operators.text import SQL_BM25_CTES, bm25_scores  # noqa: E402
 
@@ -2527,13 +2527,15 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _topk_single_query(prep, q0, RRF_POOL).select(
         F.col("vec_id").alias("id"), F.col("rn").alias("dense_rank")
     )
+    from bert_etl_spark.operators.global_order import rank_bounded
+
     lex_top = (
         bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(RRF_POOL)
     )
-    lex = lex_top.withColumn(
-        "lex_rank", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+    lex = rank_bounded(
+        lex_top, [F.desc("bm25"), F.col("doc_id")], "lex_rank"
     ).select(F.col("doc_id").alias("id"), "lex_rank")
     fused = (
         dense.join(lex, "id", "full_outer")
@@ -2658,6 +2660,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = {r["id"]: r["rel"] for r in pool.select("id", "rel").collect()}
     sim = {(r["ai"], r["bi"]): r["sim"] for r in sims.collect()}
+    pool.unpersist()  # result is driver-built below; release the blocks now
     lam = MMR_LAMBDA
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []

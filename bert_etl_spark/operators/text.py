@@ -1209,7 +1209,9 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.operators.global_order import rank_bounded
+
     scored = bm25_scores(spark, sf_dir)
     top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
-    w = W.orderBy(F.desc("bm25"), "doc_id")  # k rows only, post-limit
-    return top.withColumn("rank", F.row_number().over(w))
+    # rank stamped on the k post-limit rows (no empty-spec window)
+    return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")
