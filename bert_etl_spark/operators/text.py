@@ -1164,7 +1164,13 @@ bscore AS (
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every document containing >= 1 query term —
-    the Spark twin of SQL_BM25_CTES' ``bscore``."""
+    the Spark twin of SQL_BM25_CTES' ``bscore``. With
+    ``spark.bert_etl.textidx.indexDir`` set, scores come off the durable
+    posting index (path-pruned probe, zero corpus access — see
+    bm25_scores_indexed below); otherwise one corpus pass."""
+    index_dir = _textidx_dir(spark)
+    if index_dir:
+        return bm25_scores_indexed(spark, sf_dir, index_dir)
     docs = tbl(spark, sf_dir, "documents")
     dl = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("dl"))
     tf = (
@@ -1215,3 +1221,220 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
     # rank stamped on the k post-limit rows (no empty-spec window)
     return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")
+
+
+# ---------------------------------------------------------------------------
+# Durable inverted (lexical) index — the fourth at-rest index family,
+# through the SAME shared lifecycle as the dense three (IVF cells, MaxSim
+# cells, sign-LSH buckets; operators/index_lifecycle.py): a
+# ``partitionBy(bucket)`` posting table under
+# ``spark.bert_etl.textidx.indexDir``, bucket = xxhash64(token) mod
+# TEXTIDX_BUCKETS (int dirs — token strings are hostile as paths), with
+# an atomic ``_n_buckets`` layout marker and a ``_collection_stats``
+# artifact (n_docs, avgdl) frozen at build time — the lexical twin of the
+# frozen ``_codebook``: ingests score against build-time collection
+# statistics (stale idf, the standard search-engine trade) until a
+# rebuild refreshes them.
+#
+# Why at rest: the session BM25 path tokenizes the WHOLE corpus per
+# query. The index probe path-prunes to <= |query terms| bucket dirs
+# (PartitionFilters), reads postings that already carry (tf, dl), derives
+# df from the pruned postings themselves (each (token, doc) row appears
+# once), and never touches the corpus — query cost is O(matching
+# postings), not O(corpus). Rows carry pkey = token|doc for ingest
+# idempotence; deletes tombstone by doc_id (one delete masks every
+# posting of the doc).
+# ---------------------------------------------------------------------------
+
+TEXTIDX_DIR_CONF = "spark.bert_etl.textidx.indexDir"
+_TEXTIDX_MARKER = "_n_buckets"
+TEXTIDX_BUCKETS = 16
+_STATS_DIR = "_collection_stats"
+
+
+def _textidx_dir(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(TEXTIDX_DIR_CONF, None)
+    except Exception:
+        return None
+
+
+def _token_bucket(col: F.Column | str):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(TEXTIDX_BUCKETS)).cast("int")
+
+
+def _postings_plan(docs: DataFrame) -> DataFrame:
+    """(token, doc_id, tf, dl, pkey, bucket) — one row per distinct
+    (token, doc); dl denormalized onto the posting so probes never join a
+    doc-length side table (the norm-in-posting convention)."""
+    toked = spread(docs).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    dl = toked.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toked.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .withColumn("pkey", F.concat_ws("|", "token", "doc_id"))
+        .withColumn("bucket", _token_bucket("token"))
+    )
+
+
+def _write_collection_stats(spark: SparkSession, index_dir: str) -> None:
+    """Freeze (n_docs, avgdl) from the postings just written."""
+    table = spark.read.option("basePath", index_dir).parquet(index_dir)
+    stats = table.select("doc_id", "dl").distinct().agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/{_STATS_DIR}"
+    )
+
+
+def read_collection_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/{_STATS_DIR}/*.parquet")
+
+
+def _textidx_open_or_build(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    from bert_etl_spark.operators.index_lifecycle import build_index, open_index
+
+    marker = open_index(spark, index_dir, _TEXTIDX_MARKER, "bucket")
+    if marker is not None and marker != TEXTIDX_BUCKETS:
+        raise ValueError(
+            f"text index at {index_dir} was built with {marker} buckets "
+            f"but this build hashes into {TEXTIDX_BUCKETS} — the bucket "
+            "modulus is a persistent layout property; point the conf at a "
+            "fresh dir or delete the stale index"
+        )
+    if marker is None:
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+        )
+        build_index(
+            spark,
+            index_dir,
+            _TEXTIDX_MARKER,
+            TEXTIDX_BUCKETS,
+            _postings_plan(tbl(spark, sf_dir, "documents")),
+            "bucket",
+            min(n_parts, TEXTIDX_BUCKETS),
+            finalize=lambda: _write_collection_stats(spark, index_dir),
+        )
+
+
+def textidx_ingest(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> int:
+    """Append NEW documents' postings into the standing text index —
+    idempotent on pkey (re-delivered docs re-offer identical posting
+    rows; the anti-join drops them). Collection statistics stay FROZEN at
+    build time (the _codebook contract): new docs are scored with
+    build-time idf/avgdl until a rebuild. ``batch_docs``: (doc_id, text)."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows
+
+    if read_int_marker(spark, f"{index_dir}/{_TEXTIDX_MARKER}") is None:
+        raise ValueError(
+            f"no standing text index at {index_dir} — build it first"
+        )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return ingest_rows(
+        spark,
+        index_dir,
+        _TEXTIDX_MARKER,
+        TEXTIDX_BUCKETS,
+        _postings_plan(batch_docs),
+        "bucket",
+        min(n_parts, TEXTIDX_BUCKETS),
+        key="pkey",
+    )
+
+
+def textidx_delete(
+    spark: SparkSession, doc_keys: DataFrame, index_dir: str
+) -> int:
+    """Tombstone whole documents out of the text index (one tombstone per
+    doc_id masks every posting of the doc; compaction drops them
+    physically). ``doc_keys``: any frame with a doc_id column."""
+    from bert_etl_spark.operators.index_lifecycle import delete_keys
+
+    return delete_keys(
+        spark, index_dir, _TEXTIDX_MARKER, TEXTIDX_BUCKETS, doc_keys,
+        key="doc_id",
+    )
+
+
+def textidx_compact(spark: SparkSession, index_dir: str) -> int:
+    """Compact the posting table to one file per bucket, applying pending
+    doc tombstones — the shared crash-safe protocol."""
+    from bert_etl_spark.operators.index_lifecycle import compact_index
+
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return compact_index(
+        spark,
+        index_dir,
+        _TEXTIDX_MARKER,
+        "bucket",
+        min(n_parts, TEXTIDX_BUCKETS),
+        key="doc_id",
+    )
+
+
+def bm25_scores_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """(doc_id, bm25) off the durable posting index: path-pruned to the
+    query terms' bucket dirs, df derived from the pruned postings, frozen
+    collection stats — zero corpus access at query time."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        apply_tombstones,
+        pruned_scan,
+    )
+
+    _textidx_open_or_build(spark, sf_dir, index_dir)
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in BM25_TERMS], schema="token string"
+        )
+        .select(_token_bucket("token").alias("b"))
+        .distinct()
+        .collect()
+    )
+    scan = pruned_scan(spark, index_dir, "bucket", buckets, key="doc_id")
+    if scan is None:  # no matching dirs — fall back to the full table
+        scan = apply_tombstones(
+            spark,
+            index_dir,
+            spark.read.option("basePath", index_dir).parquet(index_dir),
+            key="doc_id",
+        )
+    cand = scan.filter(F.col("token").isin(*BM25_TERMS))
+    df_tbl = cand.groupBy("token").agg(F.count("*").alias("df"))
+    stats = read_collection_stats(spark, index_dir)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    return (
+        cand.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(dsum("contrib", "bm25"))
+    )

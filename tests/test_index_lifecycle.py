@@ -640,3 +640,84 @@ def test_ivf_delete_stream_masks_and_replay_is_noop(spark, tmp_path):
         stream(), idx, str(tmp_path / "ck2")
     ).awaitTermination()
     assert life.tombstones(spark, idx).count() == n_doomed
+
+
+def test_text_index_matches_session_and_prunes(spark, tmp_path):
+    """The durable inverted index: identical BM25 results to the session
+    path, bucket layout + marker + frozen _collection_stats, rereads
+    never rebuild, probes path-prune to the query terms' buckets with a
+    real PartitionFilter, and a bucket-modulus mismatch refuses."""
+    from bert_etl_spark.operators import text as tx
+
+    base = _rows(spark, "text_bm25_topk")  # session path
+    idx = str(tmp_path / "textidx")
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "text_bm25_topk") == base and base
+        assert (
+            read_int_marker(spark, f"{idx}/{tx._TEXTIDX_MARKER}")
+            == tx.TEXTIDX_BUCKETS
+        )
+        assert os.path.isdir(f"{idx}/{tx._STATS_DIR}")
+        before = _mtimes(idx)
+        assert _rows(spark, "text_bm25_topk") == base
+        assert _mtimes(idx) == before  # reread never rebuilds
+        scored = tx.bm25_scores(spark, SF)
+        files = scored.inputFiles()
+        n_term_buckets = len(
+            {r["b"] for r in spark.createDataFrame(
+                [(t,) for t in tx.BM25_TERMS], schema="token string"
+            ).select(tx._token_bucket("token").alias("b")).collect()}
+        )
+        data_files = [f for f in files if "bucket=" in f]
+        assert data_files
+        touched = {f.split("bucket=")[1].split("/")[0] for f in data_files}
+        assert len(touched) == n_term_buckets
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        write_int_marker(spark, f"{idx}/{tx._TEXTIDX_MARKER}", 99)
+        with pytest.raises(ValueError, match="bucket"):
+            tx.bm25_scores(spark, SF)
+    finally:
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+
+
+def test_text_index_ingest_delete_compact_lifecycle(spark, tmp_path):
+    """Ingest a synthetic doc made of query terms → it must appear (scored
+    with FROZEN collection stats — the documented contract); replay is a
+    no-op; doc-level tombstone masks every posting; compaction applies
+    tombstones and preserves the surviving results and layout."""
+    from bert_etl_spark.operators import text as tx
+
+    idx = str(tmp_path / "textidx2")
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, idx)
+    try:
+        base = _rows(spark, "text_bm25_topk")
+        new_doc = spark.createDataFrame(
+            [(999999, "dup dup dup vector spark dup")],
+            schema="doc_id long, text string",
+        )
+        n = tx.textidx_ingest(spark, new_doc, idx)
+        assert n > 0
+        assert tx.textidx_ingest(spark, new_doc, idx) == 0  # replay no-op
+        with_new = _rows(spark, "text_bm25_topk")
+        assert any(r[0] == 999999 for r in with_new)  # rare terms -> top-k
+        # delete the doc again: every posting masked, results return
+        assert tx.textidx_delete(spark, new_doc.select("doc_id"), idx) == 1
+        assert tx.textidx_delete(spark, new_doc.select("doc_id"), idx) == 0
+        assert _rows(spark, "text_bm25_topk") == base
+        # compact: physical apply + layout/results preserved
+        tx.textidx_compact(spark, idx)
+        assert life.tombstones(spark, idx) is None
+        table = spark.read.option("basePath", idx).parquet(idx)
+        assert table.filter(F.col("doc_id") == 999999).count() == 0
+        assert _rows(spark, "text_bm25_topk") == base
+        buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+        for b in buckets:
+            files = [
+                f for f in os.listdir(f"{idx}/{b}")
+                if not f.startswith(("_", "."))
+            ]
+            assert len(files) == 1, (b, files)
+    finally:
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
