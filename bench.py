@@ -174,6 +174,9 @@ HEADLINE = [
     "sim_hard_negatives",     # label-mismatch top-k contrastive mining
     "graph_modularity",       # partition quality of the LPA labeling
     "profile_mutual_information",  # exact categorical MI, one scan
+    "text_bm25_indexed",      # BM25 off the durable posting index
+    "window_rolling_median",  # constant-frame robust smoothing
+    "corpus_span_corruption", # T5-style deterministic span mask table
 ]
 
 

@@ -936,3 +936,103 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.coalesce(F.col("mj"), F.lit(0.0)) < FUZZY_CONTAM_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption: deterministically select ~19% of each
+# document's tokens, merge adjacent selections into SPANS, and emit the
+# span table (doc, span ordinal, start, length, text, sentinel) — the
+# artifact a denoising-pretraining pipeline consumes to build
+# (input-with-sentinels, target) pairs. Selection is md5 over
+# (doc_id, position) — the family's no-seeded-RNG rule — so the mask is
+# reproducible across engines, runs, and partitionings. One shuffle
+# (window by doc for the adjacency merge) + one aggregation; span
+# assembly is an ordered in-group reduce, never Python.
+# ---------------------------------------------------------------------------
+
+SPAN_MASK_HEX = ("0", "1", "2")  # 3/16 of positions ≈ 19% corruption
+
+
+@query(
+    "corpus_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token,
+               unnest(range(len(string_split(trim(text), ' ')))) AS pos
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, pos, token,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(pos AS VARCHAR)), 1, 1)
+                   IN ({", ".join(f"'{h}'" for h in SPAN_MASK_HEX)}) AS m
+        FROM tok
+    ),
+    runs AS (
+        SELECT *,
+               CASE WHEN m AND NOT COALESCE(
+                   LAG(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                   THEN 1 ELSE 0 END AS is_start
+        FROM flagged
+    ),
+    numbered AS (
+        SELECT *,
+               SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS span_id
+        FROM runs
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS span_len,
+           string_agg(token, ' ' ORDER BY pos) AS span_text,
+           '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>' AS sentinel
+    FROM numbered WHERE m
+    GROUP BY doc_id, span_id
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
+    )
+    m = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 1
+    ).isin(*SPAN_MASK_HEX)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = tok.withColumn("m", m)
+    runs = flagged.withColumn(
+        "is_start",
+        (
+            F.col("m")
+            & ~F.coalesce(F.lag("m").over(w), F.lit(False))
+        ).cast("int"),
+    )
+    numbered = runs.withColumn("span_id", F.sum("is_start").over(w))
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token"))),
+            lambda s: s["token"],
+        ),
+        " ",
+    )
+    return (
+        numbered.filter("m")
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count("*").alias("span_len"),
+            ordered_text.alias("span_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("long").alias("span_id"),
+            "start_pos",
+            "span_len",
+            "span_text",
+            F.concat(
+                F.lit("<extra_id_"),
+                (F.col("span_id") - 1).cast("string"),
+                F.lit(">"),
+            ).alias("sentinel"),
+        )
+    )

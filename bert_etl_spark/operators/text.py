@@ -1438,3 +1438,38 @@ def bm25_scores_indexed(
         .groupBy("doc_id")
         .agg(dsum("contrib", "bm25"))
     )
+
+
+# The INDEXED retrieval path as its own driver-checked contract: same
+# oracle as text_bm25_topk, but the Spark side goes build→probe through a
+# session-scoped durable index (the sim_index_delete scratch idiom — the
+# registered query must run on a vanilla session and must not assume or
+# mutate a user's conf'd standing index). The driver hashing this green
+# certifies the whole at-rest path: build, marker, frozen stats, bucket
+# pruning, df-from-postings, score parity.
+@query(
+    "text_bm25_indexed",
+    oracle=f"""
+    WITH {SQL_BM25_CTES}
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS rank
+    FROM bscore
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from bert_etl_spark.operators.global_order import rank_bounded
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    index_dir = (
+        f"{tempfile.gettempdir()}/bert_etl_spark_{app}/textidx_demo_{tag}"
+    )
+    scored = bm25_scores_indexed(spark, sf_dir, index_dir)
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+    return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")

@@ -1333,3 +1333,60 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median — the robust-smoothing window op (rolling mean is one
+# outlier away from useless on monitoring/financial series). Spark has no
+# percentile window aggregate, so the frame (a CONSTANT 7 rows) is
+# collected per row, sorted, and indexed — bounded arrays inside
+# whole-stage codegen, not a UDF. The oracle mirrors the construction
+# (list → list_sort → middle) rather than DuckDB's median(), so both
+# engines run the identical interpolation arithmetic. At 100 TB the
+# shuffle is the window's partitionBy(custkey); the per-row array work is
+# O(frame²·log) with frame = 7, a constant.
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_FRAME = 7  # current row + 6 preceding
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_custkey, o_orderkey,
+               list_sort(list(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN {ROLLING_MEDIAN_FRAME - 1} PRECEDING
+                        AND CURRENT ROW)) AS arr
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(len(arr) AS INTEGER) AS frame_n,
+           ROUND(CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+                ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+           END, 6) AS rolling_median
+    FROM w
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-(ROLLING_MEDIAN_FRAME - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise((lo + hi) / 2.0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        n.cast("int").alias("frame_n"),
+        F.round(med, 6).alias("rolling_median"),
+    )

@@ -721,3 +721,20 @@ def test_text_index_ingest_delete_compact_lifecycle(spark, tmp_path):
             assert len(files) == 1, (b, files)
     finally:
         spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+
+
+def test_hybrid_rrf_composes_both_durable_indexes(spark, tmp_path):
+    """Integration: with BOTH the lexical posting index and the dense IVF
+    index conf'd, sim_hybrid_rrf must return exactly the session-path
+    results — the fused retrieval stack running entirely off at-rest
+    indexes."""
+    from bert_etl_spark.operators import text as tx
+
+    base = _rows(spark, "sim_hybrid_rrf")
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, str(tmp_path / "tix"))
+    spark.conf.set(sim.IVF_INDEX_DIR_CONF, str(tmp_path / "ivf"))
+    try:
+        assert _rows(spark, "sim_hybrid_rrf") == base and base
+    finally:
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+        spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
