@@ -35,6 +35,27 @@ def _persisted_rdd_count(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+def _stabilized_count(spark, bound: int) -> int:
+    """The persisted-RDD count after giving the ContextCleaner a chance
+    to reclaim GC-collectible transients (returned localCheckpoint frames
+    that went out of scope — e.g. a streaming query's materialized
+    result). A LEAK is a block set no amount of GC can reclaim; cleaner
+    lag is not a leak, and asserting on the raw instantaneous count made
+    this test flaky against it."""
+    import gc
+    import time
+
+    n = _persisted_rdd_count(spark)
+    for _ in range(5):
+        if n <= bound:
+            return n
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+        n = _persisted_rdd_count(spark)
+    return n
+
+
 def test_persisted_footprint_flat_after_full_sweep(spark, sf_small):
     registry.load_all()
     counts: dict[str, int] = {}
@@ -42,7 +63,7 @@ def test_persisted_footprint_flat_after_full_sweep(spark, sf_small):
         fn = registry.ALL_QUERIES[name]
         fn(spark, sf_small).write.format("noop").mode("overwrite").save()
         registry.release_internals()
-        counts[name] = _persisted_rdd_count(spark)
+        counts[name] = _stabilized_count(spark, _SHARED_BOUND)
 
     peak = max(counts.values())
     worst = max(counts, key=counts.get)
