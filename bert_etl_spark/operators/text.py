@@ -1473,3 +1473,22 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bm25_scores_indexed(spark, sf_dir, index_dir)
     top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
     return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")
+
+
+def textidx_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """Always-on document ingest into the standing text index
+    (foreachBatch → textidx_ingest) — verb parity with the dense
+    families' *_stream siblings. Exactly-once at the sink via the pkey
+    anti-join (a re-delivered document re-offers identical posting rows,
+    all dropped). ``stream``: rows (doc_id, text)."""
+    spark = stream.sparkSession
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        textidx_ingest(spark, batch_df, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -738,3 +738,41 @@ def test_hybrid_rrf_composes_both_durable_indexes(spark, tmp_path):
     finally:
         spark.conf.unset(tx.TEXTIDX_DIR_CONF)
         spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
+
+
+def test_textidx_stream_ingest_is_exactly_once(spark, tmp_path):
+    """Streamed doc ingest into the text index: the drained feed's docs
+    become searchable, and a full replay through a fresh checkpoint
+    appends zero posting rows (pkey anti-join absorbs re-delivery)."""
+    from bert_etl_spark.operators import text as tx
+
+    idx = str(tmp_path / "tix_stream")
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, idx)
+    try:
+        tx.bm25_scores(spark, SF).count()  # build the standing index
+        feed = spark.createDataFrame(
+            [(888880 + i, "dup vector dup spark dup") for i in range(4)],
+            schema="doc_id long, text string",
+        )
+        feed.repartition(2).write.parquet(str(tmp_path / "feed"))
+        stream = lambda: (  # noqa: E731
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "feed"))
+        )
+        tx.textidx_stream(stream(), idx, str(tmp_path / "ck1")).awaitTermination()
+        table = spark.read.option("basePath", idx).parquet(idx)
+        n_new = table.filter(F.col("doc_id") >= 888880).count()
+        assert n_new == 4 * 3  # 4 docs x 3 distinct tokens
+        top = _rows(spark, "text_bm25_topk")
+        assert sum(1 for r in top if r[0] >= 888880) > 0
+        # replay, fresh checkpoint: nothing appended
+        tx.textidx_stream(stream(), idx, str(tmp_path / "ck2")).awaitTermination()
+        assert (
+            spark.read.option("basePath", idx).parquet(idx)
+            .filter(F.col("doc_id") >= 888880)
+            .count()
+            == n_new
+        )
+    finally:
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
