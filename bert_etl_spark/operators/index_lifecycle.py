@@ -1,7 +1,8 @@
 """Shared lifecycle for the durable partition-pruned similarity indexes.
 
-The three at-rest ANN indexes (MaxSim cells, sign-LSH buckets, single-vector
-IVF cells) all share one physical contract: a ``partitionBy(<part>)`` parquet
+The four at-rest indexes (MaxSim cells, sign-LSH buckets, single-vector
+IVF cells, inverted-text token buckets) all share one physical contract: a
+``partitionBy(<part>)`` parquet
 table under a conf'd directory, an atomic integer layout marker
 (``_n_centroids`` / ``_n_planes``) stamped by ``functions.markers``, probes
 that path-prune to the probed partition dirs, idempotent ingest (anti-join on
