@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from bert_etl_spark.functions.release import release
 from bert_etl_spark.operators.dedup import (
     COSINE_THRESHOLD,
     JACCARD_THRESHOLD,
@@ -441,7 +442,7 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
+        release(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -1258,7 +1259,7 @@ def pagerank_to_convergence(
             .agg(F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("dm"))
             .collect()[0]["dm"]
         )
-        prev.unpersist()
+        release(prev)
         prev = nxt
         iterations = t + 1
         # delta is None only when the graph is empty — converged trivially
@@ -1965,7 +1966,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dist", F.lit(h))
         )
         grown = dist.unionAll(nxt).localCheckpoint(eager=True)
-        dist.unpersist()
+        release(dist)
         dist = grown
         frontier = dist.filter(F.col("dist") == h).select("node")
     return dist

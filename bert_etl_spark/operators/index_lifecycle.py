@@ -46,10 +46,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bert_etl_spark.functions.release import release
+
 BUILDING_SENTINEL = "_building"
 PENDING_SENTINEL = "_compact_pending"
 TMP_SUFFIX = "_compact_tmp"
 TOMBSTONE_DIR = "_tombstones"
+
+# Every reader masks deletes via a BROADCAST anti-join on the pending
+# tombstones (apply_tombstones) — sound only while the tombstone table is
+# small. This conf is the "broadcast strained ⇒ compaction overdue"
+# threshold: when the pending tombstone files exceed it, apply_tombstones
+# emits a warning naming the compact call that clears them. Sized to stay
+# well under Spark's broadcast comfort zone (64 MB of parquet'd keys is
+# ~8M long keys — an order of magnitude past the default 10 MB
+# autoBroadcastJoinThreshold already). The check is a driver-side FS
+# listing (O(tombstone files)), never a Spark job, so probes stay cheap.
+TOMBSTONE_WARN_BYTES_CONF = "spark.bert_etl.index.tombstoneWarnBytes"
+TOMBSTONE_WARN_BYTES_DEFAULT = 64 * 1024 * 1024
 
 
 def _fs(spark: SparkSession, path: str):
@@ -76,8 +90,14 @@ def finish_compaction_swap(
     already swapped by the crashed run is simply not in tmp anymore),
     then the layout marker is re-stamped from the ``_compact_pending``
     sentinel and the sentinel + tmp dir are removed. The tmp table is a
-    FULL rewrite, so every root partition holding rows has a tmp
-    counterpart — stale root dirs cannot survive the swap."""
+    FULL rewrite, so every root partition holding SURVIVING rows has a
+    tmp counterpart; a partition whose every row was tombstoned produces
+    NO tmp dir, so its stale root dir is NOT replaced here —
+    compact_index deletes those explicitly after the swap, and keeps
+    their tombstone files (deleted last) masking the rows until it does.
+    A crash-recovery re-run of this function alone therefore leaves
+    fully-tombstoned partitions physically present but still masked; the
+    next compact_index removes them."""
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
 
     sentinel = f"{index_dir}/{PENDING_SENTINEL}"
@@ -196,25 +216,54 @@ def ingest_rows(
     (1) WITHIN the batch, duplicate ``key`` rows collapse to one
     (re-delivered duplicates carry identical payloads, so which physical
     row survives is immaterial — round-10 advice, the 'medium' item);
-    (2) ACROSS batches, an anti-join against the index's slim key column
-    drops everything already present. Re-validates the layout marker
-    immediately before the append (single-writer tripwire). The
-    across-batch anti-join is against PHYSICAL keys, so a tombstoned but
-    not-yet-compacted key cannot be resurrected by re-ingest — see
-    delete_keys for the stated semantics."""
-    from pyspark.sql import functions as F
-
+    (2) ACROSS batches, a semi+anti join pair against the keys of the
+    partitions the batch TOUCHES drops everything already present. The
+    across-batch dedup is O(touched partitions) per batch, not O(index)
+    — the round-11 scale fix:
+    partition assignment is a pure function of the row's content
+    against a FROZEN layout (the MaxSim/IVF ``_codebook``, the sign-LSH
+    planes, the text index's token hash — all stamped at build and
+    validated by the marker), so a re-delivered duplicate necessarily
+    lands in the SAME partition value as the standing row, and keys
+    outside the touched partitions cannot collide with the batch. The
+    touched-partition list is collected from the (checkpointed) batch —
+    bounded by batch size. Re-validates the layout marker immediately
+    before the append (single-writer tripwire). The across-batch
+    anti-join is against PHYSICAL keys (physical_pruned_scan, tombstones
+    NOT masked), so a tombstoned but not-yet-compacted key cannot be
+    resurrected by re-ingest — see delete_keys for the stated semantics."""
     from bert_etl_spark.functions.markers import read_int_marker
 
-    table_keys = (
-        spark.read.option("basePath", index_dir).parquet(index_dir).select(key)
-    )
-    fresh = (
-        assigned.dropDuplicates([key])
-        .join(table_keys, key, "left_anti")
-        .localCheckpoint(eager=True)
-    )
+    from pyspark.sql import functions as F
+
+    # checkpoint the deduped batch once: the (possibly expensive)
+    # assignment computes a single time, and the touched-partition
+    # collect + dedup joins + write all read the materialized batch
+    batch = assigned.dropDuplicates([key]).localCheckpoint(eager=True)
+    dups = None
     try:
+        touched = [
+            r[0] for r in batch.select(part_col).distinct().collect()
+        ]
+        table_keys = physical_pruned_scan(spark, index_dir, part_col, touched)
+        if table_keys is None:  # touched partitions don't exist yet
+            fresh = batch
+        else:
+            # join DIRECTION matters at scale: a plain
+            # batch.join(table_keys, left_anti) can only broadcast the
+            # RIGHT side — Spark would ship the touched partitions' whole
+            # key column (measured: 7.8M keys broadcast, 4.6 s/batch at a
+            # 20M-row index, vs 0.6 s for the scan itself). Instead,
+            # broadcast the BATCH into a semi-join against the scan: the
+            # index side stays distributed and unshuffled, and the result
+            # (keys already present) is bounded by batch size — small
+            # enough to checkpoint and broadcast into the final anti-join.
+            dups = (
+                table_keys.select(key)
+                .join(F.broadcast(batch.select(key)), key, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            fresh = batch.join(F.broadcast(dups), key, "left_anti")
         n = fresh.count()
         if n:
             marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
@@ -235,8 +284,12 @@ def ingest_rows(
     finally:
         # deterministic release: an always-on ingest calls this per
         # micro-batch, and leaking one checkpoint block set per batch
-        # (until the ContextCleaner happens to GC it) grows without bound
-        fresh.unpersist()
+        # (until the ContextCleaner happens to GC it) grows without bound.
+        # Dataset.unpersist is a no-op on a localCheckpoint'd frame —
+        # release() unpersists the underlying checkpointed RDD itself.
+        release(batch)
+        if dups is not None:
+            release(dups)
 
 
 def _tombstone_files(fs, p, index_dir: str) -> list:
@@ -270,13 +323,34 @@ def apply_tombstones(
     key against the pending tombstones (no-op when none exist). The
     broadcast is bounded by the count of uncompacted deletes — a tombstone
     table big enough to strain a broadcast is the signal that compaction
-    (which applies and clears tombstones physically) is overdue; see
-    index_file_stats for the trigger."""
+    (which applies and clears tombstones physically) is overdue. That
+    threshold is enforced here: when the pending tombstone files exceed
+    ``spark.bert_etl.index.tombstoneWarnBytes`` (default 64 MB) a warning
+    fires on every masked read until the owner compacts —
+    index_file_stats reports the same bytes for dashboards."""
+    import warnings
+
     from pyspark.sql import functions as F
 
-    t = tombstones(spark, index_dir)
-    if t is None:
+    fs, p = _fs(spark, index_dir)
+    files = _tombstone_files(fs, p, index_dir)
+    if not files:
         return df
+    limit = int(
+        spark.conf.get(TOMBSTONE_WARN_BYTES_CONF, None)
+        or TOMBSTONE_WARN_BYTES_DEFAULT
+    )
+    pending = sum(fs.getFileStatus(f).getLen() for f in files)
+    if pending > limit:
+        warnings.warn(
+            f"index {index_dir} carries {pending} bytes of pending "
+            f"tombstones (> {limit}) — every probe broadcasts them; "
+            "compaction (compact_index / the family's *_compact wrapper) "
+            "applies and clears them and is overdue",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    t = spark.read.parquet(f"{index_dir}/{TOMBSTONE_DIR}")
     return df.join(F.broadcast(t.select(key)), key, "left_anti")
 
 
@@ -287,6 +361,7 @@ def delete_keys(
     expected: int,
     keys: DataFrame,
     key: str = "vec_id",
+    part_col: str | None = None,
 ) -> int:
     """Tombstone-delete keys from the standing index. Returns the number
     of NEW tombstones recorded.
@@ -298,12 +373,25 @@ def delete_keys(
     swap commits. Idempotence mirrors ingest_rows: duplicate keys within
     the request collapse, keys already tombstoned are skipped, and keys
     not physically present in the index are skipped (deleting a
-    never-ingested key records nothing). Consequence, stated explicitly:
+    never-ingested key records nothing). That liveness check needs the
+    index's physical keys: when the request carries the partition column
+    (``part_col`` set AND present in ``keys`` — a CDC delete feed that
+    recorded the cell/bucket at ingest time), the check prunes to the
+    touched partitions (physical_pruned_scan — the ingest_rows O(touched)
+    bound; sound for the same reason: assignment is frozen, so a live row
+    for the key can only exist in that partition). A bare-key request
+    (vec_id only — a GDPR opt-out feed has no vector to re-assign) falls
+    back to the column-pruned full key scan: deletes are orders of
+    magnitude rarer than ingests, and the slim one-column scan is the
+    honest cost of not knowing where the key lives.
+    Consequence, stated explicitly:
     re-ingesting a tombstoned-but-uncompacted key is a no-op — ingest's
     anti-join sees the physical row and drops the arrival while the
     tombstone keeps masking it. Compact first, then re-ingest, to
     resurrect a deleted key. Single-writer with ingest/compact, like all
     index maintenance (module docstring)."""
+    from pyspark.sql import functions as F
+
     from bert_etl_spark.functions.markers import read_int_marker
 
     marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
@@ -317,23 +405,59 @@ def delete_keys(
             f"expected {expected} — refusing to tombstone against a "
             "different layout"
         )
-    live = (
-        spark.read.option("basePath", index_dir).parquet(index_dir).select(key)
-    )
-    fresh = keys.select(key).dropDuplicates([key]).join(live, key, "left_semi")
-    existing = tombstones(spark, index_dir)
-    if existing is not None:
-        fresh = fresh.join(existing.select(key), key, "left_anti")
-    fresh = fresh.localCheckpoint(eager=True)
+    live = None
+    if part_col is not None and part_col in keys.columns:
+        batch = keys.select(key, part_col).dropDuplicates([key]).localCheckpoint(
+            eager=True
+        )
+        touched = [
+            r[0] for r in batch.select(part_col).distinct().collect()
+        ]
+        live = physical_pruned_scan(spark, index_dir, part_col, touched)
+        request = batch.select(key)
+    else:
+        batch = None
+        request = keys.select(key).dropDuplicates([key])
+    if live is None and batch is None:
+        live = (
+            spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .select(key)
+        )
     try:
-        n = fresh.count()
-        if n:
-            fresh.coalesce(1).write.mode("append").parquet(
-                f"{index_dir}/{TOMBSTONE_DIR}"
+        # live is None only on the pruned path with no matching dirs —
+        # no key in the request can be physically present. Otherwise,
+        # broadcast the (small) REQUEST into the big side, never the
+        # reverse: request.join(live, left_semi) could only broadcast
+        # live — the whole key column shipped to every task (the
+        # ingest_rows join-direction lesson). The semi from the live side
+        # returns live's rows (many per key for posting-style indexes),
+        # so collapse to distinct keys — bounded by the request size.
+        fresh = (
+            request.limit(0)
+            if live is None
+            else live.select(key)
+            .join(F.broadcast(request), key, "left_semi")
+            .dropDuplicates([key])
+        )
+        existing = tombstones(spark, index_dir)
+        if existing is not None:
+            fresh = fresh.join(
+                F.broadcast(existing.select(key)), key, "left_anti"
             )
-        return n
+        fresh = fresh.localCheckpoint(eager=True)
+        try:
+            n = fresh.count()
+            if n:
+                fresh.coalesce(1).write.mode("append").parquet(
+                    f"{index_dir}/{TOMBSTONE_DIR}"
+                )
+            return n
+        finally:
+            release(fresh)  # the ingest_rows per-batch hygiene, same reason
     finally:
-        fresh.unpersist()  # the ingest_rows per-batch hygiene, same reason
+        if batch is not None:
+            release(batch)
 
 
 def compact_index(
@@ -352,11 +476,18 @@ def compact_index(
 
     Pending tombstones are APPLIED here: the rewrite anti-joins them out
     (on ``key``), and the tombstone files that were read are cleared only
-    AFTER the swap commits. A crash between the swap and the clear leaves
-    tombstones whose rows are already physically gone — the reader-side
-    anti-join then masks nothing (harmless) and the next compaction
-    clears the files; recovery via finish_compaction_swap never needs to
-    know about them."""
+    AFTER the swap commits. A partition whose EVERY row was tombstoned
+    yields no tmp dir, so the swap alone would leave its stale root dir
+    holding the deleted rows with nothing masking them once the tombstone
+    files clear (the round-11 resurrection bug) — so after the swap, root
+    ``part=`` dirs with no tmp counterpart are deleted BEFORE the applied
+    tombstone files are. Crash windows: between swap and stale-dir delete,
+    or between stale-dir delete and tombstone clear, the tombstone files
+    are still present, so every reader keeps masking the rows; the next
+    compaction applies the same tombstones again and completes the
+    removal. Tombstones whose rows are already physically gone mask
+    nothing (harmless) and clear on the next compaction; recovery via
+    finish_compaction_swap never needs to know about them."""
     from pyspark.sql import functions as F
 
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
@@ -383,31 +514,41 @@ def compact_index(
         .parquet(tmp)
     )
     n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    # fully-tombstoned partitions: root dirs the FULL rewrite produced no
+    # tmp counterpart for — the swap won't touch them, so they must be
+    # deleted explicitly or their (deleted) rows resurrect once the
+    # applied tombstone files clear. Snapshot the set now, while tmp
+    # still exists (finish_compaction_swap removes it).
+    tmp_parts = {d.getName() for d in _part_dirs(fs, p, tmp, part_col)}
+    stale = [
+        d
+        for d in _part_dirs(fs, p, index_dir, part_col)
+        if d.getName() not in tmp_parts
+    ]
     # COMMIT POINT: tmp is complete — from here a crash is recoverable
     write_int_marker(spark, f"{index_dir}/{PENDING_SENTINEL}", marker)
     fs.delete(p(marker_path), False)  # readers now defer to the sentinel
     finish_compaction_swap(spark, index_dir, marker_name, part_col)
+    for d in stale:  # rows still masked: tombstone files clear LAST
+        fs.delete(d, True)
     for f in applied:  # post-commit: masked rows are physically gone
         fs.delete(f, False)
     return int(n_rows)
 
 
-def pruned_scan(
-    spark: SparkSession,
-    index_dir: str,
-    part_col: str,
-    values: list[int],
-    key: str = "vec_id",
+def physical_pruned_scan(
+    spark: SparkSession, index_dir: str, part_col: str, values: list[int]
 ):
-    """Probe-side scan of the durable index restricted to ``values`` of the
-    partition column: path-enumerate exactly the probed ``part=`` dirs (ONE
-    FS glob — the ledger_probe idiom, so listing and scan are O(probed
-    partitions), not O(index)) and keep the predicate as a real filter so
-    it shows as PartitionFilters and a mis-enumerated path can never leak
-    rows. Pending tombstones are masked out (apply_tombstones on ``key``),
-    so every probe across the index families sees deletes immediately.
-    Returns None when there is nothing to prune to (no values, or no
-    matching dirs) — callers fall back to their unpruned table."""
+    """Raw scan of exactly the ``values`` partition dirs — tombstones NOT
+    masked: this is the maintenance-side view of what is physically on
+    disk (ingest_rows' anti-join must see tombstoned-but-uncompacted rows
+    so a re-ingested deleted key stays a no-op until compaction). Path-
+    enumerates the requested ``part=`` dirs with ONE FS glob (the
+    ledger_probe idiom — listing and scan are O(requested partitions),
+    not O(index)) and keeps the predicate as a real filter so it shows as
+    PartitionFilters and a mis-enumerated path can never leak rows.
+    Returns None when there is nothing to scan (no values, or none of the
+    requested dirs exist yet)."""
     from pyspark.sql import functions as F
 
     if not values:
@@ -418,11 +559,28 @@ def pruned_scan(
     dirs = [] if st is None else [s.getPath().toString() for s in st]
     if not dirs:
         return None
-    scan = (
+    return (
         spark.read.option("basePath", index_dir)
         .parquet(*dirs)
         .filter(F.col(part_col).isin(values))
     )
+
+
+def pruned_scan(
+    spark: SparkSession,
+    index_dir: str,
+    part_col: str,
+    values: list[int],
+    key: str = "vec_id",
+):
+    """Probe-side scan of the durable index restricted to ``values`` of the
+    partition column (physical_pruned_scan), with pending tombstones
+    masked out (apply_tombstones on ``key``) so every probe across the
+    index families sees deletes immediately. Returns None when there is
+    nothing to prune to — callers fall back to their unpruned table."""
+    scan = physical_pruned_scan(spark, index_dir, part_col, values)
+    if scan is None:
+        return None
     return apply_tombstones(spark, index_dir, scan, key)
 
 
@@ -430,11 +588,17 @@ def index_file_stats(
     spark: SparkSession, index_dir: str, part_col: str
 ) -> DataFrame:
     """Observability over a durable index: one row per partition dir with
-    its file count and row count — the compaction trigger signal (compact
-    when ``n_files`` grows past the ingest cadence you can tolerate; one
-    file per partition is the compacted steady state). File counts come
-    from one driver-side FS listing (O(partitions), the touched-bucket
-    idiom); row counts from parquet footers of the same listing."""
+    its file count and row count — the compaction trigger signals
+    (compact when ``n_files`` grows past the ingest cadence you can
+    tolerate; one file per partition is the compacted steady state). Two
+    table-level tombstone columns ride on every row: ``n_tombstones``
+    (pending deleted keys every probe broadcast-anti-joins) and
+    ``tombstone_bytes`` (the same bytes apply_tombstones' overdue warning
+    watches — past ``spark.bert_etl.index.tombstoneWarnBytes`` the
+    broadcast is strained and compaction is overdue). File counts and
+    tombstone bytes come from one driver-side FS listing (O(partitions),
+    the touched-bucket idiom); row counts from parquet footers of the
+    same listing."""
     from pyspark.sql import functions as F
 
     fs, p = _fs(spark, index_dir)
@@ -446,6 +610,12 @@ def index_file_stats(
             if not name.startswith(("_", ".")):
                 n += 1
         counts[d.getName().split("=", 1)[1]] = n
+    t = tombstones(spark, index_dir)
+    n_tomb = 0 if t is None else t.count()
+    tomb_bytes = sum(
+        fs.getFileStatus(f).getLen()
+        for f in _tombstone_files(fs, p, index_dir)
+    )
     rows = (
         spark.read.option("basePath", index_dir)
         .parquet(index_dir)
@@ -454,9 +624,19 @@ def index_file_stats(
         .collect()
     )
     data = [
-        (r["part"], int(counts.get(r["part"], 0)), int(r["n_rows"]))
+        (
+            r["part"],
+            int(counts.get(r["part"], 0)),
+            int(r["n_rows"]),
+            int(n_tomb),
+            int(tomb_bytes),
+        )
         for r in rows
     ]
     return spark.createDataFrame(
-        data, schema=f"{part_col} string, n_files int, n_rows bigint"
+        data,
+        schema=(
+            f"{part_col} string, n_files int, n_rows bigint, "
+            "n_tombstones bigint, tombstone_bytes bigint"
+        ),
     )

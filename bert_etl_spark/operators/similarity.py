@@ -548,7 +548,12 @@ def ivf_index_delete(
     any frame with a vec_id column. Returns new tombstones recorded."""
     from bert_etl_spark.operators.index_lifecycle import delete_keys
 
-    return delete_keys(spark, index_dir, _IVF_MARKER, N_CENTROIDS, keys)
+    # a delete feed that recorded the cell at ingest time gets the
+    # O(touched-partitions) liveness check; a bare vec_id feed falls back
+    # to the column-pruned full key scan (delete_keys' documented cost)
+    return delete_keys(
+        spark, index_dir, _IVF_MARKER, N_CENTROIDS, keys, part_col="cell"
+    )
 
 
 # The registered delete demo: build the durable IVF index in a session-
@@ -598,22 +603,29 @@ IVF_DELETE_RESIDUE = 7  # deletes vec_id ≡ 7 (mod 50); queries (< 5) unaffecte
     """,
 )
 def sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import shutil
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    app = spark.sparkContext.applicationId
-    index_dir = (
-        f"{tempfile.gettempdir()}/bert_etl_spark_{app}/ivf_delete_demo_{tag}"
-    )
-    _ivf_assign(spark, sf_dir, index_dir)  # fresh build (or reopen)
-    doomed = _prepared(spark, sf_dir).filter(
-        F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_RESIDUE
-    )
-    ivf_index_delete(spark, doomed, index_dir)
-    # re-open: the masked read reflects the tombstones just recorded
-    assign = _ivf_assign(spark, sf_dir, index_dir)
-    return _ivf_topk(spark, sf_dir, assign, index_dir)
+    # session-scoped scratch index, REMOVED on exit (the streaming_cdc_
+    # apply idiom — round-11 'low' advice: the old appId-keyed dir left
+    # an index-sized directory in /tmp after every run). The top-k result
+    # is materialized before the rmtree so the returned frame no longer
+    # reads the deleted files.
+    index_dir = tempfile.mkdtemp(prefix="ivf_delete_demo_")
+    shutil.rmtree(index_dir, ignore_errors=True)  # build needs a fresh dir
+    try:
+        _ivf_assign(spark, sf_dir, index_dir)  # fresh build
+        doomed = _prepared(spark, sf_dir).filter(
+            F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_RESIDUE
+        )
+        ivf_index_delete(spark, doomed, index_dir)
+        # re-open: the masked read reflects the tombstones just recorded
+        assign = _ivf_assign(spark, sf_dir, index_dir)
+        return _ivf_topk(spark, sf_dir, assign, index_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 # IVF (inverted-file) ANN: coarse-quantize the corpus into cells, probe only

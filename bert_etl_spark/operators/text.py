@@ -1460,19 +1460,24 @@ def bm25_scores_indexed(
     """,
 )
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import shutil
     import tempfile
 
     from bert_etl_spark.operators.global_order import rank_bounded
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    app = spark.sparkContext.applicationId
-    index_dir = (
-        f"{tempfile.gettempdir()}/bert_etl_spark_{app}/textidx_demo_{tag}"
-    )
-    scored = bm25_scores_indexed(spark, sf_dir, index_dir)
-    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
-    return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")
+    # session-scoped scratch index, REMOVED on exit (round-11 'low'
+    # advice: the old appId-keyed dir leaked an index-sized directory per
+    # run); the small top-k is materialized before the rmtree.
+    index_dir = tempfile.mkdtemp(prefix="textidx_demo_")
+    shutil.rmtree(index_dir, ignore_errors=True)  # build needs a fresh dir
+    try:
+        scored = bm25_scores_indexed(spark, sf_dir, index_dir)
+        top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+        return rank_bounded(
+            top, [F.desc("bm25"), F.col("doc_id")], "rank"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def textidx_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):

@@ -988,7 +988,29 @@ def cdc_apply_stream(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        merged.write.mode("overwrite").parquet(f"{state_dir}/v={epoch_id}")
+        # NEVER write to a version dir that may be the current read
+        # source: on crash-recovery replay of the last committed epoch
+        # (or a fresh-checkpoint replay) epoch_id == versions[-1], and
+        # overwriting the dir the lazy merge is still reading first
+        # empties the committed state, then fails the write (round-11
+        # HIGH advice — verified with AQE off). Write the merge to a
+        # hidden tmp dir (dot-prefixed: invisible to _cdc_versions and
+        # parquet readers), then swap it into place. If a crash lands
+        # between the delete and the rename, the uncommitted epoch
+        # replays and the SAME merge is rebuilt from v=N-1 — each version
+        # is the argmax of all ops seen so far, so merging the replayed
+        # batch into the previous version reproduces v=N exactly.
+        tmp = f"{state_dir}/.v_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={epoch_id}")
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"could not commit CDC state version {dst}")
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -776,3 +776,144 @@ def test_textidx_stream_ingest_is_exactly_once(spark, tmp_path):
         )
     finally:
         spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+
+
+def test_compact_removes_fully_tombstoned_partition(spark, tmp_path):
+    """Round-11 HIGH advice (resurrection bug): when EVERY row of a
+    partition is tombstoned, the compaction tmp rewrite emits no dir for
+    that partition — the swap alone left the stale root dir in place and
+    then cleared the tombstones, physically resurrecting the deleted
+    rows. compact_index must delete root part dirs with no tmp
+    counterpart before clearing the applied tombstone files."""
+    idx = str(tmp_path / "full_tomb")
+    rows = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], schema="vec_id long, cell int"
+    )
+    life.build_index(spark, idx, "_n_centroids", 2, rows, "cell", 2)
+    doomed = spark.createDataFrame(
+        [(i,) for i in range(10) if i % 2 == 1], schema="vec_id long"
+    )
+    assert life.delete_keys(spark, idx, "_n_centroids", 2, doomed) == 5
+    assert life.compact_index(spark, idx, "_n_centroids", "cell", 2) == 5
+    # physically gone: the cell=1 dir no longer exists on disk
+    assert not glob.glob(f"{idx}/cell=1")
+    physical = spark.read.option("basePath", idx).parquet(idx)
+    assert physical.count() == 5
+    assert physical.filter(F.col("cell") == 1).count() == 0
+    # no tombstones left masking anything — the table IS the truth
+    assert life.tombstones(spark, idx) is None
+    # and the masked reader agrees with the physical table
+    masked = life.apply_tombstones(spark, idx, physical)
+    assert masked.count() == 5
+    # a second compact over the settled table is a clean no-op rewrite
+    assert life.compact_index(spark, idx, "_n_centroids", "cell", 2) == 5
+    assert spark.read.option("basePath", idx).parquet(idx).count() == 5
+
+
+def test_ingest_anti_join_reads_only_touched_partitions(spark, tmp_path):
+    """Round-11 top ask: ingest's across-batch anti-join must be
+    O(touched partitions), not O(index). Proof is behavioral, not just
+    plan-text: a garbage (non-parquet) file planted in an UNTOUCHED
+    partition dir would crash any full-index scan — the pruned ingest
+    never reads it. Deterministic assignment makes the pruning lossless
+    (a duplicate key always lands in the partition of its standing row),
+    which the duplicate-arrival assertion exercises across the garbage."""
+    idx = str(tmp_path / "pruned_ingest")
+    rows = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], schema="vec_id long, cell int"
+    )
+    life.build_index(spark, idx, "_n_centroids", 4, rows, "cell", 4)
+
+    # the physical pruned scan lists only the requested part dirs
+    scan = life.physical_pruned_scan(spark, idx, "cell", [1, 3])
+    files = scan.inputFiles()
+    assert files and all("cell=1" in f or "cell=3" in f for f in files)
+
+    with open(f"{idx}/cell=2/part-garbage.parquet", "w") as fh:
+        fh.write("this is not parquet")
+    try:
+        # full-index key scan would die on the garbage — prove it does
+        with pytest.raises(Exception):
+            spark.read.option("basePath", idx).parquet(idx).select(
+                "vec_id"
+            ).count()
+        # batch touches cells 0 and 1 only: 2 genuinely new keys + 2
+        # re-delivered duplicates (keys 0 -> cell 0, 5 -> cell 1)
+        batch = spark.createDataFrame(
+            [(100, 0), (101, 1), (0, 0), (5, 1)],
+            schema="vec_id long, cell int",
+        )
+        n = life.ingest_rows(spark, idx, "_n_centroids", 4, batch, "cell", 4)
+        assert n == 2  # duplicates dropped by the PRUNED anti-join
+        # pruned delete: keys carrying the partition column never read
+        # the garbage either; ghost keys record nothing
+        dels = spark.createDataFrame(
+            [(1, 1), (101, 1), (999, 1)], schema="vec_id long, cell int"
+        )
+        assert (
+            life.delete_keys(
+                spark, idx, "_n_centroids", 4, dels, part_col="cell"
+            )
+            == 2
+        )
+    finally:
+        os.remove(f"{idx}/cell=2/part-garbage.parquet")
+    table = spark.read.option("basePath", idx).parquet(idx)
+    assert table.count() == 42
+    masked = life.apply_tombstones(spark, idx, table)
+    assert masked.count() == 40
+    assert masked.filter(F.col("vec_id").isin(1, 101)).count() == 0
+
+
+def test_ingest_into_brand_new_partition_value(spark, tmp_path):
+    """A batch whose partition value has no dir yet (first rows of a new
+    cell) skips the anti-join entirely and appends cleanly; a replay of
+    the same batch then dedups against the now-existing dir."""
+    idx = str(tmp_path / "new_part")
+    rows = spark.createDataFrame(
+        [(i, 0) for i in range(5)], schema="vec_id long, cell int"
+    )
+    life.build_index(spark, idx, "_n_centroids", 2, rows, "cell", 2)
+    batch = spark.createDataFrame(
+        [(50, 7), (51, 7)], schema="vec_id long, cell int"
+    )
+    assert life.ingest_rows(spark, idx, "_n_centroids", 2, batch, "cell", 2) == 2
+    assert life.ingest_rows(spark, idx, "_n_centroids", 2, batch, "cell", 2) == 0
+    assert (
+        spark.read.option("basePath", idx).parquet(idx).count() == 7
+    )
+
+
+def test_tombstone_stats_and_overdue_warning(spark, tmp_path):
+    """Round-12 ask #6: index_file_stats reports pending tombstone count
+    and bytes, and apply_tombstones warns when the bytes cross the
+    conf'd broadcast-strain threshold — the 'compact overdue' signal."""
+    import warnings
+
+    idx = str(tmp_path / "tomb_stats")
+    rows = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], schema="vec_id long, cell int"
+    )
+    life.build_index(spark, idx, "_n_centroids", 2, rows, "cell", 2)
+    stats = life.index_file_stats(spark, idx, "cell").collect()
+    assert all(r["n_tombstones"] == 0 and r["tombstone_bytes"] == 0 for r in stats)
+    doomed = spark.createDataFrame([(2,), (4,)], schema="vec_id long")
+    assert life.delete_keys(spark, idx, "_n_centroids", 2, doomed) == 2
+    stats = life.index_file_stats(spark, idx, "cell").collect()
+    assert all(r["n_tombstones"] == 2 for r in stats)
+    assert all(r["tombstone_bytes"] > 0 for r in stats)
+    # under the default threshold: no warning on a masked read
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert life.pruned_scan(spark, idx, "cell", [0]).count() > 0
+    # drop the threshold below the pending bytes: every probe warns
+    spark.conf.set(life.TOMBSTONE_WARN_BYTES_CONF, "1")
+    try:
+        with pytest.warns(RuntimeWarning, match="compaction .* overdue"):
+            life.pruned_scan(spark, idx, "cell", [0]).count()
+    finally:
+        spark.conf.unset(life.TOMBSTONE_WARN_BYTES_CONF)
+    # compaction clears the signal
+    life.compact_index(spark, idx, "_n_centroids", "cell", 2)
+    stats = life.index_file_stats(spark, idx, "cell").collect()
+    assert all(r["n_tombstones"] == 0 and r["tombstone_bytes"] == 0 for r in stats)

@@ -29,10 +29,14 @@ from bert_etl_spark.operators import registry
 # named checkpoint_once builder — not by the number of queries run, and
 # THAT is the signal this test pins: a per-query leak grows monotonically
 # with the 283-query sweep and blows through any constant; the shared set
-# stays flat (clean-session sweep peaks at 12; full-suite runs start
-# higher from other files' memos). Keep the ceiling a small constant —
-# if it ever needs to scale with ALL_QUERIES, something is leaking.
-_SHARED_BOUND = 24
+# stays flat. Round-12: per-batch/iterative frames now release their
+# checkpointed RDDs deterministically (functions/release.py — Dataset.
+# unpersist was a silent no-op on localCheckpoints), so the bound is back
+# to the strict 16 the round-10 test shipped with; the remaining GC
+# allowance below exists ONLY for frames a query RETURNS (the caller
+# drops them after collect — nothing in-repo can release those earlier).
+# If this bound ever needs raising again, find the leak instead.
+_SHARED_BOUND = 16
 
 
 def _persisted_rdd_count(spark) -> int:

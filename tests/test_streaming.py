@@ -1154,3 +1154,45 @@ def test_cdc_apply_converges_and_replay_is_idempotent(spark, tmp_path):
     )
     cdc_apply_stream(s2, state, str(tmp_path / "ckpt3")).awaitTermination()
     assert snapshot() == first
+
+
+def test_cdc_apply_replay_safe_with_aqe_off(spark, tmp_path):
+    """Round-11 HIGH advice: a fresh-checkpoint replay re-delivers the
+    last epoch, so the apply writes v=N while the lazy merge still reads
+    v=N. The old overwrite-in-place only survived because AQE happened to
+    materialize the shuffle before the delete; with AQE off it emptied
+    the committed dir and then failed. The tmp-write + rename commit must
+    make the replay safe regardless of AQE."""
+    from bert_etl_spark.operators.advanced import _cdc_ops_frame
+    from bert_etl_spark.streaming.events import cdc_apply_stream, latest_cdc_state
+
+    ops = _cdc_ops_frame(spark, SF)
+    ops.coalesce(1).write.parquet(str(tmp_path / "in"))
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("k long, seq int, op string, price double")
+        .parquet(str(tmp_path / "in"))
+    )
+    state = str(tmp_path / "state")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cdc_apply_stream(stream(), state, str(tmp_path / "ck1")).awaitTermination()
+        first = sorted(
+            tuple(r)
+            for r in latest_cdc_state(spark, state)
+            .select("k", "seq", "op", "price")
+            .collect()
+        )
+        assert first
+        # one-file feed + fresh checkpoint => the replayed epoch_id
+        # COLLIDES with the committed version dir it reads from
+        cdc_apply_stream(stream(), state, str(tmp_path / "ck2")).awaitTermination()
+        after = sorted(
+            tuple(r)
+            for r in latest_cdc_state(spark, state)
+            .select("k", "seq", "op", "price")
+            .collect()
+        )
+        assert after == first
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
