@@ -177,6 +177,9 @@ HEADLINE = [
     "text_bm25_indexed",      # BM25 off the durable posting index
     "window_rolling_median",  # constant-frame robust smoothing
     "corpus_span_corruption", # T5-style deterministic span mask table
+    # round-12 family representatives
+    "sim_ivfpq_probe",        # durable IVF-PQ composite: pruned cells + ADC
+    "sim_ivfpq_recall",       # compression-cost recall vs brute force
 ]
 
 

@@ -1323,6 +1323,420 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Durable IVF-PQ composite index (round-12): the canonical billion-scale ANN
+# layout — IVF cell partitions holding PQ-COMPRESSED codes, probed by cell
+# path-pruning + ADC scoring inside the probed cells. Assembles three
+# existing proven pieces: the IVF cell assignment (sim_ivf), the PQ
+# encode/ADC math (sim_pq_adc), and the shared crash-safe lifecycle
+# (operators/index_lifecycle). Both quantizers FREEZE into the index dir at
+# build (the MaxSim ``_codebook`` pattern): ``_codebook`` (coarse/IVF
+# centroids) and ``_pq_codebook`` (M x K subspace codewords) — later
+# ingests assign against the frozen artifacts, never against the drifting
+# corpus. The index stores (vec_id, label, cell, codes): M small ints
+# instead of the float vector — the 32x memory cut that makes 100 TB of
+# embeddings probe-able off a fraction of the footprint.
+# Reference anchor: the persisted ETLDataset outliving its builder
+# (/root/reference/bert/etl/__init__.py:86-164); the math is FAISS IVFPQ's,
+# re-expressed as DataFrame ops.
+# ---------------------------------------------------------------------------
+
+IVFPQ_INDEX_DIR_CONF = "spark.bert_etl.ivfpq.indexDir"
+_IVFPQ_MARKER = "_n_centroids"
+_PQ_CODEBOOK_DIR = "_pq_codebook"
+
+
+def _ivfpq_index_dir(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(IVFPQ_INDEX_DIR_CONF, None)
+    except Exception:
+        return None
+
+
+def _pq_codebook_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic PQ codebooks: subvectors of the first PQ_K corpus
+    vectors, one codebook per subspace — (m, cid, cw). Same first-N
+    stand-in as the IVF centroids (sim_pq_adc's cb CTE)."""
+    prep = _prepared(spark, sf_dir).filter(F.col("vec_id") < PQ_K)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    return prep.select(F.col("vec_id").alias("cid"), ms, F.col("e")).select(
+        "m", "cid", F.slice("e", F.col("m") * PQ_DSUB + 1, PQ_DSUB).alias("cw")
+    )
+
+
+def read_pq_codebook(spark: SparkSession, index_dir: str) -> list:
+    """The frozen PQ codebook rows (m, cid, cw), ordered (m, cid)."""
+    return (
+        spark.read.parquet(f"{index_dir}/{_PQ_CODEBOOK_DIR}/*.parquet")
+        .orderBy("m", "cid")
+        .collect()
+    )
+
+
+def _pq_codes_col(pq_rows: list) -> Column:
+    """Constant-folded PQ encoder over the ``e`` column: array of PQ_M
+    code ids, code m = argmin-L2 codeword of subspace m (ties toward the
+    LOWEST cid via the negated-index struct-max, the _argmax_cell idiom —
+    matching the oracle's ROW_NUMBER(l2 ASC, cid) contract). M*K codeword
+    literals inline into whole-stage codegen: zero shuffle, zero join."""
+    by_m: dict[int, list] = {}
+    for r in pq_rows:
+        by_m.setdefault(int(r.m), []).append((int(r.cid), [float(x) for x in r.cw]))
+    codes = []
+    for m in range(PQ_M):
+        cw_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cw]) for _cid, cw in sorted(by_m[m])]
+        )
+        sv = F.slice(F.col("e"), m * PQ_DSUB + 1, PQ_DSUB)
+        l2 = lambda cw, sv=sv: F.aggregate(  # noqa: E731
+            F.zip_with(sv, cw, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        best = F.array_max(
+            F.transform(
+                cw_lit,
+                lambda cw, i: F.struct((-l2(cw)).alias("nl2"), (-i).alias("ncid")),
+            )
+        )
+        codes.append((-best["ncid"]).cast("int"))
+    return F.array(*codes)
+
+
+def _ivfpq_assign_plan(
+    spark: SparkSession, sf_dir: str, cent_rows: list, pq_rows: list
+) -> DataFrame:
+    """One narrow corpus pass producing the compressed index rows
+    (vec_id, label, cell, codes): coarse argmax + M argmin encodes, all
+    constant-folded — no float vector is stored (the compression IS the
+    index)."""
+    return _prepared(spark, sf_dir).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        _argmax_cell(cent_rows).cast("int").alias("cell"),
+        _pq_codes_col(pq_rows).alias("codes"),
+    )
+
+
+def _ivfpq_index_columns(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("codes"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+
+
+def ivfpq_build_or_open(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Ensure a standing IVF-PQ index at ``index_dir`` (shared lifecycle:
+    open recovers/refuses, build is sentinel-guarded, BOTH quantizers
+    freeze in the finalize hook before the marker commits)."""
+    from bert_etl_spark.operators.index_lifecycle import build_index, open_index
+
+    marker = open_index(spark, index_dir, _IVFPQ_MARKER, "cell")
+    if marker is not None and marker != N_CENTROIDS:
+        raise ValueError(
+            f"IVF-PQ index at {index_dir} was built with {marker} "
+            f"centroids but this build quantizes into {N_CENTROIDS} — "
+            "point the conf at a fresh dir or delete the stale index"
+        )
+    if marker is not None:
+        return
+    cent_rows = _ivf_centroids(spark, sf_dir).orderBy("cid").collect()
+    pq_rows = _pq_codebook_frame(spark, sf_dir).orderBy("m", "cid").collect()
+
+    def _freeze():
+        _write_codebook(spark, sf_dir, index_dir, _ivf_centroids(spark, sf_dir))
+        _pq_codebook_frame(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/{_PQ_CODEBOOK_DIR}")
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    build_index(
+        spark,
+        index_dir,
+        _IVFPQ_MARKER,
+        N_CENTROIDS,
+        _ivfpq_assign_plan(spark, sf_dir, cent_rows, pq_rows),
+        "cell",
+        min(n_parts, N_CENTROIDS),
+        finalize=_freeze,
+    )
+
+
+def ivfpq_index_ingest(spark: SparkSession, batch: DataFrame, index_dir: str) -> int:
+    """Ingest new vectors into the standing IVF-PQ index: assign cell AND
+    codes with the index's own frozen quantizers, then the shared
+    idempotent O(touched-partitions) append. ``batch``: (vec_id,
+    embedding[, label])."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows
+
+    if read_int_marker(spark, f"{index_dir}/{_IVFPQ_MARKER}") != N_CENTROIDS:
+        raise ValueError(
+            f"no standing IVF-PQ index at {index_dir} (or a drifted "
+            "layout) — build it first (ivfpq_build_or_open)"
+        )
+    cent_rows = read_codebook(spark, index_dir)
+    pq_rows = read_pq_codebook(spark, index_dir)
+    lbl = (
+        F.col("label").cast("int")
+        if "label" in batch.columns
+        else F.lit(None).cast("int")
+    )
+    assigned = (
+        batch.select("vec_id", lbl.alias("label"), F.col("embedding"))
+        .withColumn("e", as_double(F.col("embedding")))
+        .select(
+            "vec_id",
+            "label",
+            _argmax_cell(cent_rows).cast("int").alias("cell"),
+            _pq_codes_col(pq_rows).alias("codes"),
+        )
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    return ingest_rows(
+        spark,
+        index_dir,
+        _IVFPQ_MARKER,
+        N_CENTROIDS,
+        assigned,
+        "cell",
+        min(n_parts, N_CENTROIDS),
+    )
+
+
+def ivfpq_index_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """Always-on ingest of arriving vectors into the standing IVF-PQ
+    index (foreachBatch → ivfpq_index_ingest) — verb parity with the
+    other durable families; idempotent under replay via the shared
+    touched-partition anti-join."""
+    spark = stream.sparkSession
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        ivfpq_index_ingest(spark, batch_df, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivfpq_index_delete(spark: SparkSession, keys: DataFrame, index_dir: str) -> int:
+    """Tombstone-delete vectors from the standing IVF-PQ index (logical
+    until compact; probes mask immediately — the shared delete verb)."""
+    from bert_etl_spark.operators.index_lifecycle import delete_keys
+
+    return delete_keys(
+        spark, index_dir, _IVFPQ_MARKER, N_CENTROIDS, keys, part_col="cell"
+    )
+
+
+def ivfpq_index_compact(spark: SparkSession, index_dir: str) -> int:
+    """Compact the grown IVF-PQ index (applies pending tombstones, one
+    file per cell) through the shared crash-safe protocol."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import compact_index
+
+    if read_int_marker(spark, f"{index_dir}/{_IVFPQ_MARKER}") is None:
+        raise ValueError(
+            f"no standing IVF-PQ index at {index_dir} — nothing to compact"
+        )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    return compact_index(
+        spark, index_dir, _IVFPQ_MARKER, "cell", min(n_parts, N_CENTROIDS)
+    )
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
+    """Probe the standing IVF-PQ index: rank cells against the frozen
+    coarse codebook, path-prune to the probed cell dirs, ADC-score the
+    candidates' codes against the query's per-subspace LUT, top-k.
+
+    Scale shape: probes and the LUT are query-sized (broadcast); the
+    candidate side reads ONLY probed ``cell=`` dirs and only the slim
+    (vec_id, codes) columns — never a float vector, never the corpus; the
+    code explode is x M narrow; the ADC sum is a map-side-combined
+    partial agg on (q_id, vec_id) in exact decimals."""
+    cent = _codebook_frame(spark, index_dir)
+    if cent is None:
+        raise ValueError(f"index at {index_dir} has no frozen _codebook")
+    qprep = _prepared(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    probes = (
+        qprep.crossJoin(F.broadcast(cent))
+        .withColumn("_dot", dot(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("cid").cast("int").alias("cell"))
+    )
+    # query-side ADC lookup table off the FROZEN PQ codebook: one row per
+    # (q, m, codeword) = |Q| * M * K tiny rows
+    pq_rows = read_pq_codebook(spark, index_dir)
+    cb = spark.createDataFrame(
+        [(int(r.m), int(r.cid), [float(x) for x in r.cw]) for r in pq_rows],
+        "m int, cid int, cw array<double>",
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    qsub = qprep.select(F.col("vec_id").alias("q_id"), ms, F.col("e")).select(
+        "q_id", "m", F.slice("e", F.col("m") * PQ_DSUB + 1, PQ_DSUB).alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "q_id", "m", F.col("cid").alias("code"),
+        dot(F.col("qsub"), F.col("cw")).alias("p"),
+    )
+    from bert_etl_spark.operators.index_lifecycle import pruned_scan
+
+    cand = pruned_scan(spark, index_dir, "cell", _probed_cells(probes))
+    if cand is None:
+        raise ValueError(f"index at {index_dir} holds no probed cells")
+    pairs = (
+        cand.select("vec_id", "cell", "codes")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.posexplode("codes").alias("m", "code"))
+    )
+    adc = (
+        pairs.join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.round(dsum(F.col("p")), 6).alias("adc_dot"))
+    )
+    w_top = W.partitionBy("q_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dot", "rn")
+    )
+
+
+# shared oracle CTE block: IVF cells + PQ codes + probed-cell ADC
+_SQL_IVFPQ_CTES = f"""{_SQL_PREP},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    cscored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM cscored WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM cscored
+               WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+    sub AS (
+        SELECT vec_id, m, list_slice(e, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sv
+        FROM n, range({PQ_M}) t(m)
+    ),
+    cb AS (SELECT m, vec_id AS cid, sv AS cw FROM sub WHERE vec_id < {PQ_K}),
+    enc AS (
+        SELECT sub.vec_id, sub.m, cb.cid, cb.cw,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                   list_aggregate(list_transform(range({PQ_DSUB}),
+                       i -> (sv[i+1] - cw[i+1]) * (sv[i+1] - cw[i+1])), 'sum'),
+                   cb.cid) AS rn
+        FROM sub JOIN cb USING (m)
+    ),
+    codes AS (SELECT vec_id, m, cid, cw FROM enc WHERE rn = 1),
+    candidates AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    ),
+    q AS (SELECT vec_id AS q_id, m, sv AS qsub FROM sub WHERE vec_id < {N_QUERIES}),
+    partials AS (
+        SELECT cand.q_id, cand.neighbor_id,
+               list_aggregate(list_transform(range({PQ_DSUB}),
+                   i -> q.qsub[i+1] * c.cw[i+1]), 'sum') AS p
+        FROM candidates cand
+        JOIN codes c ON c.vec_id = cand.neighbor_id
+        JOIN q ON q.q_id = cand.q_id AND q.m = c.m
+    ),
+    adc AS (
+        SELECT q_id, neighbor_id, ROUND({sql_dsum('p')}, 6) AS adc_dot
+        FROM partials GROUP BY q_id, neighbor_id
+    )"""
+
+
+# The registered probe: build the durable composite index in a session-
+# scoped scratch dir (vanilla-session constraint, the sim_index_delete
+# idiom) unless a standing index is conf'd, then run the pure index-probe
+# plan — the driver hashing this green certifies build, frozen quantizers,
+# cell pruning, code storage, and ADC parity end to end.
+@query(
+    "sim_ivfpq_probe",
+    oracle=f"""
+    WITH {_SQL_IVFPQ_CTES}
+    SELECT * FROM (
+        SELECT q_id, neighbor_id, adc_dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    index_dir = _ivfpq_index_dir(spark)
+    if index_dir:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return _ivfpq_topk(spark, sf_dir, index_dir)
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_demo_")
+    shutil.rmtree(index_dir, ignore_errors=True)  # build needs a fresh dir
+    try:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return _ivfpq_topk(spark, sf_dir, index_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# Recall of the compressed probe vs exact brute force — the measurement
+# that prices the 32x compression (cell pruning AND code quantization
+# both cost recall; this query reports what is left).
+@query(
+    "sim_ivfpq_recall",
+    oracle=f"""
+    SELECT e.q_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST({TOP_K} AS BIGINT) AS k,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+               AS recall_at_k
+    FROM ({ALL_ORACLES_BRUTEFORCE}) e
+    LEFT JOIN (WITH {_SQL_IVFPQ_CTES}
+        SELECT * FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY adc_dot DESC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {TOP_K}) a
+      ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.q_id
+    """,
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = (
+        sim_ivfpq_probe(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.round(F.count("hit").cast("double") / TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 MAXSIM_GROUP = 8  # token vectors per multi-vector document
 MAXSIM_QUERY_DOCS = 3  # query set: the first 3 documents
 MAXSIM_K = 5

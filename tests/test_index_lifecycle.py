@@ -917,3 +917,103 @@ def test_tombstone_stats_and_overdue_warning(spark, tmp_path):
     life.compact_index(spark, idx, "_n_centroids", "cell", 2)
     stats = life.index_file_stats(spark, idx, "cell").collect()
     assert all(r["n_tombstones"] == 0 and r["tombstone_bytes"] == 0 for r in stats)
+
+
+# ---------------------------------------------------------------------------
+# durable IVF-PQ composite index (round-12 ask #2)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_conf_matches_scratch_and_prunes(spark, tmp_path):
+    """The conf'd standing IVF-PQ index returns exactly the scratch-path
+    results, stores NO float vectors (codes only), and its probe plan
+    path-prunes to the probed cells."""
+    base = _rows(spark, "sim_ivfpq_probe")
+    idx = str(tmp_path / "ivfpq")
+    spark.conf.set(sim.IVFPQ_INDEX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "sim_ivfpq_probe") == base and base
+        table = spark.read.option("basePath", idx).parquet(idx)
+        assert sorted(table.columns) == ["cell", "codes", "label", "vec_id"]
+        # frozen artifacts exist
+        assert read_int_marker(spark, f"{idx}/{sim._IVFPQ_MARKER}") == sim.N_CENTROIDS
+        assert len(sim.read_codebook(spark, idx)) == sim.N_CENTROIDS
+        assert len(sim.read_pq_codebook(spark, idx)) == sim.PQ_M * sim.PQ_K
+        # second run probes the standing index without a rebuild
+        before = _mtimes(idx)
+        assert _rows(spark, "sim_ivfpq_probe") == base
+        assert _mtimes(idx) == before
+    finally:
+        spark.conf.unset(sim.IVFPQ_INDEX_DIR_CONF)
+
+
+def test_ivfpq_ingest_stream_delete_compact_lifecycle(spark, tmp_path):
+    """All four maintenance verbs against the composite index: streamed
+    ingest is exactly-once, ingested codes equal a fresh encode, deletes
+    mask immediately, compaction applies them and keeps probe results."""
+    idx = str(tmp_path / "ivfpq_life")
+    sim.ivfpq_build_or_open(spark, SF, idx)
+    total = spark.read.option("basePath", idx).parquet(idx).count()
+    # pre-ingest probe baseline: the ingested vectors are EMBEDDING
+    # COPIES of the first corpus rows, so they WILL enter the top-k
+    # while live — delete+compact must restore exactly this result
+    probe_baseline = sorted(
+        tuple(r) for r in sim._ivfpq_topk(spark, SF, idx).collect()
+    )
+    # streamed ingest of brand-new vectors (shifted ids, real embeddings)
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+    ).limit(24)
+    emb.repartition(2).write.parquet(str(tmp_path / "feed"))
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "feed"))
+    )
+    sim.ivfpq_index_stream(stream(), idx, str(tmp_path / "ck1")).awaitTermination()
+    table = spark.read.option("basePath", idx).parquet(idx)
+    assert table.count() == total + 24
+    # replay through a fresh checkpoint: nothing appended
+    sim.ivfpq_index_stream(stream(), idx, str(tmp_path / "ck2")).awaitTermination()
+    assert spark.read.option("basePath", idx).parquet(idx).count() == total + 24
+    # ingested rows carry the same (cell, codes) a fresh frozen-quantizer
+    # encode of the same vectors produces
+    cent_rows = sim.read_codebook(spark, idx)
+    pq_rows = sim.read_pq_codebook(spark, idx)
+    expect = (
+        emb.withColumn("e", sim.as_double(F.col("embedding")))
+        .select(
+            "vec_id",
+            sim._argmax_cell(cent_rows).cast("int").alias("cell"),
+            sim._pq_codes_col(pq_rows).alias("codes"),
+        )
+    )
+    got = spark.read.option("basePath", idx).parquet(idx).filter(
+        F.col("vec_id") >= 3_000_000
+    ).select("vec_id", "cell", "codes")
+    assert sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in got.collect()
+    ) == sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in expect.collect()
+    )
+    # while live, the ingested copies displace baseline neighbors
+    probe_live = sorted(
+        tuple(r) for r in sim._ivfpq_topk(spark, SF, idx).collect()
+    )
+    assert probe_live != probe_baseline
+    assert any(r[1] >= 3_000_000 for r in probe_live)
+    # delete + masked probe + compact
+    doomed = spark.range(3_000_000, 3_000_024).select(F.col("id").alias("vec_id"))
+    assert sim.ivfpq_index_delete(spark, doomed, idx) == 24
+    masked = life.apply_tombstones(
+        spark, idx, spark.read.option("basePath", idx).parquet(idx)
+    )
+    assert masked.filter(F.col("vec_id") >= 3_000_000).count() == 0
+    assert sim.ivfpq_index_compact(spark, idx) == total
+    assert life.tombstones(spark, idx) is None
+    physical = spark.read.option("basePath", idx).parquet(idx)
+    assert physical.count() == total
+    stats = life.index_file_stats(spark, idx, "cell").collect()
+    assert all(r["n_files"] == 1 for r in stats)
+    probe_after = sorted(tuple(r) for r in sim._ivfpq_topk(spark, SF, idx).collect())
+    assert probe_after == probe_baseline  # tombstones behave like never-existed
