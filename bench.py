@@ -180,6 +180,7 @@ HEADLINE = [
     # round-12 family representatives
     "sim_ivfpq_probe",        # durable IVF-PQ composite: pruned cells + ADC
     "sim_ivfpq_recall",       # compression-cost recall vs brute force
+    "sim_hybrid_rrf_indexed", # RRF fusion of two INDEX probes, zero corpus
 ]
 
 

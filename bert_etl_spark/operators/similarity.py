@@ -2981,6 +2981,170 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# INDEXED hybrid retrieval (round-12): the same RRF fusion, but both legs
+# ride the DURABLE indexes — the dense leg probes the at-rest IVF cell
+# index (path-pruned candidates carrying their vectors), the lexical leg
+# probes the at-rest posting index (bucket-pruned, frozen stats). ZERO
+# corpus/documents/embeddings access in the probe plan: the only
+# construction-time reads outside the index dirs are the 1-row query-
+# vector lookup (the query ARRIVES in a real system — here it is corpus
+# vector 0, fetched once, bounded) and the frozen-codebook collect that
+# ranks cells on the driver. This is the query a RAG user copies: index
+# once, then every retrieval costs O(probed cells + matching postings).
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_indexed_plan(
+    spark: SparkSession, sf_dir: str, ivf_dir: str, tix_dir: str
+) -> DataFrame:
+    """The fused probe plan over two STANDING indexes (both must exist —
+    callers build/open first). Every file this plan reads lives under
+    ``ivf_dir`` or ``tix_dir`` (pinned by the lifecycle plan test)."""
+    from bert_etl_spark.operators.global_order import rank_bounded
+    from bert_etl_spark.operators.index_lifecycle import pruned_scan
+    from bert_etl_spark.operators.text import bm25_scores_indexed
+
+    # query arrival: ONE bounded row (vec_id = 0) — the analog of the
+    # encoder handing over the query embedding; not part of the probe plan
+    q = (
+        _prepared(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("e", "nrm")
+        .collect()[0]
+    )
+    qe, qnrm = [float(x) for x in q["e"]], float(q["nrm"])
+    # rank cells on the driver against the FROZEN codebook (|C| dots over
+    # one collected row — metadata-scale, the _probed_cells idiom)
+    cent_rows = read_codebook(spark, ivf_dir)
+    scored = sorted(
+        (
+            -sum(a * b for a, b in zip(qe, [float(x) for x in r.ce])),
+            int(r.cid),
+        )
+        for r in cent_rows
+    )
+    cells = sorted(cid for _negdot, cid in scored[:N_PROBES])
+    cand = pruned_scan(spark, ivf_dir, "cell", cells)
+    if cand is None:
+        raise ValueError(f"IVF index at {ivf_dir} holds no probed cells")
+    qe_lit = F.array(*[F.lit(x) for x in qe])
+    cos = dot(F.col("e"), qe_lit) / (F.col("nrm") * F.lit(qnrm))
+    dense_top = (
+        _ivf_index_columns(cand)
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(RRF_POOL)
+    )
+    dense = rank_bounded(
+        dense_top, [F.desc("cosine"), F.col("vec_id")], "dense_rank"
+    ).select(F.col("vec_id").alias("id"), "dense_rank")
+    lex_top = (
+        bm25_scores_indexed(spark, sf_dir, tix_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_POOL)
+    )
+    lex = rank_bounded(
+        lex_top, [F.desc("bm25"), F.col("doc_id")], "lex_rank"
+    ).select(F.col("doc_id").alias("id"), "lex_rank")
+    fused = dense.join(lex, "id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (RRF_K0 + F.col("dense_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K0 + F.col("lex_rank")), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "id")
+        .limit(RRF_TOP_K)
+        .select(
+            "id", "dense_rank", "lex_rank", F.round("rrf", 6).alias("rrf_score")
+        )
+    )
+
+
+@query(
+    "sim_hybrid_rrf_indexed",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    {SQL_BM25_CTES},
+    hcent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+    hscored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, hcent c
+    ),
+    hassign AS (SELECT vec_id, cid AS cell FROM hscored WHERE rn = 1),
+    hprobes AS (SELECT cid AS cell FROM hscored
+                WHERE vec_id = 0 AND rn <= {N_PROBES}),
+    dense AS (
+        SELECT c.vec_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY {_SQL_COS} DESC, c.vec_id)
+                    AS INTEGER) AS dense_rank
+        FROM n q
+        JOIN n c ON c.vec_id != 0
+        JOIN hassign a ON a.vec_id = c.vec_id
+        JOIN hprobes p ON p.cell = a.cell
+        WHERE q.vec_id = 0
+        QUALIFY dense_rank <= {RRF_POOL}
+    ),
+    lex AS (
+        SELECT doc_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INTEGER) AS lex_rank
+        FROM bscore
+        QUALIFY lex_rank <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(dense.id, lex.id) AS id, dense_rank, lex_rank,
+               COALESCE(1.0 / ({RRF_K0} + dense_rank), 0.0)
+                   + COALESCE(1.0 / ({RRF_K0} + lex_rank), 0.0) AS rrf
+        FROM dense FULL OUTER JOIN lex ON dense.id = lex.id
+    )
+    SELECT id, dense_rank, lex_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, id
+    LIMIT {RRF_TOP_K}
+    """,
+)
+def sim_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.operators.text import (
+        TEXTIDX_DIR_CONF as _TIX_CONF,
+        _textidx_open_or_build,
+    )
+
+    ivf_dir = _ivf_index_dir(spark)
+    tix_dir = None
+    try:
+        tix_dir = spark.conf.get(_TIX_CONF, None)
+    except Exception:
+        pass
+    scratch: list[str] = []
+    try:
+        if not ivf_dir:
+            ivf_dir = tempfile.mkdtemp(prefix="hybrid_ivf_")
+            shutil.rmtree(ivf_dir, ignore_errors=True)
+            scratch.append(ivf_dir)
+        if not tix_dir:
+            tix_dir = tempfile.mkdtemp(prefix="hybrid_tix_")
+            shutil.rmtree(tix_dir, ignore_errors=True)
+            scratch.append(tix_dir)
+        _ivf_assign(spark, sf_dir, ivf_dir)  # build or reopen (idempotent)
+        _textidx_open_or_build(spark, sf_dir, tix_dir)
+        plan = _hybrid_indexed_plan(spark, sf_dir, ivf_dir, tix_dir)
+        if scratch:  # materialize before the scratch dirs disappear
+            return plan.localCheckpoint(eager=True)
+        return plan
+    finally:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # MMR result diversification (Carbonell/Goldstein '98): greedily re-rank a
 # retrieval pool balancing query relevance against redundancy with what's
 # already selected — the standard post-retrieval step when near-duplicate

@@ -1017,3 +1017,40 @@ def test_ivfpq_ingest_stream_delete_compact_lifecycle(spark, tmp_path):
     assert all(r["n_files"] == 1 for r in stats)
     probe_after = sorted(tuple(r) for r in sim._ivfpq_topk(spark, SF, idx).collect())
     assert probe_after == probe_baseline  # tombstones behave like never-existed
+
+
+def test_hybrid_rrf_indexed_reads_only_index_paths(spark, tmp_path):
+    """Round-12 ask #3: the indexed hybrid retrieval's probe plan reads
+    ONLY the two standing indexes — zero corpus/documents/embeddings
+    access at query time — and matches the conf'd/scratch paths."""
+    from bert_etl_spark.operators import text as tx
+
+    base = _rows(spark, "sim_hybrid_rrf_indexed")  # scratch path
+    ivf = str(tmp_path / "ivf")
+    tix = str(tmp_path / "tix")
+    spark.conf.set(sim.IVF_INDEX_DIR_CONF, ivf)
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, tix)
+    try:
+        df = registry.ALL_QUERIES["sim_hybrid_rrf_indexed"](spark, SF)
+        rows = sorted(tuple(r) for r in df.collect())
+        assert rows == base and rows
+        files = df.inputFiles()
+        assert files
+        assert all(f"{ivf}/" in f or f"{tix}/" in f for f in files), files
+        assert not any(
+            "embeddings.parquet" in f or "documents.parquet" in f
+            for f in files
+        )
+        # the candidate sides are pruned: only cell=/bucket= data dirs
+        # (plus the frozen stats artifact) appear
+        for f in files:
+            assert (
+                "/cell=" in f or "/bucket=" in f or "/_collection_stats/" in f
+            ), f
+        probed_cells = {f.split("/cell=")[1].split("/")[0] for f in files if "/cell=" in f}
+        assert len(probed_cells) <= sim.N_PROBES
+        probed_buckets = {f.split("/bucket=")[1].split("/")[0] for f in files if "/bucket=" in f}
+        assert len(probed_buckets) <= len(tx.BM25_TERMS)
+    finally:
+        spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
