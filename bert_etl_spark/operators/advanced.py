@@ -675,6 +675,144 @@ def _lineitem_for_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
 
 
+# Round-12: the graph family's AT-REST form. The four similarity/text
+# index families all graduated to durable tables; the shared co-purchase
+# edge build — the single most expensive stage of every graph query
+# (90-215 s at the 100x replica) — was still re-paid once per session.
+# With ``spark.bert_etl.graph.edgeTableDir`` set, the edge set persists
+# as a partitionBy(ebkt) parquet table (ebkt = xxhash64(u) mod 16:
+# partitioned by SOURCE node, so a neighbors-of-u lookup path-prunes to
+# one dir) through the shared crash-safe lifecycle — marker, sentinels,
+# idempotent pkey-deduped ingest, tombstone deletes, compaction. The
+# warm path is a pure FileScan: no self-join, no aggregation, no build
+# stage (pinned by a plan test). NOTE the partition dirs are a
+# maintenance/pruning layout, NOT a co-partitioning contract for the
+# iterated joins — those still choose broadcast vs shuffle per
+# spark.bert_etl.graph.broadcastNodeLimit; the bucketed-at-rest BUILD
+# input (graph.lineitemTable) remains the build-time lever.
+GRAPH_EDGE_DIR_CONF = "spark.bert_etl.graph.edgeTableDir"
+_EDGE_MARKER = "_n_buckets"
+GRAPH_EDGE_BUCKETS = 16
+
+
+def _edge_bucket(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(GRAPH_EDGE_BUCKETS)).cast("int")
+
+
+def _edges_assign_plan(li: DataFrame) -> DataFrame:
+    """The durable edge rows: (u, v, pkey, ebkt). pkey = 'u|v' is the
+    ingest-idempotence key (an edge re-offered by a replayed batch
+    collapses); ebkt is a pure function of u, so a re-delivered edge
+    lands in its standing row's partition (the touched-partition
+    anti-join's losslessness condition)."""
+    return (
+        _copurchase_edge_plan(li)
+        .withColumn("pkey", F.concat_ws("|", "u", "v"))
+        .withColumn("ebkt", _edge_bucket("u"))
+    )
+
+
+def graph_edges_build_or_open(
+    spark: SparkSession, sf_dir: str, edge_dir: str
+) -> None:
+    """Ensure a standing edge table at ``edge_dir`` (shared lifecycle:
+    open recovers/refuses, build is sentinel-guarded)."""
+    from bert_etl_spark.operators.index_lifecycle import build_index, open_index
+
+    marker = open_index(spark, edge_dir, _EDGE_MARKER, "ebkt")
+    if marker is not None and marker != GRAPH_EDGE_BUCKETS:
+        raise ValueError(
+            f"edge table at {edge_dir} was built with {marker} buckets "
+            f"but this build hashes into {GRAPH_EDGE_BUCKETS} — the bucket "
+            "modulus is a persistent layout property; point the conf at a "
+            "fresh dir or delete the stale table"
+        )
+    if marker is not None:
+        return
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    build_index(
+        spark,
+        edge_dir,
+        _EDGE_MARKER,
+        GRAPH_EDGE_BUCKETS,
+        _edges_assign_plan(_lineitem_for_edges(spark, sf_dir)),
+        "ebkt",
+        min(n_parts, GRAPH_EDGE_BUCKETS),
+    )
+
+
+def graph_edges_ingest(spark: SparkSession, batch: DataFrame, edge_dir: str) -> int:
+    """Idempotent append of new edges (u, v) into the standing table —
+    the shared O(touched-partitions) ingest verb (an edge feed from a new
+    lineitem delta, an external graph mutation stream)."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows
+
+    if read_int_marker(spark, f"{edge_dir}/{_EDGE_MARKER}") != GRAPH_EDGE_BUCKETS:
+        raise ValueError(
+            f"no standing edge table at {edge_dir} (or a drifted layout) "
+            "— build it first (graph_edges_build_or_open)"
+        )
+    assigned = (
+        batch.select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+        )
+        .withColumn("pkey", F.concat_ws("|", "u", "v"))
+        .withColumn("ebkt", _edge_bucket("u"))
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    return ingest_rows(
+        spark,
+        edge_dir,
+        _EDGE_MARKER,
+        GRAPH_EDGE_BUCKETS,
+        assigned,
+        "ebkt",
+        min(n_parts, GRAPH_EDGE_BUCKETS),
+        key="pkey",
+    )
+
+
+def graph_edges_delete(spark: SparkSession, keys: DataFrame, edge_dir: str) -> int:
+    """Tombstone-delete edges by pkey ('u|v') — masked from every read
+    immediately, applied physically at the next compact. A feed carrying
+    ebkt gets the pruned liveness check."""
+    from bert_etl_spark.operators.index_lifecycle import delete_keys
+
+    return delete_keys(
+        spark,
+        edge_dir,
+        _EDGE_MARKER,
+        GRAPH_EDGE_BUCKETS,
+        keys,
+        key="pkey",
+        part_col="ebkt",
+    )
+
+
+def graph_edges_compact(spark: SparkSession, edge_dir: str) -> int:
+    """Compact the grown edge table (applies tombstones) through the
+    shared crash-safe protocol."""
+    from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.operators.index_lifecycle import compact_index
+
+    if read_int_marker(spark, f"{edge_dir}/{_EDGE_MARKER}") is None:
+        raise ValueError(
+            f"no standing edge table at {edge_dir} — nothing to compact"
+        )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    return compact_index(
+        spark,
+        edge_dir,
+        _EDGE_MARKER,
+        "ebkt",
+        min(n_parts, GRAPH_EDGE_BUCKETS),
+        key="pkey",
+    )
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase part graph shared by the graph family: distinct
     (u < v) part pairs co-occurring in >= MIN_SUPPORT orders, materialized
@@ -710,7 +848,27 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — measured 90.8 s vs 214.6 s plain at the 100× replica (2.4×),
     for a one-time ~12 s bucketed write. The build dominates the graph
     family at scale, so this is the family's biggest single lever.
-    """
+
+    Round-12 durable form: with ``spark.bert_etl.graph.edgeTableDir``
+    set, the edge set is a standing partitionBy(ebkt) table through the
+    shared lifecycle — the warm path reads it with NO build stage at all
+    (a session re-pays nothing; the build runs once, ever, per corpus),
+    tombstones masked like every durable family."""
+    edge_dir = spark.conf.get(GRAPH_EDGE_DIR_CONF, None)
+    if edge_dir:
+        from bert_etl_spark.operators.index_lifecycle import apply_tombstones
+
+        graph_edges_build_or_open(spark, sf_dir, edge_dir)
+        table = apply_tombstones(
+            spark,
+            edge_dir,
+            spark.read.option("basePath", edge_dir).parquet(edge_dir),
+            key="pkey",
+        )
+        return table.select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+        )
     edges = _copurchase_edge_plan(_lineitem_for_edges(spark, sf_dir))
     return checkpoint_once(edges, "copurchase_edges", sf_dir)
 

@@ -1054,3 +1054,78 @@ def test_hybrid_rrf_indexed_reads_only_index_paths(spark, tmp_path):
     finally:
         spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
         spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+
+
+# ---------------------------------------------------------------------------
+# durable co-purchase edge table (round-12 ask #4)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_edges_at_rest_parity_and_no_build_stage(spark, tmp_path):
+    """With spark.bert_etl.graph.edgeTableDir set, the graph family reads
+    the standing edge table: identical results for PageRank and connected
+    components, and the warm edge plan has NO build stage (no self-join,
+    no aggregation, no lineitem scan — a pure FileScan of the edge dir)."""
+    from bert_etl_spark.operators import advanced as adv
+
+    pr_base = _rows(spark, "graph_pagerank_iter")
+    cc_base = _rows(spark, "graph_connected_components")
+    edir = str(tmp_path / "edges")
+    spark.conf.set(adv.GRAPH_EDGE_DIR_CONF, edir)
+    try:
+        # the conf'd path must not reuse the session checkpoint memo
+        registry.release_internals()
+        assert _rows(spark, "graph_pagerank_iter") == pr_base and pr_base
+        assert _rows(spark, "graph_connected_components") == cc_base and cc_base
+        # warm path: open, no rebuild (mtimes frozen), no build stage
+        before = _mtimes(edir)
+        edges = adv.copurchase_edges(spark, SF)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "lineitem" not in plan
+        assert "Join" not in plan  # the O(E) self-join never runs warm
+        assert "HashAggregate" not in plan  # nor the support count
+        files = edges.inputFiles()
+        assert files and all(f"{edir}/" in f for f in files)
+        assert edges.count() > 0
+        assert _mtimes(edir) == before
+    finally:
+        spark.conf.unset(adv.GRAPH_EDGE_DIR_CONF)
+        registry.release_internals()
+
+
+def test_graph_edges_ingest_delete_compact(spark, tmp_path):
+    """The edge table's maintenance verbs through the shared lifecycle:
+    idempotent ingest, tombstone delete masking every read, compaction
+    applying them physically."""
+    from bert_etl_spark.operators import advanced as adv
+
+    edir = str(tmp_path / "edges_life")
+    adv.graph_edges_build_or_open(spark, SF, edir)
+    table = spark.read.option("basePath", edir).parquet(edir)
+    total = table.count()
+    batch = spark.createDataFrame(
+        [(900001, 900002), (900001, 900003)], schema="u long, v long"
+    )
+    assert adv.graph_edges_ingest(spark, batch, edir) == 2
+    assert adv.graph_edges_ingest(spark, batch, edir) == 0  # replay no-op
+    doomed = spark.createDataFrame(
+        [("900001|900002",)], schema="pkey string"
+    )
+    assert adv.graph_edges_delete(spark, doomed, edir) == 1
+    spark.conf.set(adv.GRAPH_EDGE_DIR_CONF, edir)
+    try:
+        registry.release_internals()
+        edges = adv.copurchase_edges(spark, SF)
+        assert edges.filter(
+            (F.col("u") == 900001) & (F.col("v") == 900002)
+        ).count() == 0
+        assert edges.filter(
+            (F.col("u") == 900001) & (F.col("v") == 900003)
+        ).count() == 1
+    finally:
+        spark.conf.unset(adv.GRAPH_EDGE_DIR_CONF)
+        registry.release_internals()
+    assert adv.graph_edges_compact(spark, edir) == total + 1
+    assert life.tombstones(spark, edir) is None
+    stats = life.index_file_stats(spark, edir, "ebkt").collect()
+    assert all(r["n_files"] == 1 for r in stats)
