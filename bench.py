@@ -181,6 +181,7 @@ HEADLINE = [
     "sim_ivfpq_probe",        # durable IVF-PQ composite: pruned cells + ADC
     "sim_ivfpq_recall",       # compression-cost recall vs brute force
     "sim_hybrid_rrf_indexed", # RRF fusion of two INDEX probes, zero corpus
+    "sim_mmr_batch",          # per-query-group greedy MMR in applyInPandas
 ]
 
 

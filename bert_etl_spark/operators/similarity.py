@@ -3250,7 +3250,9 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = {r["id"]: r["rel"] for r in pool.select("id", "rel").collect()}
     sim = {(r["ai"], r["bi"]): r["sim"] for r in sims.collect()}
-    pool.unpersist()  # result is driver-built below; release the blocks now
+    from bert_etl_spark.functions.release import release
+
+    release(pool)  # result is driver-built below; free the blocks now
     lam = MMR_LAMBDA
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []
@@ -3269,6 +3271,158 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining.discard(best_id)
     return spark.createDataFrame(
         selected, schema="id long, mmr_rank int, mmr_score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch MMR (round-12): the same greedy diversification for a query SET.
+# sim_mmr_diversify's driver-side loop is right for one query; the batch
+# retrieval shape (every query of a serving batch gets a diversified
+# top-k) moves the greedy INSIDE applyInPandas, one group per query —
+# thousands of queries diversify in parallel, each group's work strictly
+# bounded: MMR_POOL rows in, O(k * pool^2 * dim) float ops, MMR_K rows
+# out. Pairwise pool similarities are computed inside the group from the
+# pool's own vectors (pool x dim floats shipped once per group) with
+# SEQUENTIAL left-to-right accumulation — bit-identical to F.aggregate
+# and DuckDB's list_aggregate, so the unrolled-CTE oracle hash-matches.
+# The oracle unrolls the per-query greedy rounds with a rank-1 pick per
+# (round, q_id) — _sql_mmr's shape lifted to a partitioned window.
+# ---------------------------------------------------------------------------
+
+
+def _sql_mmr_batch(k: int) -> str:
+    """Unrolled per-query MMR greedy selection (DuckDB CTEs over the
+    q_id-keyed pool/sims)."""
+    lam = MMR_LAMBDA
+    ctes = [
+        f"""s1 AS (
+        SELECT q_id, id, {lam} * rel AS score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY {lam} * rel DESC, id) AS rn
+        FROM pool
+    ),
+    cum1 AS (SELECT q_id, id, 1 AS mmr_rank, score FROM s1 WHERE rn = 1)"""
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""s{i}b AS (
+        SELECT p.q_id, p.id,
+               {lam} * p.rel - (1 - {lam}) * MAX(s.sim) AS score
+        FROM pool p
+        JOIN sims s ON s.q_id = p.q_id AND s.ai = p.id
+        JOIN cum{i - 1} c ON c.q_id = s.q_id AND c.id = s.bi
+        WHERE NOT EXISTS (SELECT 1 FROM cum{i - 1} c2
+                          WHERE c2.q_id = p.q_id AND c2.id = p.id)
+        GROUP BY p.q_id, p.id, p.rel
+    ),
+    s{i} AS (
+        SELECT q_id, id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, id) AS rn
+        FROM s{i}b
+    ),
+    cum{i} AS (
+        SELECT * FROM cum{i - 1}
+        UNION ALL SELECT q_id, id, {i}, score FROM s{i} WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _mmr_greedy_group(pdf):
+    """The greedy MMR rounds for ONE query's pool (runs inside
+    applyInPandas). All accumulation is sequential left-to-right float64
+    — the exact arithmetic of F.aggregate and list_aggregate."""
+    import math
+
+    import pandas as pd
+
+    rows = pdf.sort_values("id")
+    q_id = int(rows["q_id"].iloc[0])
+    ids = [int(x) for x in rows["id"]]
+    rel = {i: float(r) for i, r in zip(ids, rows["rel"])}
+    vecs = {i: [float(x) for x in e] for i, e in zip(ids, rows["e"])}
+
+    def sdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    nrm = {i: math.sqrt(sdot(v, v)) for i, v in vecs.items()}
+    lam = MMR_LAMBDA
+    chosen: list[int] = []
+    out: list[tuple[int, int, int, float]] = []
+    remaining = set(ids)
+    for rank in range(1, MMR_K + 1):
+        if not remaining:
+            break
+        best_id, best_score = None, None
+        for i in sorted(remaining):
+            msim = max(
+                (
+                    sdot(vecs[i], vecs[s]) / (nrm[i] * nrm[s])
+                    for s in chosen
+                ),
+                default=None,
+            )
+            score = (
+                lam * rel[i]
+                if msim is None
+                else lam * rel[i] - (1 - lam) * msim
+            )
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        out.append((q_id, best_id, rank, round(best_score, 6)))
+        chosen.append(best_id)
+        remaining.discard(best_id)
+    return pd.DataFrame(
+        out, columns=["q_id", "id", "mmr_rank", "mmr_score"]
+    )
+
+
+@query(
+    "sim_mmr_batch",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    pool AS (
+        SELECT q_id, id, rel FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS id, {_SQL_COS} AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {MMR_POOL}
+    ),
+    sims AS (
+        SELECT p1.q_id, p1.id AS ai, p2.id AS bi, {_SQL_COS} AS sim
+        FROM pool p1
+        JOIN pool p2 ON p2.q_id = p1.q_id AND p2.id != p1.id
+        JOIN n q ON q.vec_id = p1.id
+        JOIN n c ON c.vec_id = p2.id
+    ),
+    {{MMR_CTES}}
+    SELECT q_id, id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           ROUND(score, 6) AS mmr_score
+    FROM cum{MMR_K}
+    """.replace("{MMR_CTES}", _sql_mmr_batch(MMR_K)),
+)
+def sim_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = _prepared(spark, sf_dir)
+    queries = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pool = topk_neighbors(prep, queries, MMR_POOL).select(
+        "q_id",
+        F.col("vec_id").alias("id"),
+        F.col("cosine").alias("rel"),
+        "e",
+    )
+    return pool.groupBy("q_id").applyInPandas(
+        _mmr_greedy_group,
+        schema="q_id long, id long, mmr_rank int, mmr_score double",
     )
 
 
