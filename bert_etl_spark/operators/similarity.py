@@ -1551,9 +1551,22 @@ def ivfpq_index_compact(spark: SparkSession, index_dir: str) -> int:
 
 
 def _ivfpq_topk(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
+    """Top-k window over the ADC scores (_ivfpq_adc)."""
+    adc = _ivfpq_adc(spark, sf_dir, index_dir)
+    w_top = W.partitionBy("q_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dot", "rn")
+    )
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
     """Probe the standing IVF-PQ index: rank cells against the frozen
     coarse codebook, path-prune to the probed cell dirs, ADC-score the
-    candidates' codes against the query's per-subspace LUT, top-k.
+    candidates' codes against the query's per-subspace LUT — returns
+    (q_id, neighbor_id, adc_dot), shared by the top-k and exact-rerank
+    stages.
 
     Scale shape: probes and the LUT are query-sized (broadcast); the
     candidate side reads ONLY probed ``cell=`` dirs and only the slim
@@ -1599,16 +1612,10 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"),
                 F.posexplode("codes").alias("m", "code"))
     )
-    adc = (
+    return (
         pairs.join(F.broadcast(lut), ["q_id", "m", "code"])
         .groupBy("q_id", "neighbor_id")
         .agg(F.round(dsum(F.col("p")), 6).alias("adc_dot"))
-    )
-    w_top = W.partitionBy("q_id").orderBy(F.desc("adc_dot"), "neighbor_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "neighbor_id", "adc_dot", "rn")
     )
 
 
@@ -1685,11 +1692,114 @@ def sim_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if index_dir:
         ivfpq_build_or_open(spark, sf_dir, index_dir)
         return _ivfpq_topk(spark, sf_dir, index_dir)
+    # scratch path: the tiny top-k RESULT is memoized per session (the
+    # checkpoint_once family memo) so sim_ivfpq_recall — which consumes
+    # this probe — does not pay a second scratch index build
+    hit = checkpoint_get(spark, "ivfpq_probe_scratch", sf_dir)
+    if hit is not None:
+        return hit
     index_dir = tempfile.mkdtemp(prefix="ivfpq_demo_")
     shutil.rmtree(index_dir, ignore_errors=True)  # build needs a fresh dir
     try:
         ivfpq_build_or_open(spark, sf_dir, index_dir)
-        return _ivfpq_topk(spark, sf_dir, index_dir).localCheckpoint(eager=True)
+        return checkpoint_once(
+            _ivfpq_topk(spark, sf_dir, index_dir),
+            "ivfpq_probe_scratch",
+            sf_dir,
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# The third stage of the production IVF-PQ pipeline: EXACT RE-RANK of the
+# ADC shortlist. ADC ordering is approximate twice over (cell pruning +
+# code quantization); the standard fix is a shortlist R > k by ADC, then
+# exact scoring of just those R ids against the original vectors. Scale
+# shape: the shortlist is |Q| x R ids (broadcast); the original vectors
+# come from ONE pass over the embeddings scan pruned by the broadcast
+# semi-join (at rest the vector store is the slow/big tier — the index
+# held only codes, which is the point); the final window ranks R rows
+# per query. Fetch cost is one bounded-output corpus scan per query
+# BATCH, not per query.
+
+IVFPQ_RERANK_R = 3 * TOP_K  # ADC shortlist size per query
+
+
+@query(
+    "sim_ivfpq_rerank",
+    oracle=f"""
+    WITH {_SQL_IVFPQ_CTES},
+    shortlist AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY adc_dot DESC, neighbor_id) AS arn
+            FROM adc
+        ) WHERE arn <= {IVFPQ_RERANK_R}
+    )
+    SELECT * FROM (
+        SELECT s.q_id, s.neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                    ORDER BY {_SQL_COS} DESC, s.neighbor_id) AS INTEGER) AS rn
+        FROM shortlist s
+        JOIN n q ON q.vec_id = s.q_id
+        JOIN n c ON c.vec_id = s.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    def _rerank(index_dir: str) -> DataFrame:
+        adc = _ivfpq_adc(spark, sf_dir, index_dir)
+        w_short = W.partitionBy("q_id").orderBy(
+            F.desc("adc_dot"), "neighbor_id"
+        )
+        shortlist = (
+            adc.withColumn("arn", F.row_number().over(w_short))
+            .filter(F.col("arn") <= IVFPQ_RERANK_R)
+            .select("q_id", "neighbor_id")
+        )
+        prep = _prepared(spark, sf_dir)
+        qside = prep.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        ).filter(F.col("q_id") < N_QUERIES)
+        cand = prep.select(
+            F.col("vec_id").alias("neighbor_id"), "e", "nrm"
+        ).join(F.broadcast(shortlist), "neighbor_id")
+        cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+        w_top = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+        return (
+            cand.join(F.broadcast(qside), "q_id")
+            .withColumn("cosine", cos)
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") <= TOP_K)
+            .select(
+                "q_id",
+                "neighbor_id",
+                F.round("cosine", 6).alias("cosine"),
+                "rn",
+            )
+        )
+
+    index_dir = _ivfpq_index_dir(spark)
+    if index_dir:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return _rerank(index_dir)
+    hit = checkpoint_get(spark, "ivfpq_rerank_scratch", sf_dir)
+    if hit is not None:
+        return hit
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_rr_")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    try:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return checkpoint_once(
+            _rerank(index_dir), "ivfpq_rerank_scratch", sf_dir
+        )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
