@@ -762,6 +762,9 @@ def graph_edges_ingest(spark: SparkSession, batch: DataFrame, edge_dir: str) -> 
         .withColumn("pkey", F.concat_ws("|", "u", "v"))
         .withColumn("ebkt", _edge_bucket("u"))
     )
+    from bert_etl_spark.operators.registry import checkpoint_invalidate
+
+    checkpoint_invalidate(spark, "copurchase_edges_at_rest", edge_dir)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
     return ingest_rows(
         spark,
@@ -781,6 +784,9 @@ def graph_edges_delete(spark: SparkSession, keys: DataFrame, edge_dir: str) -> i
     ebkt gets the pruned liveness check."""
     from bert_etl_spark.operators.index_lifecycle import delete_keys
 
+    from bert_etl_spark.operators.registry import checkpoint_invalidate
+
+    checkpoint_invalidate(spark, "copurchase_edges_at_rest", edge_dir)
     return delete_keys(
         spark,
         edge_dir,
@@ -802,6 +808,9 @@ def graph_edges_compact(spark: SparkSession, edge_dir: str) -> int:
         raise ValueError(
             f"no standing edge table at {edge_dir} — nothing to compact"
         )
+    from bert_etl_spark.operators.registry import checkpoint_invalidate
+
+    checkpoint_invalidate(spark, "copurchase_edges_at_rest", edge_dir)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
     return compact_index(
         spark,
@@ -810,6 +819,24 @@ def graph_edges_compact(spark: SparkSession, edge_dir: str) -> int:
         "ebkt",
         min(n_parts, GRAPH_EDGE_BUCKETS),
         key="pkey",
+    )
+
+
+def _edges_at_rest_plan(spark: SparkSession, edge_dir: str) -> DataFrame:
+    """The lazy masked scan of the standing edge table — what executes
+    at the session's first touch (then memoized): a pure FileScan of the
+    ebkt= dirs with tombstones anti-joined out; no self-join, no support
+    aggregation, no lineitem anywhere (the plan test pins it)."""
+    from bert_etl_spark.operators.index_lifecycle import apply_tombstones
+
+    return apply_tombstones(
+        spark,
+        edge_dir,
+        spark.read.option("basePath", edge_dir).parquet(edge_dir),
+        key="pkey",
+    ).select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
     )
 
 
@@ -857,17 +884,20 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_dir = spark.conf.get(GRAPH_EDGE_DIR_CONF, None)
     if edge_dir:
         from bert_etl_spark.operators.index_lifecycle import apply_tombstones
+        from bert_etl_spark.operators.registry import checkpoint_get
 
+        # memoize the at-rest read per session: the iterated loops hit
+        # the edge set k times per query — re-reading+masking the parquet
+        # each time measured 7.1 s/query vs 2.4 off the blocks at the
+        # 100x replica. The maintenance verbs invalidate this memo.
+        hit = checkpoint_get(spark, "copurchase_edges_at_rest", edge_dir)
+        if hit is not None:
+            return hit
         graph_edges_build_or_open(spark, sf_dir, edge_dir)
-        table = apply_tombstones(
-            spark,
+        return checkpoint_once(
+            _edges_at_rest_plan(spark, edge_dir),
+            "copurchase_edges_at_rest",
             edge_dir,
-            spark.read.option("basePath", edge_dir).parquet(edge_dir),
-            key="pkey",
-        )
-        return table.select(
-            F.col("u").cast("bigint").alias("u"),
-            F.col("v").cast("bigint").alias("v"),
         )
     edges = _copurchase_edge_plan(_lineitem_for_edges(spark, sf_dir))
     return checkpoint_once(edges, "copurchase_edges", sf_dir)

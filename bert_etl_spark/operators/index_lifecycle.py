@@ -37,7 +37,11 @@ ingest appends into). Probes/readers are safe concurrent with ingest
 (parquet readers list files once) but not with a compact's swap window.
 The reference's analog runs dataset maintenance through one queue worker
 (/root/reference/bert/etl/__init__.py:86-164); on Spark, schedule compaction
-in the ingest job's own trigger loop or behind an external lock. Ingest
+in the ingest job's own trigger loop (every family's ``*_stream`` wrapper
+takes ``compact_every=N`` and runs its compact verb inside the foreachBatch
+lane on every Nth epoch — single-writer by construction; a crash mid-compact
+is the recoverable sentinel window and the replayed epoch re-ingests
+idempotently) or behind an external lock. Ingest
 re-validates the marker immediately before its append as a cheap tripwire
 (round-10 advice, the 'low' item), narrowing — not closing — that window.
 """

@@ -102,6 +102,22 @@ def checkpoint_get(spark, *key: object) -> DataFrame | None:
     return _SHARED_CHECKPOINTS.get((spark.sparkContext.applicationId, *key))
 
 
+def checkpoint_invalidate(spark, *key: object) -> bool:
+    """Drop (and free) the memoized checkpoint_once entry for ``key`` —
+    for builders whose UNDERLYING at-rest table just changed (the durable
+    edge table's ingest/delete/compact verbs): the next consumer re-reads
+    the standing table instead of serving stale blocks. Returns True if
+    an entry existed."""
+    from bert_etl_spark.functions.release import release
+
+    k = (spark.sparkContext.applicationId, *key)
+    hit = _SHARED_CHECKPOINTS.pop(k, None)
+    if hit is not None:
+        release(hit)
+        return True
+    return False
+
+
 def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:
     """Materialize a shared cross-query table via eager localCheckpoint,
     memoized per (SparkContext, key) for the session.

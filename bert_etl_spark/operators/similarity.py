@@ -497,14 +497,24 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> int:
     )
 
 
-def ivf_index_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+def ivf_index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    compact_every: int = 0,
+):
     """Always-on ingest of arriving vectors into the standing durable IVF
     index (foreachBatch → ivf_index_ingest) — idempotent under replay via
-    the anti-join, like its MaxSim and sign-LSH twins."""
+    the anti-join, like its MaxSim and sign-LSH twins. ``compact_every=N``
+    runs ivf_index_compact inside the lane on every Nth epoch (in-path
+    maintenance, single-writer by construction — the ledger's
+    compact_every idiom; 0 = external cadence)."""
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         ivf_index_ingest(spark, batch_df, index_dir)
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            ivf_index_compact(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(_ingest)
@@ -979,17 +989,21 @@ def simlsh_index_stream(
     stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int = 0,
 ):
     """Always-on ingest of arriving vectors into the standing durable
     sign-LSH index: readStream of (vec_id, embedding) → foreachBatch →
     simlsh_index_ingest per micro-batch — maxsim_index_stream's twin.
     Exactly-once the same way: the anti-join keyed on vec_id makes any
     replayed/re-delivered batch a no-op, so at-least-once delivery is
-    idempotent at the sink. Returns the StreamingQuery."""
+    idempotent at the sink. ``compact_every=N``: in-path compaction on
+    every Nth epoch (0 = external cadence). Returns the StreamingQuery."""
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         simlsh_index_ingest(spark, batch_df, index_dir)
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            simlsh_index_compact(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(_ingest)
@@ -1506,15 +1520,23 @@ def ivfpq_index_ingest(spark: SparkSession, batch: DataFrame, index_dir: str) ->
     )
 
 
-def ivfpq_index_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+def ivfpq_index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    compact_every: int = 0,
+):
     """Always-on ingest of arriving vectors into the standing IVF-PQ
     index (foreachBatch → ivfpq_index_ingest) — verb parity with the
     other durable families; idempotent under replay via the shared
-    touched-partition anti-join."""
+    touched-partition anti-join. ``compact_every=N``: in-path compaction
+    on every Nth epoch (0 = external cadence)."""
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         ivfpq_index_ingest(spark, batch_df, index_dir)
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            ivfpq_index_compact(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(_ingest)
@@ -2553,6 +2575,7 @@ def maxsim_index_stream(
     stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int = 0,
 ):
     """Always-on ingest of arriving multi-vector documents into the
     standing durable MaxSim index: ``readStream`` of (vec_id, embedding)
@@ -2574,6 +2597,8 @@ def maxsim_index_stream(
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         maxsim_index_ingest(spark, batch_df, index_dir)
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            maxsim_index_compact(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(_ingest)

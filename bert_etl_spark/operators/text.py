@@ -1480,16 +1480,24 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
-def textidx_stream(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+def textidx_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    compact_every: int = 0,
+):
     """Always-on document ingest into the standing text index
     (foreachBatch → textidx_ingest) — verb parity with the dense
     families' *_stream siblings. Exactly-once at the sink via the pkey
     anti-join (a re-delivered document re-offers identical posting rows,
-    all dropped). ``stream``: rows (doc_id, text)."""
+    all dropped). ``compact_every=N``: in-path compaction on every Nth
+    epoch (0 = external cadence). ``stream``: rows (doc_id, text)."""
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         textidx_ingest(spark, batch_df, index_dir)
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            textidx_compact(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(_ingest)

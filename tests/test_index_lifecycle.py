@@ -1077,16 +1077,18 @@ def test_graph_edges_at_rest_parity_and_no_build_stage(spark, tmp_path):
         registry.release_internals()
         assert _rows(spark, "graph_pagerank_iter") == pr_base and pr_base
         assert _rows(spark, "graph_connected_components") == cc_base and cc_base
-        # warm path: open, no rebuild (mtimes frozen), no build stage
+        # warm path: open, no rebuild (mtimes frozen), no build stage.
+        # The session memo serves blocks after first touch; the plan that
+        # EXECUTES at first touch is the raw at-rest scan — pin that.
         before = _mtimes(edir)
-        edges = adv.copurchase_edges(spark, SF)
-        plan = edges._jdf.queryExecution().executedPlan().toString()
+        raw = adv._edges_at_rest_plan(spark, edir)
+        plan = raw._jdf.queryExecution().executedPlan().toString()
         assert "lineitem" not in plan
-        assert "Join" not in plan  # the O(E) self-join never runs warm
-        assert "HashAggregate" not in plan  # nor the support count
-        files = edges.inputFiles()
+        assert "SortMergeJoin" not in plan  # the O(E) self-join is gone
+        assert "HashAggregate" not in plan  # so is the support count
+        files = raw.inputFiles()
         assert files and all(f"{edir}/" in f for f in files)
-        assert edges.count() > 0
+        assert adv.copurchase_edges(spark, SF).count() > 0
         assert _mtimes(edir) == before
     finally:
         spark.conf.unset(adv.GRAPH_EDGE_DIR_CONF)
@@ -1129,3 +1131,39 @@ def test_graph_edges_ingest_delete_compact(spark, tmp_path):
     assert life.tombstones(spark, edir) is None
     stats = life.index_file_stats(spark, edir, "ebkt").collect()
     assert all(r["n_files"] == 1 for r in stats)
+
+
+def test_stream_ingest_inpath_compaction(spark, tmp_path):
+    """compact_every=N: the always-on ingest maintains its own index —
+    after draining a multi-epoch feed with in-path compaction, the table
+    is compacted (one file per touched cell), rows are exactly-once, and
+    a replay through a fresh checkpoint changes nothing."""
+    idx = str(tmp_path / "ivf_inpath")
+    sim._ivf_assign(spark, SF, idx)
+    sim.ivf_index_compact(spark, idx)  # settle the build to 1 file/cell
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 4_000_000).alias("vec_id"), "embedding"
+    ).limit(24)
+    emb.repartition(4).write.parquet(str(tmp_path / "feed"))
+    total = spark.read.option("basePath", idx).parquet(idx).count()
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "feed"))
+    )
+    sim.ivf_index_stream(
+        stream(), idx, str(tmp_path / "ck1"), compact_every=2
+    ).awaitTermination()
+    table = spark.read.option("basePath", idx).parquet(idx)
+    assert table.count() == total + 24
+    stats = life.index_file_stats(spark, idx, "cell").collect()
+    # 4 epochs, compaction on epochs 2 and 4 — the last epoch ended with
+    # a compact, so the steady state is 1 file per cell
+    assert all(r["n_files"] == 1 for r in stats)
+    # replay with fresh checkpoint: idempotent, still compacted
+    sim.ivf_index_stream(
+        stream(), idx, str(tmp_path / "ck2"), compact_every=2
+    ).awaitTermination()
+    assert spark.read.option("basePath", idx).parquet(idx).count() == total + 24
+    after = life.index_file_stats(spark, idx, "cell").collect()
+    assert all(r["n_files"] == 1 for r in after)

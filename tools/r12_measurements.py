@@ -80,6 +80,13 @@ def main() -> None:
             _run(spark, "graph_pagerank_iter", sf_dir, "durable-build")
             _run(spark, "graph_pagerank_iter", sf_dir, "durable-warm")
             _run(spark, "graph_connected_components", sf_dir, "durable-warm")
+            # the durable table's actual win: a FRESH session opens the
+            # standing table instead of re-paying the O(E) build
+            spark.stop()
+            spark = _spark()
+            spark.conf.set("spark.bert_etl.graph.edgeTableDir", f"{work}/edges")
+            _run(spark, "graph_pagerank_iter", sf_dir, "fresh-session-open")
+            _run(spark, "graph_pagerank_iter", sf_dir, "fresh-session-warm")
         else:
             raise SystemExit(f"unknown step {step}")
     finally:
