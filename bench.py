@@ -183,6 +183,7 @@ HEADLINE = [
     "sim_hybrid_rrf_indexed", # RRF fusion of two INDEX probes, zero corpus
     "sim_mmr_batch",          # per-query-group greedy MMR in applyInPandas
     "sim_ivfpq_rerank",       # ADC shortlist -> exact re-rank (3rd stage)
+    "sim_ivfpq_filtered",     # payload predicate composed into the ADC probe
 ]
 
 

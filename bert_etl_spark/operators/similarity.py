@@ -1583,7 +1583,12 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
+def _ivfpq_adc(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    label_filter: tuple | None = None,
+) -> DataFrame:
     """Probe the standing IVF-PQ index: rank cells against the frozen
     coarse codebook, path-prune to the probed cell dirs, ADC-score the
     candidates' codes against the query's per-subspace LUT — returns
@@ -1627,6 +1632,10 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
     cand = pruned_scan(spark, index_dir, "cell", _probed_cells(probes))
     if cand is None:
         raise ValueError(f"index at {index_dir} holds no probed cells")
+    if label_filter is not None:
+        # the payload predicate lands on the pruned parquet scan as a
+        # PushedFilter — it composes with (not after) the cell pruning
+        cand = cand.filter(F.col("label").isin(*label_filter))
     pairs = (
         cand.select("vec_id", "cell", "codes")
         .join(F.broadcast(probes), "cell")
@@ -1687,6 +1696,70 @@ _SQL_IVFPQ_CTES = f"""{_SQL_PREP},
         SELECT q_id, neighbor_id, ROUND({sql_dsum('p')}, 6) AS adc_dot
         FROM partials GROUP BY q_id, neighbor_id
     )"""
+
+
+# Filtered composite probe: the label payload rides INSIDE the IVF-PQ
+# index rows (stored next to the codes at build/ingest), so a metadata
+# predicate composes with BOTH prunings — partition (probed cells) AND a
+# parquet-pushed label filter — before a single ADC table lookup runs.
+# The vector-store "filtered ANN" shape on the compressed index: at
+# 100 TB the filter multiplies with the 32x code compression, not with a
+# corpus join.
+_FILTERED_CAND_CTE = (
+    "candidates AS (\n"
+    "        SELECT p.q_id, a.vec_id AS neighbor_id\n"
+    "        FROM probes p JOIN assign a ON p.cell = a.cell\n"
+    "        JOIN n v ON v.vec_id = a.vec_id\n"
+    f"        WHERE a.vec_id != p.q_id AND v.label IN {FILTER_LABELS}\n"
+    "    ),\n"
+    "    candidates_unfiltered AS ("
+)
+_SQL_IVFPQ_FILTERED_CTES = _SQL_IVFPQ_CTES.replace(
+    "candidates AS (", _FILTERED_CAND_CTE
+)
+
+
+@query(
+    "sim_ivfpq_filtered",
+    oracle=f"""
+    WITH {_SQL_IVFPQ_FILTERED_CTES}
+    SELECT * FROM (
+        SELECT q_id, neighbor_id, adc_dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    def _probe(index_dir: str) -> DataFrame:
+        adc = _ivfpq_adc(spark, sf_dir, index_dir, label_filter=FILTER_LABELS)
+        w_top = W.partitionBy("q_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+        return (
+            adc.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "neighbor_id", "adc_dot", "rn")
+        )
+
+    index_dir = _ivfpq_index_dir(spark)
+    if index_dir:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return _probe(index_dir)
+    hit = checkpoint_get(spark, "ivfpq_filtered_scratch", sf_dir)
+    if hit is not None:
+        return hit
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_flt_")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    try:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return checkpoint_once(
+            _probe(index_dir), "ivfpq_filtered_scratch", sf_dir
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 # The registered probe: build the durable composite index in a session-

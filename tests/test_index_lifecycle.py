@@ -1167,3 +1167,36 @@ def test_stream_ingest_inpath_compaction(spark, tmp_path):
     assert spark.read.option("basePath", idx).parquet(idx).count() == total + 24
     after = life.index_file_stats(spark, idx, "cell").collect()
     assert all(r["n_files"] == 1 for r in after)
+
+
+def test_ivfpq_filtered_composes_partition_and_pushed_filters(spark, tmp_path):
+    """Filtered ANN on the COMPRESSED index: the probed-cell pruning
+    (PartitionFilters) and the label payload predicate (PushedFilters)
+    both reach the same codes-only scan, and conf'd results equal the
+    scratch path's."""
+    base = _rows(spark, "sim_ivfpq_filtered")  # scratch path
+    idx = str(tmp_path / "ivfpq_filtered_idx")
+    spark.conf.set(sim.IVFPQ_INDEX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "sim_ivfpq_filtered") == base and base
+        df = registry.ALL_QUERIES["sim_ivfpq_filtered"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters:" in plan
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in pf
+        assert "In(label" in plan.split("PushedFilters:")[1].split("]")[0]
+        # every filtered result id really carries an allowed label
+        labels = {
+            r["label"]
+            for r in spark.read.option("basePath", idx).parquet(idx)
+            .join(
+                registry.ALL_QUERIES["sim_ivfpq_filtered"](spark, SF)
+                .select(F.col("neighbor_id").alias("vec_id")),
+                "vec_id",
+            )
+            .select("label")
+            .collect()
+        }
+        assert labels <= set(sim.FILTER_LABELS)
+    finally:
+        spark.conf.unset(sim.IVFPQ_INDEX_DIR_CONF)
