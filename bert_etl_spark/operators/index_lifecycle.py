@@ -231,7 +231,14 @@ def ingest_rows(
     lands in the SAME partition value as the standing row, and keys
     outside the touched partitions cannot collide with the batch. The
     touched-partition list is collected from the (checkpointed) batch —
-    bounded by batch size. Re-validates the layout marker immediately
+    bounded by batch size. Contract edge, stated explicitly: an arrival
+    that REUSES a standing key with DIFFERENT content (an in-place
+    update) is outside the ingest contract — the old full-index
+    anti-join silently dropped it; the pruned one may assign it to a
+    different partition and append a second physical row for the key.
+    Neither is an update. The supported update path is the same as
+    resurrection: delete the key, compact, re-ingest the new content.
+    Re-validates the layout marker immediately
     before the append (single-writer tripwire). The across-batch
     anti-join is against PHYSICAL keys (physical_pruned_scan, tombstones
     NOT masked), so a tombstoned but not-yet-compacted key cannot be
