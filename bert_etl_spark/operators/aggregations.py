@@ -910,9 +910,16 @@ ZORDER_WRITE_MAX_SHARE = 0.8
     """,
 )
 def layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = spark.conf.get(ZORDER_OUT_CONF, None) or (
-        f"/tmp/bert_etl_zorder_{spark.sparkContext.applicationId}"
-    )
+    out = spark.conf.get(ZORDER_OUT_CONF, None)
+    if not out:
+        # default scratch output: cleaned at interpreter exit (the
+        # round-11 'low' advice pattern — a data-sized /tmp dir must not
+        # outlive the run); a conf'd destination is the user's to keep
+        import atexit
+        import shutil
+
+        out = f"/tmp/bert_etl_zorder_{spark.sparkContext.applicationId}"
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
     zorder_write_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
     written = spark.read.parquet(out).withColumn(
         "_file", F.input_file_name()

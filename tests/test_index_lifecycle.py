@@ -1200,3 +1200,57 @@ def test_ivfpq_filtered_composes_partition_and_pushed_filters(spark, tmp_path):
         assert labels <= set(sim.FILTER_LABELS)
     finally:
         spark.conf.unset(sim.IVFPQ_INDEX_DIR_CONF)
+
+
+def test_hybrid_rrf_indexed_reflects_streamed_ingest(spark, tmp_path):
+    """End-to-end RAG freshness: stream a new document into the standing
+    posting index AND its (identical-to-query) vector into the standing
+    IVF index; the next fused probe must surface it — no rebuild, no
+    corpus access, just the two ingest verbs doing their job."""
+    from bert_etl_spark.operators import text as tx
+
+    ivf = str(tmp_path / "ivf")
+    tix = str(tmp_path / "tix")
+    spark.conf.set(sim.IVF_INDEX_DIR_CONF, ivf)
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, tix)
+    try:
+        base = _rows(spark, "sim_hybrid_rrf_indexed")  # builds both
+        new_id = 777_777
+        assert not any(r[0] == new_id for r in base)
+        # the vector: an exact copy of query vector 0 -> cosine 1.0,
+        # dense rank 1 by construction; the text: saturated in all three
+        # BM25 query terms -> top lexical ranks
+        q0 = (
+            registry.tbl(spark, SF, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]["embedding"]
+        )
+        vec_feed = spark.createDataFrame(
+            [(new_id, q0)], schema="vec_id long, embedding array<float>"
+        )
+        vec_feed.write.parquet(str(tmp_path / "vfeed"))
+        sim.ivf_index_stream(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(str(tmp_path / "vfeed")),
+            ivf,
+            str(tmp_path / "vck"),
+        ).awaitTermination()
+        doc_feed = spark.createDataFrame(
+            [(new_id, "dup vector spark " * 20)],
+            schema="doc_id long, text string",
+        )
+        doc_feed.write.parquet(str(tmp_path / "dfeed"))
+        tx.textidx_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(tmp_path / "dfeed")),
+            tix,
+            str(tmp_path / "dck"),
+        ).awaitTermination()
+        after = _rows(spark, "sim_hybrid_rrf_indexed")
+        hit = [r for r in after if r[0] == new_id]
+        assert hit, f"streamed doc {new_id} missing from fused top-k: {after}"
+        assert hit[0][1] == 1  # dense rank 1: the identical vector won
+    finally:
+        spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
