@@ -1,13 +1,15 @@
-"""Shared lifecycle for the durable partition-pruned similarity indexes.
+"""Shared lifecycle for the durable partition-pruned at-rest tables.
 
-The four at-rest indexes (MaxSim cells, sign-LSH buckets, single-vector
-IVF cells, inverted-text token buckets) all share one physical contract: a
-``partitionBy(<part>)`` parquet
-table under a conf'd directory, an atomic integer layout marker
-(``_n_centroids`` / ``_n_planes``) stamped by ``functions.markers``, probes
-that path-prune to the probed partition dirs, idempotent ingest (anti-join on
-the content key), and compaction back to one file per partition. This module
-is that contract written once, so the three families cannot drift.
+The six at-rest families (MaxSim cells, sign-LSH buckets, single-vector
+IVF cells, inverted-text token buckets, IVF-PQ code cells, the graph
+edge table) all share one physical contract: a ``partitionBy(<part>)``
+parquet table under a conf'd directory, an atomic integer layout marker
+(``_n_centroids`` / ``_n_planes`` / ``_n_buckets``) stamped by
+``functions.markers``, probes that path-prune to the probed partition
+dirs, idempotent ingest (touched-partition semi+anti dedup on the
+content key), tombstone deletes, and compaction back to one file per
+partition. This module is that contract written once, so the families
+cannot drift.
 
 Crash-safety protocol (round-10 advice, the 'high' item): the index stops
 being a pure function of (corpus, constants) the moment ingest exists —

@@ -613,29 +613,22 @@ IVF_DELETE_RESIDUE = 7  # deletes vec_id ≡ 7 (mod 50); queries (< 5) unaffecte
     """,
 )
 def sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    from bert_etl_spark.functions.scratch import session_scratch_dir
 
-    # session-scoped scratch index, REMOVED on exit (the streaming_cdc_
-    # apply idiom — round-11 'low' advice: the old appId-keyed dir left
-    # an index-sized directory in /tmp after every run). The top-k result
-    # is materialized before the rmtree so the returned frame no longer
-    # reads the deleted files.
-    index_dir = tempfile.mkdtemp(prefix="ivf_delete_demo_")
-    shutil.rmtree(index_dir, ignore_errors=True)  # build needs a fresh dir
-    try:
-        _ivf_assign(spark, sf_dir, index_dir)  # fresh build
-        doomed = _prepared(spark, sf_dir).filter(
-            F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_RESIDUE
-        )
-        ivf_index_delete(spark, doomed, index_dir)
-        # re-open: the masked read reflects the tombstones just recorded
-        assign = _ivf_assign(spark, sf_dir, index_dir)
-        return _ivf_topk(spark, sf_dir, assign, index_dir).localCheckpoint(
-            eager=True
-        )
-    finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
+    # session-scoped scratch index, removed at interpreter exit
+    # (functions/scratch.py — the round-11 'low' advice kept, without a
+    # rebuild per call). Re-running on the standing scratch is a no-op
+    # mutation: the build opens, the deletes are already tombstoned
+    # (delete_keys records 0), the masked probe returns the same rows.
+    index_dir = session_scratch_dir(spark, "ivf_delete_demo", sf_dir)
+    _ivf_assign(spark, sf_dir, index_dir)  # fresh build (or reopen)
+    doomed = _prepared(spark, sf_dir).filter(
+        F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_RESIDUE
+    )
+    ivf_index_delete(spark, doomed, index_dir)
+    # re-open: the masked read reflects the tombstones just recorded
+    assign = _ivf_assign(spark, sf_dir, index_dir)
+    return _ivf_topk(spark, sf_dir, assign, index_dir)
 
 
 # IVF (inverted-file) ANN: coarse-quantize the corpus into cells, probe only
@@ -1446,24 +1439,14 @@ def _ivfpq_index_columns(df: DataFrame) -> DataFrame:
 # instead of one per query, removed at interpreter exit (the round-11
 # 'low' advice wanted scratch indexes cleaned up — this keeps the
 # cleanup while restoring build sharing; a hard crash can leave a dir,
-# the standard mkdtemp trade).
-_IVFPQ_SCRATCH_DIRS: dict[tuple, str] = {}
+# the standard mkdtemp trade — functions/scratch.py).
 
 
 def _ivfpq_session_index(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
-    import os
-    import shutil
-    import tempfile
+    from bert_etl_spark.functions.scratch import session_scratch_dir
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    d = _IVFPQ_SCRATCH_DIRS.get(key)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="ivfpq_scratch_")
-        shutil.rmtree(d, ignore_errors=True)  # build wants a fresh dir
-        _IVFPQ_SCRATCH_DIRS[key] = d
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-    ivfpq_build_or_open(spark, sf_dir, d)
+    d = session_scratch_dir(spark, "ivfpq", sf_dir)
+    ivfpq_build_or_open(spark, sf_dir, d)  # no-op when already built
     return d
 
 
@@ -3298,13 +3281,12 @@ def _hybrid_indexed_plan(
     """,
 )
 def sim_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from bert_etl_spark.operators.text import (
         TEXTIDX_DIR_CONF as _TIX_CONF,
         _textidx_open_or_build,
     )
+
+    from bert_etl_spark.functions.scratch import session_scratch_dir
 
     ivf_dir = _ivf_index_dir(spark)
     tix_dir = None
@@ -3312,25 +3294,16 @@ def sim_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tix_dir = spark.conf.get(_TIX_CONF, None)
     except Exception:
         pass
-    scratch: list[str] = []
-    try:
-        if not ivf_dir:
-            ivf_dir = tempfile.mkdtemp(prefix="hybrid_ivf_")
-            shutil.rmtree(ivf_dir, ignore_errors=True)
-            scratch.append(ivf_dir)
-        if not tix_dir:
-            tix_dir = tempfile.mkdtemp(prefix="hybrid_tix_")
-            shutil.rmtree(tix_dir, ignore_errors=True)
-            scratch.append(tix_dir)
-        _ivf_assign(spark, sf_dir, ivf_dir)  # build or reopen (idempotent)
-        _textidx_open_or_build(spark, sf_dir, tix_dir)
-        plan = _hybrid_indexed_plan(spark, sf_dir, ivf_dir, tix_dir)
-        if scratch:  # materialize before the scratch dirs disappear
-            return plan.localCheckpoint(eager=True)
-        return plan
-    finally:
-        for d in scratch:
-            shutil.rmtree(d, ignore_errors=True)
+    # session-scoped scratch indexes (functions/scratch.py): built once
+    # per session, removed at interpreter exit — no rebuild per call, no
+    # /tmp leftovers after a clean run
+    if not ivf_dir:
+        ivf_dir = session_scratch_dir(spark, "hybrid_ivf", sf_dir)
+    if not tix_dir:
+        tix_dir = session_scratch_dir(spark, "hybrid_tix", sf_dir)
+    _ivf_assign(spark, sf_dir, ivf_dir)  # build or reopen (idempotent)
+    _textidx_open_or_build(spark, sf_dir, tix_dir)
+    return _hybrid_indexed_plan(spark, sf_dir, ivf_dir, tix_dir)
 
 
 # ---------------------------------------------------------------------------

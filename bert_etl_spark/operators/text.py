@@ -1460,24 +1460,16 @@ def bm25_scores_indexed(
     """,
 )
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
+    from bert_etl_spark.functions.scratch import session_scratch_dir
     from bert_etl_spark.operators.global_order import rank_bounded
 
-    # session-scoped scratch index, REMOVED on exit (round-11 'low'
-    # advice: the old appId-keyed dir leaked an index-sized directory per
-    # run); the small top-k is materialized before the rmtree.
-    index_dir = tempfile.mkdtemp(prefix="textidx_demo_")
-    shutil.rmtree(index_dir, ignore_errors=True)  # build needs a fresh dir
-    try:
-        scored = bm25_scores_indexed(spark, sf_dir, index_dir)
-        top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
-        return rank_bounded(
-            top, [F.desc("bm25"), F.col("doc_id")], "rank"
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
+    # session-scoped scratch index, removed at interpreter exit
+    # (functions/scratch.py — round-11 'low' advice kept, without a
+    # rebuild per call; the probe is pure, reopening is free).
+    index_dir = session_scratch_dir(spark, "textidx_demo", sf_dir)
+    scored = bm25_scores_indexed(spark, sf_dir, index_dir)
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+    return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")
 
 
 def textidx_stream(
