@@ -184,6 +184,7 @@ HEADLINE = [
     "sim_mmr_batch",          # per-query-group greedy MMR in applyInPandas
     "sim_ivfpq_rerank",       # ADC shortlist -> exact re-rank (3rd stage)
     "sim_ivfpq_filtered",     # payload predicate composed into the ADC probe
+    "text_phrase_search",     # consecutive-token phrase match, pure codegen
 ]
 
 

@@ -1497,3 +1497,67 @@ def textidx_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (round-12): exact consecutive-token phrase matching — the
+# positional query every lexical engine offers next to bag-of-words BM25.
+# Spark-first shape: for a literal phrase the match runs ENTIRELY inside
+# whole-stage codegen with higher-order functions — tokenize once, test
+# every start offset with element_at equality, count survivors. One
+# narrow corpus pass: zero shuffle, zero explode, zero join (the
+# positional-self-join form the oracle uses would shuffle |tokens| rows
+# per term; the HOF form ships nothing). At 100 TB this composes with
+# the quality-gate pattern: the phrase test is just another pushed-down
+# per-row expression. Indexed phrase search (positions stored in the
+# durable postings) is the natural extension when the phrase set is
+# dynamic. Reference analog: none — the reference has no text operators;
+# capability extension per SURVEY §2B.
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ("table", "hash")
+
+
+def phrase_count(text: F.Column, phrase: tuple[str, ...]) -> F.Column:
+    """Occurrences of the consecutive-token ``phrase`` in ``text`` as a
+    single codegen'd expression (whitespace tokens, exact equality).
+    Guard first: Spark's sequence(1, n-L+1) turns DESCENDING when the
+    document is shorter than the phrase — short docs short-circuit to 0."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    length = len(phrase)
+    starts = F.sequence(F.lit(1), n - F.lit(length - 1))
+
+    def _match(i):
+        cond = F.element_at(toks, i) == phrase[0]
+        for j in range(1, length):
+            cond = cond & (F.element_at(toks, i + F.lit(j)) == phrase[j])
+        return cond
+
+    counted = F.size(F.filter(starts, _match))
+    return F.when(n >= length, counted).otherwise(F.lit(0)).cast("bigint")
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS token,
+               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        FROM documents
+    )
+    SELECT t1.doc_id, COUNT(*) AS n_occurrences
+    FROM tok t1
+    JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    WHERE t1.token = '{PHRASE_TERMS[0]}' AND t2.token = '{PHRASE_TERMS[1]}'
+    GROUP BY t1.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    cnt = phrase_count(F.col("text"), PHRASE_TERMS)
+    return (
+        docs.select("doc_id", cnt.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
