@@ -185,6 +185,7 @@ HEADLINE = [
     "sim_ivfpq_rerank",       # ADC shortlist -> exact re-rank (3rd stage)
     "sim_ivfpq_filtered",     # payload predicate composed into the ADC probe
     "text_phrase_search",     # consecutive-token phrase match, pure codegen
+    "text_proximity_search",  # NEAR/slop variant, nested HOF aggregate
 ]
 
 

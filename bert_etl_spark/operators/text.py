@@ -1561,3 +1561,60 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", cnt.alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+# Proximity search (NEAR/slop): the phrase test relaxed to "second term
+# within W tokens after the first" — same pure-codegen HOF shape, the
+# window test an exists() over the slop range instead of one equality.
+PROXIMITY_SLOP = 3  # t2 within 1..SLOP positions after t1
+
+
+@query(
+    "text_proximity_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS token,
+               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        FROM documents
+    )
+    SELECT t1.doc_id, COUNT(*) AS n_pairs
+    FROM tok t1
+    JOIN tok t2 ON t2.doc_id = t1.doc_id
+        AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + {PROXIMITY_SLOP}
+    WHERE t1.token = '{PHRASE_TERMS[0]}' AND t2.token = '{PHRASE_TERMS[1]}'
+    GROUP BY t1.doc_id
+    """,
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    first, second = PHRASE_TERMS
+    # count (i, j) pairs with toks[i]=first, toks[j]=second, i<j<=i+SLOP:
+    # for each start offset, count the matching slop offsets — a nested
+    # HOF aggregate, still one codegen'd expression over one scan
+    # outer offsets stop at n-1: at i = n the inner sequence(i+1, n)
+    # would invert (Spark sequences turn DESCENDING when start > stop)
+    # and index past the array — the phrase_count guard's nested twin
+    pair_count = F.aggregate(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(toks, i) == first,
+            F.size(
+                F.filter(
+                    F.sequence(
+                        i + F.lit(1), F.least(i + F.lit(PROXIMITY_SLOP), n)
+                    ),
+                    lambda j: F.element_at(toks, j) == second,
+                )
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    cnt = F.when(n >= 2, pair_count).otherwise(F.lit(0)).cast("bigint")
+    return (
+        docs.select("doc_id", cnt.alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )

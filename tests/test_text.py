@@ -151,3 +151,65 @@ def test_boilerplate_prefix_detects_planted_template(spark):
     assert got["sA"] == (22, "COPYRIGHT 2024 ACME | ")
     assert got["sB"][0] == 0
     assert got["sC"][0] == 0  # the clean doc caps the group LCP at 0
+
+
+def test_phrase_and_proximity_edges_vs_python_reference(spark):
+    """Phrase/proximity HOF expressions vs a plain-Python scan on
+    adversarial shapes: the first term at the LAST token (the ANSI
+    out-of-bounds edge Spark's descending-sequence quirk would hit),
+    single-token docs, docs shorter than the phrase, stacked overlaps."""
+    from bert_etl_spark.operators.text import (
+        PHRASE_TERMS,
+        PROXIMITY_SLOP,
+        phrase_count,
+    )
+    from bert_etl_spark.operators import registry
+    import tempfile
+
+    a, b = PHRASE_TERMS
+    texts = [
+        f"{a} {b}",                     # exact phrase
+        f"{b} {a}",                     # reversed: first term LAST token
+        f"{a}",                         # shorter than the phrase
+        "",                             # degenerate
+        f"{a} x {b} {a} {b} {b}",       # slop hits + phrase + double second
+        f"{a} {a} {b}",                 # overlapping starts
+        f"x {a} y z {b}",               # outside slop (gap 3 = within 3? pos diff 3)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def py_phrase(t):
+        toks = t.strip().split(" ")
+        return sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == a and toks[i + 1] == b
+        )
+
+    def py_prox(t):
+        # slop semantics = the oracle's BETWEEN: position diff <= SLOP
+        toks = t.strip().split(" ")
+        return sum(
+            1
+            for i in range(len(toks))
+            for j in range(i + 1, min(i + PROXIMITY_SLOP, len(toks) - 1) + 1)
+            if toks[i] == a and toks[j] == b
+        )
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    registry.load_all()
+    got_phrase = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in registry.ALL_QUERIES["text_phrase_search"](spark, d).collect()
+    }
+    got_prox = {
+        r["doc_id"]: r["n_pairs"]
+        for r in registry.ALL_QUERIES["text_proximity_search"](spark, d).collect()
+    }
+    want_phrase = {i: py_phrase(t) for i, t in rows if py_phrase(t) > 0}
+    want_prox = {i: py_prox(t) for i, t in rows if py_prox(t) > 0}
+    assert got_phrase == want_phrase
+    assert got_prox == want_prox
