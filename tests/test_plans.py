@@ -775,3 +775,21 @@ def test_allpairs_budget_guard_refuses_with_bound(spark):
             registry.ALL_QUERIES["dedup_allpairs_prefix"](spark, SF)
     finally:
         spark.conf.unset(dedup.ALLPAIRS_BUDGET_CONF)
+
+
+def test_phrase_search_is_single_pass_zero_exchange(spark):
+    """text_phrase_search must stay ONE codegen'd corpus pass: a literal
+    phrase compiles to a per-row HOF expression — any Exchange, Generate
+    (explode) or Join appearing here means the operator regressed to the
+    positional-join form its oracle uses."""
+    from bert_etl_spark.operators import registry
+
+    registry.load_all()
+    for name in ("text_phrase_search", "text_proximity_search"):
+        df = registry.ALL_QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (name, plan)
+        assert "Generate" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, name
