@@ -23,12 +23,17 @@ _DIRS: dict[tuple, str] = {}
 def session_scratch_dir(spark, kind: str, *key: object) -> str:
     """A stable scratch dir for (this SparkContext, kind, key) — created
     on first request, removed at interpreter exit. The dir is handed out
-    EMPTY on first call (builders expect a fresh path)."""
+    EMPTY on first call and KEPT (not pre-deleted): every builder goes
+    through the lifecycle's open_index, which treats an existing dir with
+    no partition dirs and no marker as buildable, and deleting the
+    mkdtemp dir before returning would forfeit its uniqueness guarantee
+    (another process could reclaim the name) while making reuse — keyed
+    on isdir — silently hand a failed builder a fresh path and a fresh
+    atexit registration each call (round-12 advice, the 'low' item)."""
     k = (spark.sparkContext.applicationId, kind, *key)
     d = _DIRS.get(k)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix=f"{kind}_scratch_")
-        shutil.rmtree(d, ignore_errors=True)
         _DIRS[k] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d

@@ -317,6 +317,50 @@ def _tombstone_files(fs, p, index_dir: str) -> list:
     ]
 
 
+def pending_tombstone_bytes(spark: SparkSession, index_dir: str) -> int:
+    """Bytes of pending (uncompacted) tombstone files — the same number
+    apply_tombstones' overdue warning and index_file_stats report, as a
+    cheap standalone probe: one driver-side FS listing, O(tombstone
+    files), never a Spark job. This is the signal the ``*_stream``
+    wrappers' ``compact_when_tombstones_over=`` consults per epoch —
+    compaction triggered by measured masking debt instead of the blind
+    ``compact_every=N`` epoch cadence (round-12 'next round' item #7)."""
+    fs, p = _fs(spark, index_dir)
+    return sum(
+        fs.getFileStatus(f).getLen()
+        for f in _tombstone_files(fs, p, index_dir)
+    )
+
+
+def compaction_due(
+    spark: SparkSession,
+    index_dir: str,
+    epoch_id: int,
+    compact_every: int = 0,
+    tombstone_bytes_over: int = 0,
+) -> bool:
+    """Should this epoch's foreachBatch lane run the family's compact
+    verb? Two independent triggers, either sufficient:
+
+    - ``compact_every=N``: the blind epoch cadence (every Nth epoch);
+    - ``tombstone_bytes_over=B``: measured masking debt — compact when
+      the pending tombstone files exceed B bytes (pending_tombstone_
+      bytes, a footer-cheap FS listing). This is the principled trigger:
+      tombstones are what every probe broadcasts, so the threshold
+      bounds probe overhead directly, fires ONLY when deletes actually
+      accumulated, and composes with ``tombstoneWarnBytes`` (set the
+      trigger at or below the warn threshold and the warning becomes
+      unreachable on the streaming path).
+
+    Both zero/unset = external compaction cadence (never due here)."""
+    if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+        return True
+    return bool(
+        tombstone_bytes_over
+        and pending_tombstone_bytes(spark, index_dir) > tombstone_bytes_over
+    )
+
+
 def tombstones(spark: SparkSession, index_dir: str):
     """The index's tombstoned-key table (slim, one column), or None when
     no deletes are pending. Tombstones live in a ``_tombstones`` parquet
@@ -375,6 +419,7 @@ def delete_keys(
     keys: DataFrame,
     key: str = "vec_id",
     part_col: str | None = None,
+    trusted_parts: bool = False,
 ) -> int:
     """Tombstone-delete keys from the standing index. Returns the number
     of NEW tombstones recorded.
@@ -397,6 +442,21 @@ def delete_keys(
     back to the column-pruned full key scan: deletes are orders of
     magnitude rarer than ingests, and the slim one-column scan is the
     honest cost of not knowing where the key lives.
+
+    The pruned path does NOT trust the feed's partition values blindly
+    (round-12 advice, the 'low' item): a keys frame whose part column is
+    stale — computed against a drifted quantizer, or carried
+    incidentally — would prune to the wrong partition and silently
+    record zero tombstones, a data-retention hazard. So keys the pruned
+    scan did NOT find where they claimed to live are cross-checked
+    against the full slim key scan before being skipped. A correct feed
+    pays nothing (the residual is empty — one bounded count() on a
+    broadcast anti-join); a feed deleting never-ingested keys, or one
+    with stale part values, pays the same one-column scan the bare-key
+    path always pays, and never silently no-ops. ``trusted_parts=True``
+    skips the cross-check — reserved for part values read back from the
+    index's OWN records (the persisted key→partition map), which cannot
+    be stale by construction.
     Consequence, stated explicitly:
     re-ingesting a tombstoned-but-uncompacted key is a no-op — ingest's
     anti-join sees the physical row and drops the arrival while the
@@ -439,20 +499,41 @@ def delete_keys(
         )
     try:
         # live is None only on the pruned path with no matching dirs —
-        # no key in the request can be physically present. Otherwise,
+        # nothing was found where the feed claimed it lives. Otherwise,
         # broadcast the (small) REQUEST into the big side, never the
         # reverse: request.join(live, left_semi) could only broadcast
         # live — the whole key column shipped to every task (the
         # ingest_rows join-direction lesson). The semi from the live side
         # returns live's rows (many per key for posting-style indexes),
         # so collapse to distinct keys — bounded by the request size.
-        fresh = (
+        found = (
             request.limit(0)
             if live is None
             else live.select(key)
             .join(F.broadcast(request), key, "left_semi")
             .dropDuplicates([key])
         )
+        checkpointed = None
+        if batch is not None and not trusted_parts:
+            # cross-check (docstring): keys the pruned scan did not find
+            # where the feed claimed may live elsewhere under a stale
+            # part value — verify against the full slim key scan before
+            # skipping them. found is consumed twice (anti + union), so
+            # materialize it once; residual is bounded by the request.
+            found = checkpointed = found.localCheckpoint(eager=True)
+            residual = request.join(F.broadcast(found), key, "left_anti")
+            if residual.count():
+                full = (
+                    spark.read.option("basePath", index_dir)
+                    .parquet(index_dir)
+                    .select(key)
+                )
+                stray = (
+                    full.join(F.broadcast(residual), key, "left_semi")
+                    .dropDuplicates([key])
+                )
+                found = found.unionByName(stray)
+        fresh = found
         existing = tombstones(spark, index_dir)
         if existing is not None:
             fresh = fresh.join(
@@ -468,6 +549,8 @@ def delete_keys(
             return n
         finally:
             release(fresh)  # the ingest_rows per-batch hygiene, same reason
+            if checkpointed is not None:
+                release(checkpointed)
     finally:
         if batch is not None:
             release(batch)

@@ -103,19 +103,20 @@ def checkpoint_get(spark, *key: object) -> DataFrame | None:
 
 
 def checkpoint_invalidate(spark, *key: object) -> bool:
-    """Drop (and free) the memoized checkpoint_once entry for ``key`` —
-    for builders whose UNDERLYING at-rest table just changed (the durable
-    edge table's ingest/delete/compact verbs): the next consumer re-reads
-    the standing table instead of serving stale blocks. Returns True if
-    an entry existed."""
-    from bert_etl_spark.functions.release import release
-
+    """Drop the memoized checkpoint_once entry for ``key`` — for builders
+    whose UNDERLYING at-rest table just changed (the durable edge table's
+    ingest/delete/compact verbs): the next consumer re-reads the standing
+    table instead of serving stale blocks. The entry is popped WITHOUT
+    releasing its checkpointed RDD blocks: a localCheckpoint'd frame has
+    no lineage to recompute from, so an eager release would make any
+    consumer still holding the previously returned frame fail
+    unrecoverably (missing checkpoint blocks) on its next action when a
+    maintenance verb runs mid-session (round-12 advice, the 'low' item).
+    Dropping the memo reference lets the ContextCleaner reclaim the
+    blocks once every consumer reference is gone. Returns True if an
+    entry existed."""
     k = (spark.sparkContext.applicationId, *key)
-    hit = _SHARED_CHECKPOINTS.pop(k, None)
-    if hit is not None:
-        release(hit)
-        return True
-    return False
+    return _SHARED_CHECKPOINTS.pop(k, None) is not None
 
 
 def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:

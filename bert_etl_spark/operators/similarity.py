@@ -502,18 +502,27 @@ def ivf_index_stream(
     index_dir: str,
     checkpoint_dir: str,
     compact_every: int = 0,
+    compact_when_tombstones_over: int = 0,
 ):
     """Always-on ingest of arriving vectors into the standing durable IVF
     index (foreachBatch → ivf_index_ingest) — idempotent under replay via
     the anti-join, like its MaxSim and sign-LSH twins. ``compact_every=N``
     runs ivf_index_compact inside the lane on every Nth epoch (in-path
     maintenance, single-writer by construction — the ledger's
-    compact_every idiom; 0 = external cadence)."""
+    compact_every idiom; 0 = external cadence).
+    ``compact_when_tombstones_over=B``: compact when pending tombstone
+    bytes exceed B (compaction_due — measured masking debt instead of a
+    blind cadence; either trigger suffices)."""
+    from bert_etl_spark.operators.index_lifecycle import compaction_due
+
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         ivf_index_ingest(spark, batch_df, index_dir)
-        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+        if compaction_due(
+            spark, index_dir, epoch_id, compact_every,
+            compact_when_tombstones_over,
+        ):
             ivf_index_compact(spark, index_dir)
 
     return (
@@ -983,6 +992,7 @@ def simlsh_index_stream(
     index_dir: str,
     checkpoint_dir: str,
     compact_every: int = 0,
+    compact_when_tombstones_over: int = 0,
 ):
     """Always-on ingest of arriving vectors into the standing durable
     sign-LSH index: readStream of (vec_id, embedding) → foreachBatch →
@@ -990,12 +1000,19 @@ def simlsh_index_stream(
     Exactly-once the same way: the anti-join keyed on vec_id makes any
     replayed/re-delivered batch a no-op, so at-least-once delivery is
     idempotent at the sink. ``compact_every=N``: in-path compaction on
-    every Nth epoch (0 = external cadence). Returns the StreamingQuery."""
+    every Nth epoch (0 = external cadence);
+    ``compact_when_tombstones_over=B``: compact on measured pending
+    tombstone bytes (compaction_due). Returns the StreamingQuery."""
+    from bert_etl_spark.operators.index_lifecycle import compaction_due
+
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         simlsh_index_ingest(spark, batch_df, index_dir)
-        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+        if compaction_due(
+            spark, index_dir, epoch_id, compact_every,
+            compact_when_tombstones_over,
+        ):
             simlsh_index_compact(spark, index_dir)
 
     return (
@@ -1491,11 +1508,16 @@ def ivfpq_index_ingest(spark: SparkSession, batch: DataFrame, index_dir: str) ->
     """Ingest new vectors into the standing IVF-PQ index: assign cell AND
     codes with the index's own frozen quantizers, then the shared
     idempotent O(touched-partitions) append. ``batch``: (vec_id,
-    embedding[, label])."""
-    from bert_etl_spark.functions.markers import read_int_marker
-    from bert_etl_spark.operators.index_lifecycle import ingest_rows
+    embedding[, label]). Validates via open_index, not a bare marker
+    read: with ivfpq_index_stream(compact_every=N) a crash inside the
+    compaction sentinel window (marker deleted, ``_compact_pending``
+    stamped) must let the REPLAYED epoch finish the swap and re-ingest —
+    a marker-only check would refuse and strand the stream (round-12
+    advice, the 'medium' item; the ivf/maxsim/simlsh ingest verbs
+    already recover this way)."""
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows, open_index
 
-    if read_int_marker(spark, f"{index_dir}/{_IVFPQ_MARKER}") != N_CENTROIDS:
+    if open_index(spark, index_dir, _IVFPQ_MARKER, "cell") != N_CENTROIDS:
         raise ValueError(
             f"no standing IVF-PQ index at {index_dir} (or a drifted "
             "layout) — build it first (ivfpq_build_or_open)"
@@ -1534,17 +1556,25 @@ def ivfpq_index_stream(
     index_dir: str,
     checkpoint_dir: str,
     compact_every: int = 0,
+    compact_when_tombstones_over: int = 0,
 ):
     """Always-on ingest of arriving vectors into the standing IVF-PQ
     index (foreachBatch → ivfpq_index_ingest) — verb parity with the
     other durable families; idempotent under replay via the shared
     touched-partition anti-join. ``compact_every=N``: in-path compaction
-    on every Nth epoch (0 = external cadence)."""
+    on every Nth epoch (0 = external cadence);
+    ``compact_when_tombstones_over=B``: compact on measured pending
+    tombstone bytes (compaction_due)."""
+    from bert_etl_spark.operators.index_lifecycle import compaction_due
+
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         ivfpq_index_ingest(spark, batch_df, index_dir)
-        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+        if compaction_due(
+            spark, index_dir, epoch_id, compact_every,
+            compact_when_tombstones_over,
+        ):
             ivfpq_index_compact(spark, index_dir)
 
     return (
@@ -2613,12 +2643,15 @@ def maxsim_index_stream(
     index_dir: str,
     checkpoint_dir: str,
     compact_every: int = 0,
+    compact_when_tombstones_over: int = 0,
 ):
     """Always-on ingest of arriving multi-vector documents into the
     standing durable MaxSim index: ``readStream`` of (vec_id, embedding)
     → foreachBatch → maxsim_index_ingest per micro-batch. The streaming
     sibling of the LSH band ledger (streaming/events.py) for the
-    similarity family.
+    similarity family. ``compact_when_tombstones_over=B``: compact on
+    measured pending tombstone bytes (compaction_due), alongside the
+    ``compact_every=N`` epoch cadence.
 
     Exactly-once WITHOUT epoch bookkeeping: foreachBatch is
     at-least-once, but ingest's anti-join against the index's vec_id
@@ -2633,8 +2666,13 @@ def maxsim_index_stream(
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        from bert_etl_spark.operators.index_lifecycle import compaction_due
+
         maxsim_index_ingest(spark, batch_df, index_dir)
-        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+        if compaction_due(
+            spark, index_dir, epoch_id, compact_every,
+            compact_when_tombstones_over,
+        ):
             maxsim_index_compact(spark, index_dir)
 
     return (

@@ -1336,11 +1336,14 @@ def textidx_ingest(
     idempotent on pkey (re-delivered docs re-offer identical posting
     rows; the anti-join drops them). Collection statistics stay FROZEN at
     build time (the _codebook contract): new docs are scored with
-    build-time idf/avgdl until a rebuild. ``batch_docs``: (doc_id, text)."""
-    from bert_etl_spark.functions.markers import read_int_marker
-    from bert_etl_spark.operators.index_lifecycle import ingest_rows
+    build-time idf/avgdl until a rebuild. ``batch_docs``: (doc_id, text).
+    Validates via open_index so a textidx_stream(compact_every=N) epoch
+    replayed after a crash inside the compaction sentinel window finishes
+    the interrupted swap instead of refusing (round-12 advice — the same
+    recovery the dense families' ingest verbs already run)."""
+    from bert_etl_spark.operators.index_lifecycle import ingest_rows, open_index
 
-    if read_int_marker(spark, f"{index_dir}/{_TEXTIDX_MARKER}") is None:
+    if open_index(spark, index_dir, _TEXTIDX_MARKER, "bucket") is None:
         raise ValueError(
             f"no standing text index at {index_dir} — build it first"
         )
@@ -1477,18 +1480,26 @@ def textidx_stream(
     index_dir: str,
     checkpoint_dir: str,
     compact_every: int = 0,
+    compact_when_tombstones_over: int = 0,
 ):
     """Always-on document ingest into the standing text index
     (foreachBatch → textidx_ingest) — verb parity with the dense
     families' *_stream siblings. Exactly-once at the sink via the pkey
     anti-join (a re-delivered document re-offers identical posting rows,
     all dropped). ``compact_every=N``: in-path compaction on every Nth
-    epoch (0 = external cadence). ``stream``: rows (doc_id, text)."""
+    epoch (0 = external cadence); ``compact_when_tombstones_over=B``:
+    compact on measured pending tombstone bytes (compaction_due).
+    ``stream``: rows (doc_id, text)."""
+    from bert_etl_spark.operators.index_lifecycle import compaction_due
+
     spark = stream.sparkSession
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         textidx_ingest(spark, batch_df, index_dir)
-        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+        if compaction_due(
+            spark, index_dir, epoch_id, compact_every,
+            compact_when_tombstones_over,
+        ):
             textidx_compact(spark, index_dir)
 
     return (

@@ -845,14 +845,19 @@ def test_ingest_anti_join_reads_only_touched_partitions(spark, tmp_path):
         )
         n = life.ingest_rows(spark, idx, "_n_centroids", 4, batch, "cell", 4)
         assert n == 2  # duplicates dropped by the PRUNED anti-join
-        # pruned delete: keys carrying the partition column never read
-        # the garbage either; ghost keys record nothing
+        # pruned delete with TRUSTED part values (the key→partition-map
+        # contract) never reads the garbage; ghost keys record nothing.
+        # The untrusted default would cross-check key 999 against the
+        # full key scan (round-12 advice: a stale-part feed must not
+        # silently no-op) — that full scan reading every partition is
+        # exactly what the garbage file proves, via the raises above.
         dels = spark.createDataFrame(
             [(1, 1), (101, 1), (999, 1)], schema="vec_id long, cell int"
         )
         assert (
             life.delete_keys(
-                spark, idx, "_n_centroids", 4, dels, part_col="cell"
+                spark, idx, "_n_centroids", 4, dels, part_col="cell",
+                trusted_parts=True,
             )
             == 2
         )
@@ -1254,3 +1259,163 @@ def test_hybrid_rrf_indexed_reflects_streamed_ingest(spark, tmp_path):
     finally:
         spark.conf.unset(sim.IVF_INDEX_DIR_CONF)
         spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+
+
+# ---------------------------------------------------------------------------
+# round-13 advice closures + tombstone-triggered in-path compaction
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_ingest_recovers_interrupted_compaction(spark, tmp_path):
+    """Round-12 'medium' advice: a crash inside the compaction sentinel
+    window (tmp written, _compact_pending stamped, marker deleted) must
+    not strand ivfpq_index_stream — the replayed epoch's ingest verb
+    finishes the swap via open_index instead of raising 'no standing
+    IVF-PQ index'."""
+    idx = str(tmp_path / "ivfpq_crash")
+    sim.ivfpq_build_or_open(spark, SF, idx)
+    total = spark.read.option("basePath", idx).parquet(idx).count()
+    # simulate compact_index crashing right after its commit point
+    table = spark.read.option("basePath", idx).parquet(idx)
+    tmp = f"{idx}{life.TMP_SUFFIX}"
+    table.repartition(4, "cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(tmp)
+    write_int_marker(spark, f"{idx}/{life.PENDING_SENTINEL}", sim.N_CENTROIDS)
+    os.remove(f"{idx}/{sim._IVFPQ_MARKER}")
+    # CRASH here; the stream restarts and the replayed epoch re-ingests
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 6_000_000).alias("vec_id"), "embedding"
+    ).limit(8)
+    assert sim.ivfpq_index_ingest(spark, emb, idx) == 8
+    assert read_int_marker(spark, f"{idx}/{sim._IVFPQ_MARKER}") == sim.N_CENTROIDS
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(f"{idx}/{life.PENDING_SENTINEL}")
+    assert (
+        spark.read.option("basePath", idx).parquet(idx).count() == total + 8
+    )
+
+
+def test_textidx_ingest_recovers_interrupted_compaction(spark, tmp_path):
+    """The same recovery gap for the text index's ingest verb (round-12
+    advice named both)."""
+    from bert_etl_spark.operators import text as tx
+
+    idx = str(tmp_path / "tix_crash")
+    tx._textidx_open_or_build(spark, SF, idx)
+    total = spark.read.option("basePath", idx).parquet(idx).count()
+    table = spark.read.option("basePath", idx).parquet(idx)
+    tmp = f"{idx}{life.TMP_SUFFIX}"
+    table.repartition(4, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(tmp)
+    write_int_marker(
+        spark, f"{idx}/{life.PENDING_SENTINEL}", tx.TEXTIDX_BUCKETS
+    )
+    os.remove(f"{idx}/{tx._TEXTIDX_MARKER}")
+    docs = spark.createDataFrame(
+        [(9_000_001, "wholly novel recovery document")],
+        schema="doc_id long, text string",
+    )
+    assert tx.textidx_ingest(spark, docs, idx) > 0
+    assert (
+        read_int_marker(spark, f"{idx}/{tx._TEXTIDX_MARKER}")
+        == tx.TEXTIDX_BUCKETS
+    )
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(f"{idx}/{life.PENDING_SENTINEL}")
+    assert spark.read.option("basePath", idx).parquet(idx).count() > total
+
+
+def test_delete_with_stale_part_values_still_deletes(spark, tmp_path):
+    """Round-12 'low' advice: a delete feed whose cell column is STALE
+    (computed against a drifted quantizer) must not silently record zero
+    tombstones — the cross-check falls back to the slim full key scan
+    for keys not found where they claimed to live."""
+    idx = str(tmp_path / "ivf_stale_delete")
+    sim._ivf_assign(spark, SF, idx)
+    # four real rows, each claiming the WRONG cell
+    sample = (
+        spark.read.option("basePath", idx).parquet(idx)
+        .select("vec_id", "cell").limit(4).collect()
+    )
+    stale = spark.createDataFrame(
+        [(r["vec_id"], (r["cell"] + 1) % sim.N_CENTROIDS) for r in sample],
+        schema="vec_id long, cell int",
+    )
+    # trusted_parts=True documents the hazard the cross-check closes:
+    # the pruned check looks in the claimed (wrong) partitions, finds
+    # nothing, and records zero tombstones
+    assert (
+        life.delete_keys(
+            spark, idx, sim._IVF_MARKER, sim.N_CENTROIDS, stale,
+            part_col="cell", trusted_parts=True,
+        )
+        == 0
+    )
+    # the public verb (untrusted feed) cross-checks and deletes all four
+    assert sim.ivf_index_delete(spark, stale, idx) == 4
+    masked = life.apply_tombstones(
+        spark, idx, spark.read.option("basePath", idx).parquet(idx)
+    )
+    doomed_ids = {r["vec_id"] for r in sample}
+    assert masked.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+    # replay of the same feed records nothing new (idempotence kept)
+    assert sim.ivf_index_delete(spark, stale, idx) == 0
+
+
+def test_compaction_due_thresholds(spark, tmp_path):
+    """compaction_due: the epoch cadence fires on every Nth epoch; the
+    tombstone-bytes trigger fires only once pending bytes exceed the
+    threshold (round-12 'next round' item #7)."""
+    idx = str(tmp_path / "ivf_due")
+    sim._ivf_assign(spark, SF, idx)
+    # cadence-only behavior unchanged
+    assert life.compaction_due(spark, idx, 1, compact_every=2)
+    assert not life.compaction_due(spark, idx, 2, compact_every=2)
+    # no tombstones -> never due on the bytes trigger
+    assert life.pending_tombstone_bytes(spark, idx) == 0
+    assert not life.compaction_due(spark, idx, 0, tombstone_bytes_over=1)
+    # plant one tombstone -> due above 1 byte, not above 1 GiB
+    one = spark.read.option("basePath", idx).parquet(idx).select(
+        "vec_id"
+    ).limit(1)
+    assert sim.ivf_index_delete(spark, one, idx) == 1
+    assert life.pending_tombstone_bytes(spark, idx) > 0
+    assert life.compaction_due(spark, idx, 0, tombstone_bytes_over=1)
+    assert not life.compaction_due(
+        spark, idx, 0, tombstone_bytes_over=1 << 30
+    )
+
+
+def test_stream_compacts_when_tombstones_over_threshold(spark, tmp_path):
+    """The *_stream wrappers' compact_when_tombstones_over=B: below the
+    threshold the drain leaves pending tombstones untouched; above it,
+    exactly the overdue compaction runs and clears them."""
+    idx = str(tmp_path / "ivf_tomb_stream")
+    sim._ivf_assign(spark, SF, idx)
+    one = spark.read.option("basePath", idx).parquet(idx).select(
+        "vec_id"
+    ).limit(1)
+    assert sim.ivf_index_delete(spark, one, idx) == 1
+    emb = registry.tbl(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 8_000_000).alias("vec_id"), "embedding"
+    ).limit(4)
+    emb.write.parquet(str(tmp_path / "feed"))
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(tmp_path / "feed"))
+    )
+    # below threshold: tombstone survives the drain
+    sim.ivf_index_stream(
+        stream(), idx, str(tmp_path / "ck1"),
+        compact_when_tombstones_over=1 << 30,
+    ).awaitTermination()
+    assert life.pending_tombstone_bytes(spark, idx) > 0
+    # above threshold: the drain compacts and clears it
+    sim.ivf_index_stream(
+        stream(), idx, str(tmp_path / "ck2"),
+        compact_when_tombstones_over=1,
+    ).awaitTermination()
+    assert life.pending_tombstone_bytes(spark, idx) == 0
+    assert life.tombstones(spark, idx) is None
