@@ -1196,3 +1196,177 @@ def test_cdc_apply_replay_safe_with_aqe_off(spark, tmp_path):
         assert after == first
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+# ---------------------------------------------------------------------------
+# round-13: bucketed CDC op log — O(batch) epochs, fold-on-compact
+# ---------------------------------------------------------------------------
+
+
+def _cdc_feed(spark, rows, path):
+    spark.createDataFrame(
+        rows, schema="k long, seq int, op string, price double"
+    ).coalesce(1).write.parquet(path)
+    return (
+        spark.readStream.schema("k long, seq int, op string, price double")
+        .parquet(path)
+    )
+
+
+def _state_mtimes(state_dir):
+    out = {}
+    for b in sorted(os.listdir(state_dir)):
+        if not b.startswith("bkt="):
+            continue
+        d = os.path.join(state_dir, b)
+        out[b] = sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+    return out
+
+
+def test_cdc_epoch_touches_only_its_buckets(spark, tmp_path):
+    """Round-12 top ask: a CDC epoch must read and write ONLY the bucket
+    dirs its batch touches. Proof is behavioral (the ingest-test idiom):
+    garbage planted in an untouched bucket would crash any full-log scan;
+    the epoch neither reads it nor rewrites any untouched dir (mtimes
+    frozen)."""
+    from bert_etl_spark.streaming import events as ev
+
+    state = str(tmp_path / "state")
+    base = [(k, 0, "U", float(k)) for k in range(200)]
+    ev.cdc_apply_stream(
+        _cdc_feed(spark, base, str(tmp_path / "in1")),
+        state,
+        str(tmp_path / "ck1"),
+    ).awaitTermination()
+    # pick a second batch and a garbage bucket disjoint from it
+    batch_keys = [1000, 1001, 1002]
+    tb = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(k,) for k in batch_keys], schema="k long"
+        )
+        .select(ev._cdc_bucket(ev.CDC_BUCKETS_DEFAULT).alias("b"))
+        .collect()
+    }
+    victim = next(
+        b
+        for b in sorted(os.listdir(state))
+        if b.startswith("bkt=") and int(b.split("=")[1]) not in tb
+    )
+    with open(f"{state}/{victim}/part-garbage.parquet", "w") as fh:
+        fh.write("this is not parquet")
+    before = _state_mtimes(state)
+    try:
+        ev.cdc_apply_stream(
+            _cdc_feed(
+                spark,
+                [(k, 1, "U", 9.0) for k in batch_keys],
+                str(tmp_path / "in2"),
+            ),
+            state,
+            str(tmp_path / "ck2"),
+        ).awaitTermination()
+        after = _state_mtimes(state)
+        touched = {f"bkt={b}" for b in tb}
+        for b, files in before.items():
+            if b not in touched:
+                assert after[b] == files, f"untouched {b} was rewritten"
+    finally:
+        os.remove(f"{state}/{victim}/part-garbage.parquet")
+    got = {
+        r["k"]: (r["seq"], r["price"])
+        for r in ev.latest_cdc_state(spark, state)
+        .filter(F.col("k").isin(batch_keys))
+        .collect()
+    }
+    assert got == {k: (1, 9.0) for k in batch_keys}
+
+
+def test_cdc_compact_folds_log_and_keeps_view(spark, tmp_path):
+    """cdc_compact_state folds the op log to one argmax row per key (D
+    tombstones kept), one file per bucket; the reader's view is unchanged
+    before/after, and an interrupted fold recovers on next read."""
+    from bert_etl_spark.functions.markers import write_int_marker
+    from bert_etl_spark.operators import index_lifecycle as life
+    from bert_etl_spark.streaming import events as ev
+
+    state = str(tmp_path / "state")
+    ops = (
+        [(k, 0, "U", float(k)) for k in range(100)]
+        + [(k, 1, "U", float(k) + 0.5) for k in range(0, 100, 2)]
+        + [(k, 2, "D", None) for k in range(0, 100, 5)]
+    )
+    ev.cdc_apply_stream(
+        _cdc_feed(spark, ops, str(tmp_path / "in")),
+        state,
+        str(tmp_path / "ck"),
+    ).awaitTermination()
+    view = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in ev.latest_cdc_state(spark, state)
+        .select("k", "seq", "op", "price")
+        .collect()
+    )
+    before = view()
+    log_rows = (
+        spark.read.option("basePath", state).parquet(state).count()
+    )
+    assert log_rows == len(ops)  # pure append: every op exactly once
+    n_keys = 100
+    assert ev.cdc_compact_state(spark, state) == n_keys
+    assert view() == before
+    assert (
+        spark.read.option("basePath", state).parquet(state).count()
+        == n_keys
+    )
+    # deletes survived the fold as tombstone rows
+    assert any(r[2] == "D" for r in view())
+    # interrupted fold: tmp written + sentinel stamped + marker deleted,
+    # crash before the swap — the next reader recovers via open_index
+    log = spark.read.option("basePath", state).parquet(state)
+    tmp = f"{state}{life.TMP_SUFFIX}"
+    log.repartition(4, "bkt").write.partitionBy("bkt").mode(
+        "overwrite"
+    ).parquet(tmp)
+    write_int_marker(
+        spark, f"{state}/{life.PENDING_SENTINEL}", ev.CDC_BUCKETS_DEFAULT
+    )
+    os.remove(f"{state}/{ev.CDC_MARKER}")
+    assert view() == before
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(f"{state}/{life.PENDING_SENTINEL}")
+
+
+def test_cdc_inpath_fold_on_file_debt(spark, tmp_path):
+    """compact_when_log_files_over=F: epochs below the file-debt
+    threshold only append; once the log's data files exceed it, the
+    in-path fold runs and resets the debt."""
+    from bert_etl_spark.streaming import events as ev
+
+    state = str(tmp_path / "state")
+    rows = [(k, 0, "U", 1.0) for k in range(64)]
+    for i, threshold in enumerate((10_000, 10_000, 1)):
+        ev.cdc_apply_stream(
+            _cdc_feed(
+                spark,
+                [(k, i + 1, "U", float(i)) for k, *_ in rows],
+                str(tmp_path / f"in{i}"),
+            ),
+            state,
+            str(tmp_path / f"ck{i}"),
+            compact_when_log_files_over=threshold,
+        ).awaitTermination()
+    # three epochs of 64 keys: two appends survived untouched, the third
+    # crossed the 1-file debt bar and folded everything to argmax rows
+    assert (
+        spark.read.option("basePath", state).parquet(state).count() == 64
+    )
+    assert ev._cdc_log_files(spark, state) <= ev.CDC_BUCKETS_DEFAULT
+    got = {
+        r["k"]: r["seq"] for r in ev.latest_cdc_state(spark, state).collect()
+    }
+    assert got == {k: 3 for k in range(64)}
