@@ -1265,17 +1265,28 @@ def _token_bucket(col: F.Column | str):
 
 
 def _postings_plan(docs: DataFrame) -> DataFrame:
-    """(token, doc_id, tf, dl, pkey, bucket) — one row per distinct
-    (token, doc); dl denormalized onto the posting so probes never join a
-    doc-length side table (the norm-in-posting convention)."""
+    """(token, doc_id, tf, positions, dl, pkey, bucket) — one row per
+    distinct (token, doc); dl denormalized onto the posting so probes
+    never join a doc-length side table (the norm-in-posting convention).
+    ``positions`` (round-13) are the token's sorted 1-based offsets in
+    the document — the POSITIONAL postings phrase/proximity probes join,
+    Lucene-style, so a standing corpus answers ad-hoc phrase queries
+    from <= |phrase terms| bucket dirs with zero corpus access. Cost at
+    rest: Σtf ints instead of Σdistinct-terms rows — the same order as
+    the corpus itself, the standard positional-index trade."""
     toked = spread(docs).select(
         "doc_id", tokenize(F.col("text")).alias("toks")
     )
     dl = toked.select("doc_id", F.size("toks").alias("dl"))
     tf = (
-        toked.select("doc_id", F.explode("toks").alias("token"))
+        toked.select("doc_id", F.posexplode("toks").alias("pos0", "token"))
         .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias(
+                "positions"
+            ),
+        )
     )
     return (
         tf.join(dl, "doc_id")
@@ -1627,5 +1638,136 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.when(n >= 2, pair_count).otherwise(F.lit(0)).cast("bigint")
     return (
         docs.select("doc_id", cnt.alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# INDEXED phrase / proximity search (round-13): the corpus-scan forms above
+# are the right shape when the phrase rides a quality-gate pipeline; a
+# RAG/search user issuing ad-hoc phrase queries against a STANDING corpus
+# needs the positions in the durable postings. The probe reads ONLY the
+# phrase terms' bucket dirs (<= |terms| partition dirs, path-pruned),
+# joins the two terms' position arrays per doc_id, and counts adjacency /
+# slop matches with one HOF expression — zero corpus access, zero
+# tokenize. Identical semantics to the scan forms by construction: the
+# index stores tokenize()'s own 1-based offsets, so "p+1 ∈ P2" IS
+# "toks[i]=t1 ∧ toks[i+1]=t2". Oracle: the same positional self-join SQL
+# the scan forms already hash against.
+# ---------------------------------------------------------------------------
+
+
+def _positional_postings(
+    spark: SparkSession, sf_dir: str, index_dir: str, terms: tuple[str, str]
+) -> DataFrame:
+    """(doc_id, p1, p2): the two terms' position arrays joined per doc,
+    off the pruned durable postings (tombstones masked)."""
+    from bert_etl_spark.operators.index_lifecycle import pruned_scan
+
+    _textidx_open_or_build(spark, sf_dir, index_dir)
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in terms], schema="token string"
+        )
+        .select(_token_bucket("token").alias("b"))
+        .distinct()
+        .collect()
+    )
+    scan = pruned_scan(spark, index_dir, "bucket", buckets, key="doc_id")
+    if scan is None:
+        # no matching bucket dirs: neither term occurs anywhere
+        return spark.createDataFrame(
+            [], schema="doc_id long, p1 array<int>, p2 array<int>"
+        )
+    if "positions" not in scan.columns:
+        raise ValueError(
+            f"text index at {index_dir} predates positional postings — "
+            "rebuild it (point the conf at a fresh dir) to serve indexed "
+            "phrase/proximity queries"
+        )
+    p1 = scan.filter(F.col("token") == terms[0]).select(
+        "doc_id", F.col("positions").alias("p1")
+    )
+    p2 = scan.filter(F.col("token") == terms[1]).select(
+        "doc_id", F.col("positions").alias("p2")
+    )
+    return p1.join(p2, "doc_id")
+
+
+@query(
+    "text_phrase_search_indexed",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS token,
+               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        FROM documents
+    )
+    SELECT t1.doc_id, COUNT(*) AS n_occurrences
+    FROM tok t1
+    JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    WHERE t1.token = '{PHRASE_TERMS[0]}' AND t2.token = '{PHRASE_TERMS[1]}'
+    GROUP BY t1.doc_id
+    """,
+)
+def text_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    index_dir = _textidx_dir(spark) or session_scratch_dir(
+        spark, "textidx_demo", sf_dir
+    )
+    pp = _positional_postings(spark, sf_dir, index_dir, PHRASE_TERMS)
+    cnt = F.size(
+        F.filter(
+            F.col("p1"),
+            lambda p: F.array_contains(F.col("p2"), p + F.lit(1)),
+        )
+    ).cast("bigint")
+    return (
+        pp.select("doc_id", cnt.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+@query(
+    "text_proximity_search_indexed",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS token,
+               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        FROM documents
+    )
+    SELECT t1.doc_id, COUNT(*) AS n_pairs
+    FROM tok t1
+    JOIN tok t2 ON t2.doc_id = t1.doc_id
+        AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + {PROXIMITY_SLOP}
+    WHERE t1.token = '{PHRASE_TERMS[0]}' AND t2.token = '{PHRASE_TERMS[1]}'
+    GROUP BY t1.doc_id
+    """,
+)
+def text_proximity_search_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    index_dir = _textidx_dir(spark) or session_scratch_dir(
+        spark, "textidx_demo", sf_dir
+    )
+    pp = _positional_postings(spark, sf_dir, index_dir, PHRASE_TERMS)
+    pairs = F.aggregate(
+        F.col("p1"),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(
+            F.filter(
+                F.col("p2"),
+                lambda q: (q > p) & (q <= p + F.lit(PROXIMITY_SLOP)),
+            )
+        ),
+    ).cast("bigint")
+    return (
+        pp.select("doc_id", pairs.alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
     )

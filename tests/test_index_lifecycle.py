@@ -1419,3 +1419,61 @@ def test_stream_compacts_when_tombstones_over_threshold(spark, tmp_path):
     ).awaitTermination()
     assert life.pending_tombstone_bytes(spark, idx) == 0
     assert life.tombstones(spark, idx) is None
+
+
+def test_indexed_phrase_search_reads_only_term_buckets(spark, tmp_path):
+    """Round-12 ask #2: the indexed phrase/proximity probes read ONLY the
+    phrase terms' bucket dirs of the standing positional index — zero
+    corpus access — match the corpus-scan forms exactly, and the
+    lifecycle verbs (ingest/delete/compact) preserve positions."""
+    from bert_etl_spark.operators import text as tx
+
+    scan_rows = _rows(spark, "text_phrase_search")
+    prox_rows = _rows(spark, "text_proximity_search")
+    tix = str(tmp_path / "tix_pos")
+    spark.conf.set(tx.TEXTIDX_DIR_CONF, tix)
+    try:
+        df = registry.ALL_QUERIES["text_phrase_search_indexed"](spark, SF)
+        assert sorted(tuple(r) for r in df.collect()) == scan_rows
+        files = df.inputFiles()
+        assert files and all(f"{tix}/" in f for f in files)
+        assert not any("documents.parquet" in f for f in files)
+        probed = {f.split("/bucket=")[1].split("/")[0] for f in files}
+        assert len(probed) <= len(tx.PHRASE_TERMS)
+        assert (
+            sorted(
+                tuple(r)
+                for r in registry.ALL_QUERIES[
+                    "text_proximity_search_indexed"
+                ](spark, SF).collect()
+            )
+            == prox_rows
+        )
+        # ingest a phrase-bearing doc: the indexed probe surfaces it with
+        # the right occurrence count (positions flowed through ingest)
+        new_id = 8_800_001
+        doc = spark.createDataFrame(
+            [(new_id, "table hash padding table hash")],
+            schema="doc_id long, text string",
+        )
+        assert tx.textidx_ingest(spark, doc, tix) > 0
+        hits = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in registry.ALL_QUERIES["text_phrase_search_indexed"](
+                spark, SF
+            ).collect()
+        }
+        assert hits[new_id] == 2
+        # delete masks immediately; compact applies physically and keeps
+        # every other doc's positions intact
+        assert tx.textidx_delete(
+            spark, spark.createDataFrame([(new_id,)], schema="doc_id long"),
+            tix,
+        ) == 1
+        after_delete = _rows(spark, "text_phrase_search_indexed")
+        assert after_delete == scan_rows
+        tx.textidx_compact(spark, tix)
+        assert _rows(spark, "text_phrase_search_indexed") == scan_rows
+        assert _rows(spark, "text_proximity_search_indexed") == prox_rows
+    finally:
+        spark.conf.unset(tx.TEXTIDX_DIR_CONF)
