@@ -3627,6 +3627,103 @@ def sim_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch MMR off the STANDING index (round-13): sim_mmr_batch's pool comes
+# from topk_neighbors — a full-corpus broadcast scan per serving batch. At
+# 100 TB the pool must come from the durable IVF-PQ pipeline the repo
+# already owns: ADC shortlist off the probed cell dirs (8 ints per
+# candidate, never a stored float vector), then ONE bounded-output corpus
+# pass fetching exact vectors for just the |Q|×R shortlist (the
+# sim_ivfpq_rerank shape), top-MMR_POOL by exact cosine, and the same
+# strictly-bounded applyInPandas greedy. The only embeddings access on
+# the warm path is the query side + that shortlist fetch — no
+# corpus×query non-equi join anywhere (the plan test pins the
+# BroadcastNestedLoopJoin out). The pool is the INDEX's pool (probed
+# cells only), so results legitimately differ from the brute-force
+# sibling; the oracle reproduces the frozen-quantizer pipeline end to
+# end, pool CTE off the IVF-PQ CTEs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_mmr_batch_indexed",
+    oracle=f"""
+    WITH {_SQL_IVFPQ_CTES},
+    shortlist AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY adc_dot DESC, neighbor_id) AS arn
+            FROM adc
+        ) WHERE arn <= {IVFPQ_RERANK_R}
+    ),
+    pool AS (
+        SELECT q_id, id, rel FROM (
+            SELECT s.q_id, s.neighbor_id AS id, {_SQL_COS} AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY s.q_id
+                        ORDER BY {_SQL_COS} DESC, s.neighbor_id) AS rn
+            FROM shortlist s
+            JOIN n q ON q.vec_id = s.q_id
+            JOIN n c ON c.vec_id = s.neighbor_id
+        ) WHERE rn <= {MMR_POOL}
+    ),
+    sims AS (
+        SELECT p1.q_id, p1.id AS ai, p2.id AS bi, {_SQL_COS} AS sim
+        FROM pool p1
+        JOIN pool p2 ON p2.q_id = p1.q_id AND p2.id != p1.id
+        JOIN n q ON q.vec_id = p1.id
+        JOIN n c ON c.vec_id = p2.id
+    ),
+    {{MMR_CTES}}
+    SELECT q_id, id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           ROUND(score, 6) AS mmr_score
+    FROM cum{MMR_K}
+    """.replace("{MMR_CTES}", _sql_mmr_batch(MMR_K)),
+)
+def sim_mmr_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _diversify(index_dir: str) -> DataFrame:
+        adc = _ivfpq_adc(spark, sf_dir, index_dir)
+        w_short = W.partitionBy("q_id").orderBy(
+            F.desc("adc_dot"), "neighbor_id"
+        )
+        shortlist = (
+            adc.withColumn("arn", F.row_number().over(w_short))
+            .filter(F.col("arn") <= IVFPQ_RERANK_R)
+            .select("q_id", "neighbor_id")
+        )
+        prep = _prepared(spark, sf_dir)
+        qside = prep.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        ).filter(F.col("q_id") < N_QUERIES)
+        cand = prep.select(
+            F.col("vec_id").alias("id"), "e", "nrm"
+        ).join(
+            F.broadcast(shortlist.withColumnRenamed("neighbor_id", "id")),
+            "id",
+        )
+        rel = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+        w_pool = W.partitionBy("q_id").orderBy(F.desc("rel"), "id")
+        pool = (
+            cand.join(F.broadcast(qside), "q_id")
+            .withColumn("rel", rel)
+            .withColumn("prn", F.row_number().over(w_pool))
+            .filter(F.col("prn") <= MMR_POOL)
+            .select("q_id", "id", "rel", "e")
+        )
+        return pool.groupBy("q_id").applyInPandas(
+            _mmr_greedy_group,
+            schema="q_id long, id long, mmr_rank int, mmr_score double",
+        )
+
+    index_dir = _ivfpq_index_dir(spark)
+    if index_dir:
+        ivfpq_build_or_open(spark, sf_dir, index_dir)
+        return _diversify(index_dir)
+    return _diversify(_ivfpq_session_index(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Hard-negative mining: for each query vector, the top-k most-similar
 # vectors whose label DIFFERS from the query's — the contrastive-training
 # data op (high-similarity different-class examples are the negatives that

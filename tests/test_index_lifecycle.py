@@ -1477,3 +1477,40 @@ def test_indexed_phrase_search_reads_only_term_buckets(spark, tmp_path):
         assert _rows(spark, "text_proximity_search_indexed") == prox_rows
     finally:
         spark.conf.unset(tx.TEXTIDX_DIR_CONF)
+
+
+def test_mmr_batch_indexed_pool_comes_from_index(spark, tmp_path):
+    """Round-12 ask #3: sim_mmr_batch_indexed's candidate pool rides the
+    durable IVF-PQ probe, not a brute-force corpus scan — the warm plan
+    has NO corpus×query non-equi join (the BroadcastNestedLoopJoin that
+    topk_neighbors compiles to), reads the index's cell= dirs, and the
+    conf'd path equals the scratch path."""
+    base = _rows(spark, "sim_mmr_batch_indexed")  # scratch path
+    idx = str(tmp_path / "ivfpq_mmr")
+    spark.conf.set(sim.IVFPQ_INDEX_DIR_CONF, idx)
+    try:
+        assert _rows(spark, "sim_mmr_batch_indexed") == base and base
+        df = registry.ALL_QUERIES["sim_mmr_batch_indexed"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+
+        # the corpus×query candidate scan compiles to a NON-EQUI
+        # BroadcastNestedLoopJoin on vec_id != q_id; the only BNLJ the
+        # indexed plan may carry is _ivfpq_adc's bounded |Q|×|centroids|
+        # cross join (and stats-style cross joins) — no inequality join
+        def _nonequi_bnlj(p: str) -> bool:
+            return any(
+                "BroadcastNestedLoopJoin" in ln and "NOT (" in ln
+                for ln in p.splitlines()
+            )
+
+        assert not _nonequi_bnlj(plan), plan
+        files = df.inputFiles()
+        cells = {f for f in files if f"{idx}/" in f and "/cell=" in f}
+        assert cells, files
+        # the brute-force sibling DOES carry the non-equi corpus scan —
+        # the discriminator is real, not vacuous
+        bf = registry.ALL_QUERIES["sim_mmr_batch"](spark, SF)
+        bf_plan = bf._jdf.queryExecution().executedPlan().toString()
+        assert _nonequi_bnlj(bf_plan)
+    finally:
+        spark.conf.unset(sim.IVFPQ_INDEX_DIR_CONF)
