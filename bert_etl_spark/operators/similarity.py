@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -1922,6 +1923,158 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ivfpq_probe(spark, sf_dir)
         .select("q_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.round(F.count("hit").cast("double") / TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall-drift audit (round-13): the IVF-PQ codebooks FREEZE at build
+# (ivfpq_build_or_open) — an always-on ingest whose vector distribution
+# drifts away from the build sample silently decays recall (arrivals land
+# in increasingly wrong cells and quantize against increasingly wrong
+# codewords). This query is the scheduled measurement that prices that
+# decay: grow a scratch replica of the standing index with a
+# deterministically SHIFTED batch (every component +DRIFT_DELTA — a
+# worst-case mean shift), then report recall@k of the frozen-quantizer
+# probe against exact brute force on the GROWN corpus, per query. The
+# shift is computed double-side then cast back to float32 on BOTH the
+# Spark and oracle sides, so ingest's own as_double sees bit-identical
+# vectors.
+#
+# Operational contract (the tombstoneWarnBytes analog for quantizer
+# staleness): schedule this audit on the ingest cadence and REBUILD —
+# refreeze both quantizers from the grown corpus — when mean recall@k
+# falls below ``spark.bert_etl.ivfpq.recallRebuildFloor`` (default 0.8).
+# The audit is O(scratch build + |Q|·corpus) — a maintenance-lane job,
+# never on the probe path.
+# ---------------------------------------------------------------------------
+
+IVFPQ_RECALL_REBUILD_CONF = "spark.bert_etl.ivfpq.recallRebuildFloor"
+IVFPQ_RECALL_REBUILD_DEFAULT = 0.8
+
+DRIFT_SRC_START = 100  # clear of queries (<5), centroids (<8), PQ seeds (<16)
+DRIFT_N = 32
+DRIFT_OFFSET = 1_000_000
+DRIFT_DELTA = 0.25
+
+# the IVF-PQ CTE chain re-based onto the GROWN corpus ``g`` (base ∪
+# shifted): quantizers stay frozen because their seed rows (cent:
+# vec_id < N_CENTROIDS, cb: vec_id < PQ_K) are base rows in g too —
+# drift ids start at DRIFT_OFFSET
+_SQL_DRIFT_GROWN = f"""{_SQL_PREP},
+    drift AS (
+        SELECT vec_id + {DRIFT_OFFSET} AS vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {DRIFT_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + DRIFT_N}
+    ),
+    ge AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL SELECT vec_id, label, embedding FROM drift
+    ),
+    gv AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM ge
+    ),
+    g AS (
+        SELECT vec_id, label, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm
+        FROM gv
+    )"""
+
+_SQL_IVFPQ_DRIFT_CTES = _SQL_DRIFT_GROWN + re.sub(
+    r"\bn\.", "g.", re.sub(
+        r"\bFROM n\b", "FROM g", _SQL_IVFPQ_CTES.split(_SQL_PREP, 1)[1]
+    )
+)
+
+
+@query(
+    "sim_ivfpq_recall_drift",
+    oracle=f"""
+    WITH {_SQL_IVFPQ_DRIFT_CTES},
+    exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+            FROM g q JOIN g c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    ),
+    approx AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY adc_dot DESC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.q_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST({TOP_K} AS BIGINT) AS k,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+               AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """,
+)
+def sim_ivfpq_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    # ALWAYS a dedicated scratch replica: the audit MUTATES its index
+    # (ingest), so it must never touch the conf'd standing index or the
+    # family's shared probe scratch. Re-runs are no-ops end to end
+    # (marker present -> no rebuild; vec_id anti-join -> no re-ingest).
+    idx = session_scratch_dir(spark, "ivfpq_drift", sf_dir)
+    ivfpq_build_or_open(spark, sf_dir, idx)
+    emb = tbl(spark, sf_dir, "embeddings")
+    shifted = emb.filter(
+        (F.col("vec_id") >= DRIFT_SRC_START)
+        & (F.col("vec_id") < DRIFT_SRC_START + DRIFT_N)
+    ).select(
+        (F.col("vec_id") + DRIFT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(DRIFT_DELTA)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivfpq_index_ingest(spark, shifted, idx)
+    approx = (
+        _ivfpq_topk(spark, sf_dir, idx)
+        .select("q_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    prep = _prepared(spark, sf_dir)
+    sh_prep = shifted.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    grown = prep.unionByName(sh_prep)
+    queries = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    exact = topk_neighbors(grown, queries, TOP_K).select(
+        "q_id", F.col("vec_id").alias("neighbor_id")
     )
     return (
         exact.join(approx, ["q_id", "neighbor_id"], "left")
