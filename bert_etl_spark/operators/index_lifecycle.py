@@ -59,6 +59,25 @@ PENDING_SENTINEL = "_compact_pending"
 TMP_SUFFIX = "_compact_tmp"
 TOMBSTONE_DIR = "_tombstones"
 
+# Optional persisted key→partition map (round-12 'next round' item #6):
+# a bare-key delete (GDPR opt-out — no vector to re-assign) otherwise
+# pays a full slim key scan to find where the key lives. The map is a
+# ``_keymap`` sub-table (underscore-hidden from the main reader) holding
+# one slim (key, part) row per indexed row, itself bucketed by
+# ``kbkt = xxhash64(key) mod KEYMAP_BUCKETS`` so lookups prune to the
+# REQUEST keys' bucket dirs — O(request) listing, O(request-buckets)
+# scan. It is strictly an OPTIMIZATION table: entries may be missing (a
+# crash between the main append and the map append; the replay's empty
+# fresh set skips both) or stale (deleted keys until the next compact
+# refresh), and correctness never depends on it — delete_keys' untrusted
+# cross-check catches both, falling back to the honest full key scan for
+# exactly the unmapped/stale residue. Opt in per family via
+# ``spark.bert_etl.index.keymap`` (writes gated by conf; reads use the
+# map whenever the dir exists).
+KEYMAP_DIR = "_keymap"
+KEYMAP_BUCKETS = 64
+KEYMAP_CONF = "spark.bert_etl.index.keymap"
+
 # Every reader masks deletes via a BROADCAST anti-join on the pending
 # tombstones (apply_tombstones) — sound only while the tombstone table is
 # small. This conf is the "broadcast strained ⇒ compaction overdue"
@@ -160,8 +179,13 @@ def open_index(
         # abandoned fresh build: no marker was ever stamped, so ingest
         # (which requires one) can never have added rows — the partial
         # table is pure corpus derivation, safe to wipe and rebuild
+        # (including any partially seeded keymap, which would otherwise
+        # carry entries for the wiped rows)
         for d in _part_dirs(fs, p, index_dir, part_col):
             fs.delete(d, True)
+        km = p(f"{index_dir}/{KEYMAP_DIR}")
+        if fs.exists(km):
+            fs.delete(km, True)
         fs.delete(p(f"{index_dir}/{BUILDING_SENTINEL}"), False)
         return None
     if _part_dirs(fs, p, index_dir, part_col):
@@ -184,11 +208,15 @@ def build_index(
     part_col: str,
     n_parts: int,
     finalize=None,
+    keymap_key: str | None = None,
 ) -> None:
     """Fresh build of the partitioned index table, crash-safe via the
     ``_building`` sentinel (see module docstring). ``finalize`` runs after
     the data lands and before the marker is stamped — the hook for
     artifacts that are PART of the index (the MaxSim ``_codebook``).
+    ``keymap_key``: when set, also seed the ``_keymap`` sub-table from
+    the just-written rows (a slim read-back, not a plan re-execution) so
+    bare-key deletes of build-time rows prune too.
     Callers must have verified the dir is buildable via open_index."""
     from bert_etl_spark.functions.markers import write_int_marker
 
@@ -199,6 +227,11 @@ def build_index(
         .mode("append")  # dir verified empty of part dirs; append keeps
         .parquet(index_dir)  # the sentinel alive (overwrite wipes the dir)
     )
+    if keymap_key is not None:
+        written = spark.read.option("basePath", index_dir).parquet(index_dir)
+        keymap_record(
+            spark, index_dir, written, keymap_key, part_col, n_parts
+        )
     if finalize is not None:
         finalize()
     write_int_marker(spark, f"{index_dir}/{marker_name}", value)
@@ -215,8 +248,12 @@ def ingest_rows(
     part_col: str,
     n_parts: int,
     key: str = "vec_id",
+    keymap: bool = False,
 ) -> int:
     """Idempotent append of pre-assigned rows into the standing index.
+    ``keymap=True`` also appends the fresh rows' (key, part) pairs into
+    the ``_keymap`` sub-table (see the module constants) — same replay
+    proof, since only the post-dedup fresh set is recorded.
 
     Two dedup layers make at-least-once sources exactly-once at the sink:
     (1) WITHIN the batch, duplicate ``key`` rows collapse to one
@@ -293,6 +330,13 @@ def ingest_rows(
                 .mode("append")
                 .parquet(index_dir)
             )
+            if keymap:
+                # after the main append: a crash between the two leaves
+                # the key unmapped (replay's fresh set is empty so the
+                # map is never double-written) — the delete-side
+                # cross-check covers unmapped keys, so the map can only
+                # ever be an under-approximation, never wrong
+                keymap_record(spark, index_dir, fresh, key, part_col, n_parts)
         return n
     finally:
         # deterministic release: an always-on ingest calls this per
@@ -315,6 +359,126 @@ def _tombstone_files(fs, p, index_dir: str) -> list:
         for f in fs.listStatus(td)
         if not f.getPath().getName().startswith(("_", "."))
     ]
+
+
+def keymap_enabled(spark: SparkSession) -> bool:
+    """Conf gate for keymap WRITES (build/ingest). Reads never consult
+    the conf — a lookup uses the map whenever its dir exists."""
+    try:
+        return str(spark.conf.get(KEYMAP_CONF, "false")).lower() == "true"
+    except Exception:
+        return False
+
+
+def _keymap_bucket(col):
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(KEYMAP_BUCKETS)).cast("int")
+
+
+def keymap_record(
+    spark: SparkSession,
+    index_dir: str,
+    rows: DataFrame,
+    key: str,
+    part_col: str,
+    n_parts: int = KEYMAP_BUCKETS,
+) -> None:
+    """Append (key, part) rows for freshly indexed rows into the map —
+    called with ingest's post-dedup ``fresh`` set, so replays (empty
+    fresh) write nothing and the map stays duplicate-free along the same
+    proof as the main append."""
+    (
+        rows.select(key, part_col)
+        .withColumn("kbkt", _keymap_bucket(key))
+        .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+        .write.partitionBy("kbkt")
+        .mode("append")
+        .parquet(f"{index_dir}/{KEYMAP_DIR}")
+    )
+
+
+def keymap_lookup(
+    spark: SparkSession, index_dir: str, request: DataFrame, key: str
+):
+    """(key, part) rows for the request keys recorded in the map, pruned
+    to the request's ``kbkt=`` dirs — O(request) listing, never a full
+    map scan. None when the index carries no map (caller falls back to
+    the bare-key path)."""
+    from pyspark.sql import functions as F
+
+    fs, p = _fs(spark, index_dir)
+    km = f"{index_dir}/{KEYMAP_DIR}"
+    if not fs.exists(p(km)):
+        return None
+    kbkts = [
+        r[0]
+        for r in request.select(_keymap_bucket(key).alias("kb"))
+        .distinct()
+        .collect()
+    ]
+    scan = physical_pruned_scan(spark, km, "kbkt", kbkts)
+    if scan is None:  # map exists but holds none of the request buckets
+        return request.select(key).limit(0)
+    return (
+        scan.join(F.broadcast(request.select(key)), key, "left_semi")
+        .dropDuplicates([key])
+        .drop("kbkt")
+    )
+
+
+def delete_keys_by_map(
+    spark: SparkSession,
+    index_dir: str,
+    marker_name: str,
+    expected: int,
+    keys: DataFrame,
+    key: str = "vec_id",
+    part_col: str = "cell",
+) -> int:
+    """Bare-key delete accelerated by the persisted key→partition map:
+    keys the map locates go through delete_keys' O(touched-partitions)
+    pruned path (still cross-checked — a stale map entry cannot silently
+    no-op); only the UNMAPPED residue pays the full slim key scan, and a
+    map-less index degrades to exactly the old bare-key path."""
+    from pyspark.sql import functions as F
+
+    request = keys.select(key).dropDuplicates([key]).localCheckpoint(
+        eager=True
+    )
+    try:
+        mapped = keymap_lookup(spark, index_dir, request, key)
+        if mapped is None:
+            return delete_keys(
+                spark, index_dir, marker_name, expected, request, key=key
+            )
+        mapped = mapped.localCheckpoint(eager=True)
+        try:
+            n = 0
+            if mapped.count():
+                n += delete_keys(
+                    spark,
+                    index_dir,
+                    marker_name,
+                    expected,
+                    mapped,
+                    key=key,
+                    part_col=part_col,
+                )
+            unmapped = request.join(
+                F.broadcast(mapped.select(key)), key, "left_anti"
+            )
+            if unmapped.count():
+                n += delete_keys(
+                    spark, index_dir, marker_name, expected, unmapped,
+                    key=key,
+                )
+            return n
+        finally:
+            release(mapped)
+    finally:
+        release(request)
 
 
 def pending_tombstone_bytes(spark: SparkSession, index_dir: str) -> int:
@@ -627,6 +791,27 @@ def compact_index(
     finish_compaction_swap(spark, index_dir, marker_name, part_col)
     for d in stale:  # rows still masked: tombstone files clear LAST
         fs.delete(d, True)
+    # keymap refresh: drop the applied (now physically gone) keys from
+    # the map so repeat deletes of dead keys stay pruned. Best-effort by
+    # design — a crash between the delete and the rename leaves no map,
+    # which only degrades bare-key deletes back to the full-scan path.
+    km = f"{index_dir}/{KEYMAP_DIR}"
+    if applied and fs.exists(p(km)):
+        kdf = spark.read.option("basePath", km).parquet(km)
+        tkeys = spark.read.parquet(
+            *[f.toString() for f in applied]
+        ).select(key)
+        refreshed = kdf.join(F.broadcast(tkeys), key, "left_anti")
+        ktmp = f"{km}{TMP_SUFFIX}"
+        (
+            refreshed.repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+            .write.partitionBy("kbkt")
+            .mode("overwrite")
+            .parquet(ktmp)
+        )
+        fs.delete(p(km), True)
+        if not fs.rename(p(ktmp), p(km)):
+            raise IOError(f"keymap refresh failed moving {ktmp}")
     for f in applied:  # post-commit: masked rows are physically gone
         fs.delete(f, False)
     return int(n_rows)

@@ -1492,6 +1492,8 @@ def ivfpq_build_or_open(spark: SparkSession, sf_dir: str, index_dir: str) -> Non
             "overwrite"
         ).parquet(f"{index_dir}/{_PQ_CODEBOOK_DIR}")
 
+    from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
     build_index(
         spark,
@@ -1502,6 +1504,7 @@ def ivfpq_build_or_open(spark: SparkSession, sf_dir: str, index_dir: str) -> Non
         "cell",
         min(n_parts, N_CENTROIDS),
         finalize=_freeze,
+        keymap_key="vec_id" if keymap_enabled(spark) else None,
     )
 
 
@@ -1540,6 +1543,8 @@ def ivfpq_index_ingest(spark: SparkSession, batch: DataFrame, index_dir: str) ->
             _pq_codes_col(pq_rows).alias("codes"),
         )
     )
+    from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
     return ingest_rows(
         spark,
@@ -1549,6 +1554,7 @@ def ivfpq_index_ingest(spark: SparkSession, batch: DataFrame, index_dir: str) ->
         assigned,
         "cell",
         min(n_parts, N_CENTROIDS),
+        keymap=keymap_enabled(spark),
     )
 
 
@@ -1588,10 +1594,23 @@ def ivfpq_index_stream(
 
 def ivfpq_index_delete(spark: SparkSession, keys: DataFrame, index_dir: str) -> int:
     """Tombstone-delete vectors from the standing IVF-PQ index (logical
-    until compact; probes mask immediately — the shared delete verb)."""
-    from bert_etl_spark.operators.index_lifecycle import delete_keys
+    until compact; probes mask immediately — the shared delete verb). A
+    feed that recorded the cell at ingest time prunes directly; a
+    BARE-KEY feed (GDPR opt-out — no vector to re-assign) goes through
+    the persisted key→partition map when the index carries one
+    (delete_keys_by_map), falling back to the slim full key scan only
+    for keys the map does not locate."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        delete_keys,
+        delete_keys_by_map,
+    )
 
-    return delete_keys(
+    if "cell" in keys.columns:
+        return delete_keys(
+            spark, index_dir, _IVFPQ_MARKER, N_CENTROIDS, keys,
+            part_col="cell",
+        )
+    return delete_keys_by_map(
         spark, index_dir, _IVFPQ_MARKER, N_CENTROIDS, keys, part_col="cell"
     )
 

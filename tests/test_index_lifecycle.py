@@ -1514,3 +1514,116 @@ def test_mmr_batch_indexed_pool_comes_from_index(spark, tmp_path):
         assert _nonequi_bnlj(bf_plan)
     finally:
         spark.conf.unset(sim.IVFPQ_INDEX_DIR_CONF)
+
+
+def test_keymap_prunes_bare_key_deletes(spark, tmp_path):
+    """Round-12 ask #6: with the opt-in key→partition map, a BARE-KEY
+    delete prunes to the map's kbkt dirs and the located cells — proof
+    via garbage in an untouched cell dir and an unrequested kbkt dir
+    (any unpruned scan would crash). Compaction refreshes the map
+    (deleted keys drop out), and an unmapped key still falls back to the
+    honest full scan."""
+    idx = str(tmp_path / "keymap_idx")
+    rows = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], schema="vec_id long, cell int"
+    )
+    life.build_index(
+        spark, idx, "_n_centroids", 4, rows, "cell", 4, keymap_key="vec_id"
+    )
+    assert os.path.isdir(f"{idx}/{life.KEYMAP_DIR}")
+    batch = spark.createDataFrame(
+        [(100, 0), (101, 1)], schema="vec_id long, cell int"
+    )
+    assert life.ingest_rows(
+        spark, idx, "_n_centroids", 4, batch, "cell", 4, keymap=True
+    ) == 2
+    # replay writes neither data nor map entries
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _, fs_ in os.walk(f"{idx}/{life.KEYMAP_DIR}")
+        for f in fs_
+    )
+    assert life.ingest_rows(
+        spark, idx, "_n_centroids", 4, batch, "cell", 4, keymap=True
+    ) == 0
+    assert sorted(
+        os.path.join(r, f)
+        for r, _, fs_ in os.walk(f"{idx}/{life.KEYMAP_DIR}")
+        for f in fs_
+    ) == files_before
+    # lookup locates build-time AND ingested rows; ghosts stay unmapped
+    req = spark.createDataFrame(
+        [(0,), (101,), (999_999,)], schema="vec_id long"
+    )
+    mapped = life.keymap_lookup(spark, idx, req, "vec_id")
+    assert {
+        (r["vec_id"], r["cell"]) for r in mapped.collect()
+    } == {(0, 0), (101, 1)}
+    # garbage: in a cell neither doomed key lives in, and in a kbkt dir
+    # outside the request's buckets — the pruned delete reads neither
+    doomed = spark.createDataFrame([(0,), (101,)], schema="vec_id long")
+    req_kb = {
+        r["kb"]
+        for r in doomed.select(
+            life._keymap_bucket("vec_id").alias("kb")
+        ).collect()
+    }
+    other_kb = next(
+        d
+        for d in sorted(os.listdir(f"{idx}/{life.KEYMAP_DIR}"))
+        if d.startswith("kbkt=") and int(d.split("=")[1]) not in req_kb
+    )
+    g1 = f"{idx}/cell=2/part-garbage.parquet"
+    g2 = f"{idx}/{life.KEYMAP_DIR}/{other_kb}/part-garbage.parquet"
+    for g in (g1, g2):
+        with open(g, "w") as fh:
+            fh.write("this is not parquet")
+    try:
+        assert (
+            life.delete_keys_by_map(
+                spark, idx, "_n_centroids", 4, doomed, part_col="cell"
+            )
+            == 2
+        )
+    finally:
+        os.remove(g1)
+        os.remove(g2)
+    masked = life.apply_tombstones(
+        spark, idx, spark.read.option("basePath", idx).parquet(idx)
+    )
+    assert masked.filter(F.col("vec_id").isin(0, 101)).count() == 0
+    # compact applies tombstones AND refreshes the map
+    life.compact_index(spark, idx, "_n_centroids", "cell", 4)
+    assert life.keymap_lookup(spark, idx, doomed, "vec_id").count() == 0
+    # repeat delete of the now-dead keys: unmapped -> full-scan fallback
+    # -> records nothing, never silently wrong
+    assert (
+        life.delete_keys_by_map(
+            spark, idx, "_n_centroids", 4, doomed, part_col="cell"
+        )
+        == 0
+    )
+
+
+def test_ivfpq_keymap_conf_wiring(spark, tmp_path):
+    """spark.bert_etl.index.keymap=true: the IVF-PQ verbs seed/maintain
+    the map and a bare-key GDPR delete goes through it."""
+    idx = str(tmp_path / "ivfpq_km")
+    spark.conf.set(life.KEYMAP_CONF, "true")
+    try:
+        sim.ivfpq_build_or_open(spark, SF, idx)
+        assert os.path.isdir(f"{idx}/{life.KEYMAP_DIR}")
+        emb = registry.tbl(spark, SF, "embeddings").select(
+            (F.col("vec_id") + 2_500_000).alias("vec_id"), "embedding"
+        ).limit(6)
+        assert sim.ivfpq_index_ingest(spark, emb, idx) == 6
+        bare = spark.range(2_500_000, 2_500_006).select(
+            F.col("id").alias("vec_id")
+        )
+        assert sim.ivfpq_index_delete(spark, bare, idx) == 6
+        masked = life.apply_tombstones(
+            spark, idx, spark.read.option("basePath", idx).parquet(idx)
+        )
+        assert masked.filter(F.col("vec_id") >= 2_500_000).count() == 0
+    finally:
+        spark.conf.unset(life.KEYMAP_CONF)
