@@ -186,6 +186,12 @@ HEADLINE = [
     "sim_ivfpq_filtered",     # payload predicate composed into the ADC probe
     "text_phrase_search",     # consecutive-token phrase match, pure codegen
     "text_proximity_search",  # NEAR/slop variant, nested HOF aggregate
+    # round-13 family representatives
+    "text_phrase_search_indexed",  # positional postings probe, zero corpus
+    "text_proximity_search_indexed",  # slop variant off the same postings
+    "sim_mmr_batch_indexed",  # MMR pool off the durable IVF-PQ shortlist
+    "sim_ivfpq_recall_drift", # frozen-quantizer decay audit under ingest
+    "streaming_cdc_apply_folded",  # CDC apply with in-path log folds
 ]
 
 

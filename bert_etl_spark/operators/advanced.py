@@ -2257,6 +2257,67 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# The FOLD path under the same hash gate: identical oracle, but the
+# stream runs with the measured file-debt trigger so in-path folds
+# interleave with the appends (every epoch past the first finds >1 log
+# file and folds), and a FINAL explicit fold precedes the read — the
+# driver hashing this green certifies apply → fold → argmax-read parity
+# end to end, not just the pure-append path streaming_cdc_apply covers.
+@query(
+    "streaming_cdc_apply_folded",
+    oracle=f"""
+    WITH ops AS ({_SQL_CDC_OPS}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY seq DESC, op) AS rn
+        FROM ops
+    )
+    SELECT k AS o_orderkey, price, CAST(seq AS INTEGER) AS last_seq
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def streaming_cdc_apply_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import (
+        cdc_apply_stream,
+        cdc_compact_state,
+        latest_cdc_state,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_fold_")
+    try:
+        _cdc_ops_frame(spark, sf_dir).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("k long, seq int, op string, price double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = cdc_apply_stream(
+            stream,
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+            compact_when_log_files_over=1,
+        )
+        q.awaitTermination()
+        cdc_compact_state(spark, f"{tmp}/state")
+        return (
+            latest_cdc_state(spark, f"{tmp}/state")
+            .filter(F.col("op") == "U")
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "price",
+                F.col("seq").cast("int").alias("last_seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Modularity of the LPA communities: Q = Σ_c (e_c/m − (D_c/(2m))²) — the
 # standard partition-quality score, here grading the SAME deterministic
