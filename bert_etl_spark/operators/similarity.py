@@ -373,6 +373,8 @@ def _ivf_assign(
                 "conf at a fresh dir (or delete the stale index to rebuild)"
             )
         if marker is None:
+            from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
             n_parts = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
             )
@@ -387,6 +389,7 @@ def _ivf_assign(
                 finalize=lambda: _write_codebook(
                     spark, sf_dir, index_dir, _ivf_centroids(spark, sf_dir)
                 ),
+                keymap_key="vec_id" if keymap_enabled(spark) else None,
             )
         return apply_tombstones(
             spark,
@@ -466,6 +469,8 @@ def ivf_index_ingest(
             "vec_id", "label", "e", "nrm", _argmax_cell(cent_rows).alias("cell")
         )
     )
+    from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
@@ -477,6 +482,7 @@ def ivf_index_ingest(
         assigned,
         "cell",
         min(n_parts, N_CENTROIDS),
+        keymap=keymap_enabled(spark),
     )
 
 
@@ -566,12 +572,21 @@ def ivf_index_delete(
     keys immediately (pruned_scan anti-joins the ``_tombstones`` table),
     ivf_index_compact applies them physically and clears them. ``keys``:
     any frame with a vec_id column. Returns new tombstones recorded."""
-    from bert_etl_spark.operators.index_lifecycle import delete_keys
+    from bert_etl_spark.operators.index_lifecycle import (
+        delete_keys,
+        delete_keys_by_map,
+    )
 
     # a delete feed that recorded the cell at ingest time gets the
-    # O(touched-partitions) liveness check; a bare vec_id feed falls back
-    # to the column-pruned full key scan (delete_keys' documented cost)
-    return delete_keys(
+    # O(touched-partitions) liveness check; a bare vec_id feed goes
+    # through the persisted key→partition map when the index carries one
+    # (spark.bert_etl.index.keymap at build/ingest time), else the
+    # column-pruned full key scan (delete_keys' documented honest cost)
+    if "cell" in keys.columns:
+        return delete_keys(
+            spark, index_dir, _IVF_MARKER, N_CENTROIDS, keys, part_col="cell"
+        )
+    return delete_keys_by_map(
         spark, index_dir, _IVF_MARKER, N_CENTROIDS, keys, part_col="cell"
     )
 
