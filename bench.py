@@ -192,6 +192,7 @@ HEADLINE = [
     "sim_mmr_batch_indexed",  # MMR pool off the durable IVF-PQ shortlist
     "sim_ivfpq_recall_drift", # frozen-quantizer decay audit under ingest
     "streaming_cdc_apply_folded",  # CDC apply with in-path log folds
+    "streaming_cdc_lookup",   # bucket-pruned point read of the CDC state
 ]
 
 

@@ -2318,6 +2318,65 @@ def streaming_cdc_apply_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# The POINT-LOOKUP path: after the same apply, read back a deterministic
+# key subset through cdc_lookup — the bucket-pruned keyed read (the scan
+# touches only the request keys' bkt= dirs; the FS test in
+# tests/test_streaming.py pins that with the garbage-file idiom). The
+# driver hashing this green certifies the serving-read shape, deletes
+# included (op='D' rows surface like the full view).
+CDC_LOOKUP_MOD = 97
+CDC_LOOKUP_RESIDUE = 3
+
+
+@query(
+    "streaming_cdc_lookup",
+    oracle=f"""
+    WITH ops AS ({_SQL_CDC_OPS}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY seq DESC, op) AS rn
+        FROM ops
+    )
+    SELECT k AS o_orderkey, op, price, CAST(seq AS INTEGER) AS last_seq
+    FROM latest
+    WHERE rn = 1 AND k % {CDC_LOOKUP_MOD} = {CDC_LOOKUP_RESIDUE}
+    """,
+)
+def streaming_cdc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import cdc_apply_stream, cdc_lookup
+
+    tmp = tempfile.mkdtemp(prefix="cdc_lookup_")
+    try:
+        ops = _cdc_ops_frame(spark, sf_dir)
+        ops.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("k long, seq int, op string, price double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        cdc_apply_stream(
+            stream, f"{tmp}/state", f"{tmp}/ckpt"
+        ).awaitTermination()
+        keys = ops.select("k").filter(
+            F.col("k") % CDC_LOOKUP_MOD == CDC_LOOKUP_RESIDUE
+        )
+        return (
+            cdc_lookup(spark, f"{tmp}/state", keys)
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "op",
+                "price",
+                F.col("seq").cast("int").alias("last_seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Modularity of the LPA communities: Q = Σ_c (e_c/m − (D_c/(2m))²) — the
 # standard partition-quality score, here grading the SAME deterministic

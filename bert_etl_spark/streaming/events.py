@@ -1000,6 +1000,39 @@ def latest_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return _cdc_argmax(log).drop("opkey", "bkt")
 
 
+def cdc_lookup(
+    spark: SparkSession, state_dir: str, keys: DataFrame
+) -> DataFrame:
+    """Point-read of the CDC-applied table: the current (argmax) row for
+    each requested key, reading ONLY the request keys' ``bkt=`` dirs —
+    the keyed-reader shape the bucketed layout exists for. At 100 TB a
+    full-table `latest_cdc_state` view is an analytics job; a serving
+    lookup is O(request buckets): the bucket list is collected from the
+    (bounded) request, the scan path-prunes to those dirs, and the
+    argmax runs over the semi-joined slice. op='D' rows are returned
+    like the full view (callers filter). ``keys``: any frame with a
+    ``k`` column."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        open_index,
+        physical_pruned_scan,
+    )
+
+    nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
+    if nb is None:
+        raise ValueError(f"no applied CDC state under {state_dir}")
+    req = keys.select("k").dropDuplicates(["k"])
+    bkts = [
+        r[0]
+        for r in req.select(_cdc_bucket(nb).alias("b")).distinct().collect()
+    ]
+    scan = physical_pruned_scan(spark, state_dir, "bkt", bkts)
+    if scan is None:  # none of the requested buckets hold data
+        empty = spark.read.option("basePath", state_dir).parquet(state_dir)
+        return empty.limit(0).drop("opkey", "bkt")
+    hit = scan.join(F.broadcast(req), "k", "left_semi")
+    return _cdc_argmax(hit).drop("opkey", "bkt")
+
+
 def _cdc_log_files(spark: SparkSession, state_dir: str) -> int:
     """Total data files across the log's bucket dirs — one driver-side FS
     glob, the compaction-debt signal (every appended epoch adds one file

@@ -1370,3 +1370,55 @@ def test_cdc_inpath_fold_on_file_debt(spark, tmp_path):
         r["k"]: r["seq"] for r in ev.latest_cdc_state(spark, state).collect()
     }
     assert got == {k: 3 for k in range(64)}
+
+
+def test_cdc_lookup_reads_only_request_buckets(spark, tmp_path):
+    """cdc_lookup: the point read prunes to the request keys' bucket
+    dirs (garbage in any other bucket is never touched) and returns the
+    same rows the full argmax view holds for those keys."""
+    from bert_etl_spark.streaming import events as ev
+
+    state = str(tmp_path / "state")
+    ops = [(k, 0, "U", float(k)) for k in range(300)] + [
+        (7, 1, "D", None),
+        (11, 1, "U", 99.0),
+    ]
+    ev.cdc_apply_stream(
+        _cdc_feed(spark, ops, str(tmp_path / "in")),
+        state,
+        str(tmp_path / "ck"),
+    ).awaitTermination()
+    req_keys = [7, 11, 250]
+    req = spark.createDataFrame([(k,) for k in req_keys], schema="k long")
+    tb = {
+        r["b"]
+        for r in req.select(
+            ev._cdc_bucket(ev.CDC_BUCKETS_DEFAULT).alias("b")
+        ).collect()
+    }
+    victim = next(
+        b
+        for b in sorted(os.listdir(state))
+        if b.startswith("bkt=") and int(b.split("=")[1]) not in tb
+    )
+    with open(f"{state}/{victim}/part-garbage.parquet", "w") as fh:
+        fh.write("this is not parquet")
+    try:
+        df = ev.cdc_lookup(spark, state, req)
+        got = sorted(tuple(r) for r in df.collect())
+        files = df.inputFiles()
+        assert files and all(
+            any(f"/bkt={b}/" in f for b in tb) for f in files
+        ), files
+    finally:
+        os.remove(f"{state}/{victim}/part-garbage.parquet")
+    # the full view (which WOULD have read the garbage) agrees once the
+    # garbage is gone
+    want = sorted(
+        tuple(r)
+        for r in ev.latest_cdc_state(spark, state)
+        .filter(F.col("k").isin(req_keys))
+        .collect()
+    )
+    assert got == want
+    assert ("D" in {r[2] for r in got})  # the deleted key surfaces as D
