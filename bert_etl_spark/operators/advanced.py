@@ -2296,11 +2296,15 @@ def streaming_cdc_apply_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in")
         )
+        # debt threshold sized so the 3-epoch drain folds ONCE mid-stream
+        # (each epoch appends ~one file per touched bucket, up to 64):
+        # epoch 1 stays under, epoch 2 crosses and folds, epoch 3 appends
+        # — the final explicit fold below then certifies fold-after-append
         q = cdc_apply_stream(
             stream,
             f"{tmp}/state",
             f"{tmp}/ckpt",
-            compact_when_log_files_over=1,
+            compact_when_log_files_over=100,
         )
         q.awaitTermination()
         cdc_compact_state(spark, f"{tmp}/state")
