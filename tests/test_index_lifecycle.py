@@ -1627,3 +1627,53 @@ def test_ivfpq_keymap_conf_wiring(spark, tmp_path):
         assert masked.filter(F.col("vec_id") >= 2_500_000).count() == 0
     finally:
         spark.conf.unset(life.KEYMAP_CONF)
+
+
+def test_edge_delete_derives_bucket_and_prunes(spark, tmp_path):
+    """graph_edges_delete with a BARE pkey feed derives ebkt from the
+    key itself (xxhash64 of the u prefix) — O(touched buckets) with no
+    cross-check scan, proven by garbage in every other ebkt dir."""
+    from bert_etl_spark.operators import advanced as adv
+
+    edir = str(tmp_path / "edges_derive")
+    adv.graph_edges_build_or_open(spark, SF, edir)
+    victim = (
+        spark.read.option("basePath", edir).parquet(edir)
+        .select("pkey", "ebkt").first()
+    )
+    garbage = []
+    for d in sorted(os.listdir(edir)):
+        if d.startswith("ebkt=") and d != f"ebkt={victim['ebkt']}":
+            g = f"{edir}/{d}/part-garbage.parquet"
+            with open(g, "w") as fh:
+                fh.write("this is not parquet")
+            garbage.append(g)
+    assert garbage  # the proof is vacuous with a single bucket
+    try:
+        doomed = spark.createDataFrame(
+            [(victim["pkey"],)], schema="pkey string"
+        )
+        assert adv.graph_edges_delete(spark, doomed, edir) == 1
+        # ghost pkey: provably absent from its one possible bucket —
+        # recorded as nothing WITHOUT any full scan (trusted
+        # derivation). Its u is chosen to hash into the victim's
+        # (garbage-free) bucket: the delete legitimately scans the
+        # ghost's own bucket, and only that one.
+        ghost_u = next(
+            r["u"]
+            for r in spark.range(10_000_000_000, 10_000_000_200)
+            .select(
+                F.col("id").alias("u"),
+                adv._edge_bucket("id").alias("b"),
+            )
+            .filter(F.col("b") == int(victim["ebkt"]))
+            .limit(1)
+            .collect()
+        )
+        ghost = spark.createDataFrame(
+            [(f"{ghost_u}|987654321",)], schema="pkey string"
+        )
+        assert adv.graph_edges_delete(spark, ghost, edir) == 0
+    finally:
+        for g in garbage:
+            os.remove(g)
