@@ -135,6 +135,44 @@ def main() -> None:
         elif step == "cdc":
             _cdc_state_case(spark, work, 940_000)
             _cdc_state_case(spark, work, 9_400_000)
+        elif step == "lookup":
+            from pyspark.sql import functions as F
+
+            from bert_etl_spark.streaming import events as ev
+
+            state_keys = 9_400_000
+            state = f"{work}/state"
+            seed = spark.range(state_keys).select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("int").alias("seq"),
+                F.lit("U").alias("op"),
+                F.col("id").cast("double").alias("price"),
+            )
+            seed.repartition(32).write.parquet(f"{work}/seed")
+            ev.cdc_apply_stream(
+                spark.readStream.schema(
+                    "k long, seq int, op string, price double"
+                ).parquet(f"{work}/seed"),
+                state,
+                f"{work}/ck",
+            ).awaitTermination()
+            keys = spark.range(1000).select(
+                (F.col("id") * 9973 % state_keys).alias("k")
+            )
+            for tag in ("cold", "warm", "warm"):
+                t0 = time.time()
+                n = ev.cdc_lookup(spark, state, keys).count()
+                print(
+                    f"[lookup-{tag}] 1000 keys of {state_keys}: "
+                    f"{time.time() - t0:.1f} s ({n} rows)",
+                    flush=True,
+                )
+            t0 = time.time()
+            n = ev.latest_cdc_state(spark, state).count()
+            print(
+                f"[full-view] {n} rows: {time.time() - t0:.1f} s",
+                flush=True,
+            )
         elif step == "drift":
             _run(spark, "sim_ivfpq_recall_drift", sf_dir, "cold-replica")
             _run(spark, "sim_ivfpq_recall_drift", sf_dir, "warm")
