@@ -193,6 +193,7 @@ HEADLINE = [
     "sim_ivfpq_recall_drift", # frozen-quantizer decay audit under ingest
     "streaming_cdc_apply_folded",  # CDC apply with in-path log folds
     "streaming_cdc_lookup",   # bucket-pruned point read of the CDC state
+    "text_phrase3_search_indexed",  # n-term phrase: <=n buckets, n-1 joins
 ]
 
 

@@ -1658,10 +1658,14 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _positional_postings(
-    spark: SparkSession, sf_dir: str, index_dir: str, terms: tuple[str, str]
+    spark: SparkSession, sf_dir: str, index_dir: str, terms: tuple[str, ...]
 ) -> DataFrame:
-    """(doc_id, p1, p2): the two terms' position arrays joined per doc,
-    off the pruned durable postings (tombstones masked)."""
+    """(doc_id, p0 … p{n-1}): the n phrase terms' position arrays joined
+    per doc, off the pruned durable postings (tombstones masked) — the
+    probe reads ≤ n bucket dirs regardless of phrase length. Each join
+    is an equi-join of two single-token posting sets on doc_id, and the
+    chain shrinks monotonically (a doc must hold EVERY term to survive),
+    so the n-term phrase costs n−1 tiny joins, never a corpus pass."""
     from bert_etl_spark.operators.index_lifecycle import pruned_scan
 
     _textidx_open_or_build(spark, sf_dir, index_dir)
@@ -1676,23 +1680,39 @@ def _positional_postings(
     )
     scan = pruned_scan(spark, index_dir, "bucket", buckets, key="doc_id")
     if scan is None:
-        # no matching bucket dirs: neither term occurs anywhere
-        return spark.createDataFrame(
-            [], schema="doc_id long, p1 array<int>, p2 array<int>"
+        # no matching bucket dirs: none of the terms occur anywhere
+        schema = "doc_id long, " + ", ".join(
+            f"p{i} array<int>" for i in range(len(terms))
         )
+        return spark.createDataFrame([], schema=schema)
     if "positions" not in scan.columns:
         raise ValueError(
             f"text index at {index_dir} predates positional postings — "
             "rebuild it (point the conf at a fresh dir) to serve indexed "
             "phrase/proximity queries"
         )
-    p1 = scan.filter(F.col("token") == terms[0]).select(
-        "doc_id", F.col("positions").alias("p1")
-    )
-    p2 = scan.filter(F.col("token") == terms[1]).select(
-        "doc_id", F.col("positions").alias("p2")
-    )
-    return p1.join(p2, "doc_id")
+    out = None
+    for i, t in enumerate(terms):
+        side = scan.filter(F.col("token") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        out = side if out is None else out.join(side, "doc_id")
+    return out
+
+
+def _phrase_count_indexed(n_terms: int) -> F.Column:
+    """Occurrences of the n-term consecutive phrase over the joined
+    position arrays p0 … p{n-1}: count p ∈ p0 with p+i ∈ p{i} for every
+    following term — one HOF expression, the positional twin of
+    phrase_count's offset test."""
+
+    def _cond(p):
+        c = F.array_contains(F.col("p1"), p + F.lit(1))
+        for i in range(2, n_terms):
+            c = c & F.array_contains(F.col(f"p{i}"), p + F.lit(i))
+        return c
+
+    return F.size(F.filter(F.col("p0"), _cond)).cast("bigint")
 
 
 @query(
@@ -1718,12 +1738,7 @@ def text_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "textidx_demo", sf_dir
     )
     pp = _positional_postings(spark, sf_dir, index_dir, PHRASE_TERMS)
-    cnt = F.size(
-        F.filter(
-            F.col("p1"),
-            lambda p: F.array_contains(F.col("p2"), p + F.lit(1)),
-        )
-    ).cast("bigint")
+    cnt = _phrase_count_indexed(len(PHRASE_TERMS))
     return (
         pp.select("doc_id", cnt.alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
@@ -1757,12 +1772,12 @@ def text_proximity_search_indexed(
     )
     pp = _positional_postings(spark, sf_dir, index_dir, PHRASE_TERMS)
     pairs = F.aggregate(
-        F.col("p1"),
+        F.col("p0"),
         F.lit(0),
         lambda acc, p: acc
         + F.size(
             F.filter(
-                F.col("p2"),
+                F.col("p1"),
                 lambda q: (q > p) & (q <= p + F.lit(PROXIMITY_SLOP)),
             )
         ),
@@ -1770,4 +1785,46 @@ def text_proximity_search_indexed(
     return (
         pp.select("doc_id", pairs.alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
+    )
+
+
+# n-term generality of the positional probe: a 3-term phrase reads ≤3
+# bucket dirs and pays 2 posting joins — the probe cost scales with the
+# PHRASE, never the corpus. The trigram is chosen to have hits at every
+# test scale factor.
+PHRASE3_TERMS = ("stream", "table", "hash")
+
+
+@query(
+    "text_phrase3_search_indexed",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS token,
+               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        FROM documents
+    )
+    SELECT t1.doc_id, COUNT(*) AS n_occurrences
+    FROM tok t1
+    JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+    WHERE t1.token = '{PHRASE3_TERMS[0]}'
+      AND t2.token = '{PHRASE3_TERMS[1]}'
+      AND t3.token = '{PHRASE3_TERMS[2]}'
+    GROUP BY t1.doc_id
+    """,
+)
+def text_phrase3_search_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    index_dir = _textidx_dir(spark) or session_scratch_dir(
+        spark, "textidx_demo", sf_dir
+    )
+    pp = _positional_postings(spark, sf_dir, index_dir, PHRASE3_TERMS)
+    cnt = _phrase_count_indexed(len(PHRASE3_TERMS))
+    return (
+        pp.select("doc_id", cnt.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
     )

@@ -1449,6 +1449,13 @@ def test_indexed_phrase_search_reads_only_term_buckets(spark, tmp_path):
             )
             == prox_rows
         )
+        # n-term generality: the 3-term phrase reads <= 3 bucket dirs,
+        # still zero corpus access
+        df3 = registry.ALL_QUERIES["text_phrase3_search_indexed"](spark, SF)
+        assert df3.collect()
+        f3 = df3.inputFiles()
+        assert f3 and all(f"{tix}/" in f for f in f3)
+        assert len({f.split("/bucket=")[1].split("/")[0] for f in f3}) <= 3
         # ingest a phrase-bearing doc: the indexed probe surfaces it with
         # the right occurrence count (positions flowed through ingest)
         new_id = 8_800_001
