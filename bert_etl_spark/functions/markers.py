@@ -70,3 +70,33 @@ def write_int_marker(spark: SparkSession, path: str, value: int) -> None:
         fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise IOError(f"could not rename {tmp} over marker {path}")
+
+
+def read_text_marker(spark: SparkSession, path: str) -> str | None:
+    """The text stamped at ``path`` (e.g. a schema DDL artifact), or None
+    if it does not exist — the string twin of read_int_marker, same
+    atomic-rename write contract."""
+    fs, p, jvm = _fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text_marker(spark: SparkSession, path: str, value: str) -> None:
+    """Atomically stamp ``value`` at ``path`` (write temp, rename over) —
+    the string twin of write_int_marker."""
+    fs, p, jvm = _fs_path(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}._tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(str(value).encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"could not rename {tmp} over marker {path}")

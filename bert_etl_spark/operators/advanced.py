@@ -705,9 +705,20 @@ def _edges_assign_plan(li: DataFrame) -> DataFrame:
     ingest-idempotence key (an edge re-offered by a replayed batch
     collapses); ebkt is a pure function of u, so a re-delivered edge
     lands in its standing row's partition (the touched-partition
-    anti-join's losslessness condition)."""
+    anti-join's losslessness condition). The hash INPUT TYPE is pinned:
+    u/v cast to bigint before bucketing, exactly as graph_edges_ingest
+    casts its batch — xxhash64 is type-sensitive (an int and a bigint of
+    the same value hash differently), so without the cast a non-bigint
+    source key column would land build rows in int-hash buckets while
+    graph_edges_delete derives the long-hash bucket and trusts it
+    (trusted_parts=True), silently tombstoning nothing (round-13 advice,
+    the 'medium' item)."""
     return (
         _copurchase_edge_plan(li)
+        .select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+        )
         .withColumn("pkey", F.concat_ws("|", "u", "v"))
         .withColumn("ebkt", _edge_bucket("u"))
     )

@@ -818,7 +818,11 @@ def compact_index(
 
 
 def physical_pruned_scan(
-    spark: SparkSession, index_dir: str, part_col: str, values: list[int]
+    spark: SparkSession,
+    index_dir: str,
+    part_col: str,
+    values: list[int],
+    merge_schema: bool = False,
 ):
     """Raw scan of exactly the ``values`` partition dirs — tombstones NOT
     masked: this is the maintenance-side view of what is physically on
@@ -829,7 +833,12 @@ def physical_pruned_scan(
     not O(index)) and keeps the predicate as a real filter so it shows as
     PartitionFilters and a mis-enumerated path can never leak rows.
     Returns None when there is nothing to scan (no values, or none of the
-    requested dirs exist yet)."""
+    requested dirs exist yet). ``merge_schema=True`` unions the footer
+    schemas of the scanned files (parquet mergeSchema) — required by
+    tables whose appended batches may GROW the payload schema (the CDC op
+    log), where single-footer resolution would silently drop a column
+    present only in newer files; costs one footer read per scanned file,
+    so the default stays off for the fixed-schema index families."""
     from pyspark.sql import functions as F
 
     if not values:
@@ -840,11 +849,10 @@ def physical_pruned_scan(
     dirs = [] if st is None else [s.getPath().toString() for s in st]
     if not dirs:
         return None
-    return (
-        spark.read.option("basePath", index_dir)
-        .parquet(*dirs)
-        .filter(F.col(part_col).isin(values))
-    )
+    reader = spark.read.option("basePath", index_dir)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*dirs).filter(F.col(part_col).isin(values))
 
 
 def pruned_scan(

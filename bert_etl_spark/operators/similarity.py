@@ -23,7 +23,6 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
-import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -1724,23 +1723,31 @@ def _ivfpq_adc(
     )
 
 
-# shared oracle CTE block: IVF cells + PQ codes + probed-cell ADC
-_SQL_IVFPQ_CTES = f"""{_SQL_PREP},
-    cent AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < {N_CENTROIDS}),
+# shared oracle CTE block: IVF cells + PQ codes + probed-cell ADC. The
+# chain is a FUNCTION of the corpus alias (default ``n``; the drift audit
+# re-bases it onto its grown corpus ``g``) — parameterized at the
+# template, not post-hoc regex rewriting, so a future edit introducing an
+# alias the old patterns over/under-matched cannot silently corrupt the
+# drift oracle (round-13 advice, 'low' item).
+
+
+def _sql_ivfpq_ctes(corpus: str = "n") -> str:
+    x = corpus
+    return f"""cent AS (SELECT vec_id AS cid, e AS ce FROM {x} WHERE vec_id < {N_CENTROIDS}),
     cscored AS (
-        SELECT n.vec_id, c.cid,
+        SELECT {x}.vec_id, c.cid,
                ROW_NUMBER() OVER (
-                   PARTITION BY n.vec_id
-                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
-                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
-        FROM n, cent c
+                   PARTITION BY {x}.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len({x}.e)),
+                           i -> {x}.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM {x}, cent c
     ),
     assign AS (SELECT vec_id, cid AS cell FROM cscored WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, cid AS cell FROM cscored
                WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
     sub AS (
         SELECT vec_id, m, list_slice(e, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sv
-        FROM n, range({PQ_M}) t(m)
+        FROM {x}, range({PQ_M}) t(m)
     ),
     cb AS (SELECT m, vec_id AS cid, sv AS cw FROM sub WHERE vec_id < {PQ_K}),
     enc AS (
@@ -1770,6 +1777,10 @@ _SQL_IVFPQ_CTES = f"""{_SQL_PREP},
         SELECT q_id, neighbor_id, ROUND({sql_dsum('p')}, 6) AS adc_dot
         FROM partials GROUP BY q_id, neighbor_id
     )"""
+
+
+_SQL_IVFPQ_CTES = f"""{_SQL_PREP},
+    {_sql_ivfpq_ctes("n")}"""
 
 
 # Filtered composite probe: the label payload rides INSIDE the IVF-PQ
@@ -2031,11 +2042,11 @@ _SQL_DRIFT_GROWN = f"""{_SQL_PREP},
         FROM gv
     )"""
 
-_SQL_IVFPQ_DRIFT_CTES = _SQL_DRIFT_GROWN + re.sub(
-    r"\bn\.", "g.", re.sub(
-        r"\bFROM n\b", "FROM g", _SQL_IVFPQ_CTES.split(_SQL_PREP, 1)[1]
-    )
-)
+# the IVF-PQ chain re-based onto the grown corpus: the SAME template,
+# instantiated with corpus alias ``g`` (never a regex rewrite of the
+# ``n`` instantiation — round-13 advice)
+_SQL_IVFPQ_DRIFT_CTES = f"""{_SQL_DRIFT_GROWN},
+    {_sql_ivfpq_ctes("g")}"""
 
 
 @query(

@@ -1247,9 +1247,37 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TEXTIDX_DIR_CONF = "spark.bert_etl.textidx.indexDir"
-_TEXTIDX_MARKER = "_n_buckets"
+# Layout-VERSIONED marker name (round-13 advice, 'medium' item): round 13
+# added the ``positions`` column to the posting rows, and an ingest that
+# appended positional rows into a PRE-positional standing index would
+# leave mixed footers — the probes' "positions not in scan.columns" guard
+# resolves from ONE footer, so phrase/proximity counts could silently
+# read old rows as positions=NULL and drop their documents. Renaming the
+# marker makes a pre-positional index (marker ``_n_buckets``) look
+# UNVERSIONED to every verb: open_index refuses the dir (data, no marker,
+# no sentinel), and _textidx_legacy_check turns that into the explicit
+# "rebuild required" error instead of an append.
+_TEXTIDX_MARKER = "_n_buckets_pos1"
+_TEXTIDX_LEGACY_MARKERS = ("_n_buckets",)
 TEXTIDX_BUCKETS = 16
 _STATS_DIR = "_collection_stats"
+
+
+def _textidx_legacy_check(spark: SparkSession, index_dir: str) -> None:
+    """Raise a descriptive rebuild error when ``index_dir`` holds an
+    index stamped with a PRE-positional layout marker."""
+    from bert_etl_spark.functions.markers import read_int_marker
+
+    for legacy in _TEXTIDX_LEGACY_MARKERS:
+        if read_int_marker(spark, f"{index_dir}/{legacy}") is not None:
+            raise ValueError(
+                f"text index at {index_dir} was built with the "
+                f"pre-positional layout (marker {legacy}) — its posting "
+                "rows have no positions column, and appending positional "
+                "rows would leave mixed footers the probes mis-read; "
+                "rebuild the index (delete the directory and build_or_open"
+                ") to migrate"
+            )
 
 
 def _textidx_dir(spark: SparkSession) -> str | None:
@@ -1316,6 +1344,7 @@ def _textidx_open_or_build(
 ) -> None:
     from bert_etl_spark.operators.index_lifecycle import build_index, open_index
 
+    _textidx_legacy_check(spark, index_dir)
     marker = open_index(spark, index_dir, _TEXTIDX_MARKER, "bucket")
     if marker is not None and marker != TEXTIDX_BUCKETS:
         raise ValueError(
@@ -1354,6 +1383,7 @@ def textidx_ingest(
     recovery the dense families' ingest verbs already run)."""
     from bert_etl_spark.operators.index_lifecycle import ingest_rows, open_index
 
+    _textidx_legacy_check(spark, index_dir)
     if open_index(spark, index_dir, _TEXTIDX_MARKER, "bucket") is None:
         raise ValueError(
             f"no standing text index at {index_dir} — build it first"
@@ -1381,6 +1411,7 @@ def textidx_delete(
     physically). ``doc_keys``: any frame with a doc_id column."""
     from bert_etl_spark.operators.index_lifecycle import delete_keys
 
+    _textidx_legacy_check(spark, index_dir)
     return delete_keys(
         spark, index_dir, _TEXTIDX_MARKER, TEXTIDX_BUCKETS, doc_keys,
         key="doc_id",
@@ -1392,6 +1423,7 @@ def textidx_compact(spark: SparkSession, index_dir: str) -> int:
     doc tombstones — the shared crash-safe protocol."""
     from bert_etl_spark.operators.index_lifecycle import compact_index
 
+    _textidx_legacy_check(spark, index_dir)
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )

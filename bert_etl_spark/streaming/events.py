@@ -967,10 +967,63 @@ def write_stream_parquet(
 
 CDC_MARKER = "_n_buckets"
 CDC_BUCKETS_DEFAULT = 64
+# DDL of the op-log rows (opkey/bkt included), stamped at first contact
+# right BEFORE the layout marker: a reader that finds the marker but no
+# data (the first epoch crashed between stamping and the first append,
+# or appended an empty batch) returns an empty frame of this schema
+# instead of dying in parquet inference (round-13 advice, 'low' item).
+CDC_SCHEMA_ARTIFACT = "_schema"
 
 
 def _cdc_bucket(nb: int):
     return F.pmod(F.xxhash64(F.col("k")), F.lit(int(nb))).cast("int")
+
+
+def _cdc_read_log(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The committed op log, or None when the marker-stamped dir holds no
+    bucket dirs yet (the stamped-but-empty first-contact window). Reads
+    with mergeSchema: appended batches may GROW the payload schema (the
+    reference's work items are schemaless dicts —
+    /root/reference/bert/queues.py:21-35), and a single-footer read would
+    silently drop a column present only in newer files; older rows
+    surface the new column as NULL (the source_schema_evolution
+    contract). Footer cost is O(log files) and the fold resets that to
+    one per bucket."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/bkt=*")
+    st = p.getFileSystem(hconf).globStatus(p)
+    if st is None or len(st) == 0:
+        return None
+    return (
+        spark.read.option("basePath", state_dir)
+        .option("mergeSchema", "true")
+        .parquet(state_dir)
+    )
+
+
+def _cdc_empty_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Empty typed frame for a stamped-but-empty state dir, from the
+    ``_schema`` artifact; raises a descriptive error when the artifact is
+    missing (a pre-artifact state dir — indistinguishable from damage)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from bert_etl_spark.functions.markers import read_text_marker
+
+    txt = read_text_marker(spark, f"{state_dir}/{CDC_SCHEMA_ARTIFACT}")
+    if txt is None:
+        raise ValueError(
+            f"CDC state at {state_dir} is stamped but holds no data and "
+            "no _schema artifact — the first epoch crashed before its "
+            "append and the dir predates the schema artifact; re-run the "
+            "apply stream (the replayed epoch self-heals) or delete the "
+            "dir"
+        )
+    return spark.createDataFrame(
+        [], schema=StructType.fromJson(json.loads(txt))
+    )
 
 
 def _cdc_argmax(df: DataFrame) -> DataFrame:
@@ -991,12 +1044,18 @@ def latest_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The current CDC-applied table: per-key argmax over the bucketed op
     log (op='D' tombstone rows included — readers filter, the registered
     query does). Recovers an interrupted fold first (open_index), so a
-    reader after a crash always sees a committed log."""
+    reader after a crash always sees a committed log; a stamped-but-EMPTY
+    dir (crash before the first append) yields an empty typed frame from
+    the ``_schema`` artifact instead of a parquet-inference error; the
+    read merges footer schemas so payload columns added by later batches
+    surface (NULL-backfilled on older rows)."""
     from bert_etl_spark.operators.index_lifecycle import open_index
 
     if open_index(spark, state_dir, CDC_MARKER, "bkt") is None:
         raise ValueError(f"no applied CDC state under {state_dir}")
-    log = spark.read.option("basePath", state_dir).parquet(state_dir)
+    log = _cdc_read_log(spark, state_dir)
+    if log is None:
+        log = _cdc_empty_state(spark, state_dir)
     return _cdc_argmax(log).drop("opkey", "bkt")
 
 
@@ -1025,10 +1084,14 @@ def cdc_lookup(
         r[0]
         for r in req.select(_cdc_bucket(nb).alias("b")).distinct().collect()
     ]
-    scan = physical_pruned_scan(spark, state_dir, "bkt", bkts)
+    scan = physical_pruned_scan(
+        spark, state_dir, "bkt", bkts, merge_schema=True
+    )
     if scan is None:  # none of the requested buckets hold data
-        empty = spark.read.option("basePath", state_dir).parquet(state_dir)
-        return empty.limit(0).drop("opkey", "bkt")
+        log = _cdc_read_log(spark, state_dir)
+        if log is None:  # stamped-but-empty dir: typed empty frame
+            log = _cdc_empty_state(spark, state_dir)
+        return log.limit(0).drop("opkey", "bkt")
     hit = scan.join(F.broadcast(req), "k", "left_semi")
     return _cdc_argmax(hit).drop("opkey", "bkt")
 
@@ -1056,18 +1119,28 @@ def cdc_compact_state(spark: SparkSession, state_dir: str) -> int:
     Returns the folded row count. Single-writer with the apply stream,
     like all maintenance — the in-path ``compact_every`` /
     ``compact_when_log_files_over`` cadence satisfies that by
-    construction."""
+    construction. Opens via open_index (not a bare marker read), so a
+    STANDALONE maintenance call after a crash mid-fold (sentinel stamped,
+    marker deleted) finishes the interrupted swap the way
+    latest_cdc_state/cdc_apply_stream do, instead of refusing (round-13
+    advice, 'low' item). The fold RE-COMPUTES ``bkt`` from the key
+    instead of trusting the stored partition value — self-healing for any
+    row a crashed re-bucket left under a stale modulus dir (cdc_rebucket
+    docstring), and free for the normal case where the values agree."""
     from bert_etl_spark.operators.index_lifecycle import (
         PENDING_SENTINEL,
         TMP_SUFFIX,
         finish_compaction_swap,
+        open_index,
     )
 
-    nb = read_int_marker(spark, f"{state_dir}/{CDC_MARKER}")
+    nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
     if nb is None:
         raise ValueError(f"no applied CDC state under {state_dir}")
-    log = spark.read.option("basePath", state_dir).parquet(state_dir)
-    folded = _cdc_argmax(log)
+    log = _cdc_read_log(spark, state_dir)
+    if log is None:
+        return 0  # stamped-but-empty state: nothing to fold
+    folded = _cdc_argmax(log).withColumn("bkt", _cdc_bucket(nb))
     tmp = f"{state_dir}{TMP_SUFFIX}"
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
@@ -1079,15 +1152,104 @@ def cdc_compact_state(spark: SparkSession, state_dir: str) -> int:
         .parquet(tmp)
     )
     n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
-    # COMMIT POINT: tmp complete. The fold keeps one row per key (D rows
-    # included), so every bucket holding data keeps a tmp counterpart —
-    # no fully-emptied-partition case, unlike tombstone compaction.
-    write_int_marker(spark, f"{state_dir}/{PENDING_SENTINEL}", nb)
+    # COMMIT POINT: tmp complete. Under a settled modulus the fold keeps
+    # one row per key (D rows included), so every bucket holding data
+    # keeps a tmp counterpart — the stale set below is empty. It is
+    # non-empty only when healing a crashed re-bucket (old-modulus dirs
+    # whose rows the recomputed fold moved elsewhere): those dirs hold
+    # pure duplicates, masked by the argmax until deleted here.
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(state_dir).getFileSystem(hconf)
+
+    def _bkt_dirs(root: str):
+        st = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{root}/bkt=*"))
+        return [] if st is None else [s.getPath() for s in st]
+
+    tmp_parts = {d.getName() for d in _bkt_dirs(tmp)}
+    stale = [d for d in _bkt_dirs(state_dir) if d.getName() not in tmp_parts]
+    write_int_marker(spark, f"{state_dir}/{PENDING_SENTINEL}", nb)
     mp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{CDC_MARKER}")
-    mp.getFileSystem(hconf).delete(mp, False)
+    fs.delete(mp, False)
     finish_compaction_swap(spark, state_dir, CDC_MARKER, "bkt")
+    for d in stale:  # duplicates, argmax-masked until physically gone
+        fs.delete(d, True)
+    return int(n_rows)
+
+
+def cdc_rebucket(spark: SparkSession, state_dir: str, new_n_buckets: int) -> int:
+    """Migrate the CDC state to a NEW bucket modulus, in place: fold the
+    op log to its argmax rows (cdc_compact_state semantics — op='D'
+    tombstones kept), re-hash ``bkt = xxhash64(k) mod new_n_buckets``,
+    and rewrite through the shared crash-safe swap protocol. Returns the
+    migrated row count. This is the growth verb the frozen-at-first-
+    contact modulus needs: at 100 TB a 64-bucket layout saturates
+    point-lookup pruning (SCALING.md's 1000-key row), and until now the
+    only cure was a manual copy (the error in cdc_apply_stream used to
+    say 'compact into a fresh dir' — round-13 'next round' item #3).
+
+    Crash safety, step by step: the full re-hashed table lands in the
+    sibling tmp dir FIRST; the ``_compact_pending`` sentinel then carries
+    the NEW modulus; the old marker is deleted; finish_compaction_swap
+    moves the new ``bkt=`` dirs in and re-stamps the marker with the NEW
+    value; finally the OLD-modulus dirs with no new-name counterpart are
+    deleted. A crash before the sentinel leaves the old marker intact
+    (open_index clears the partial tmp); a crash after it is finished by
+    any reader/apply via open_index, which re-stamps the NEW marker — the
+    not-yet-deleted old-modulus dirs then hold pure DUPLICATES of rows
+    the rewrite placed under their new buckets, masked by every reader's
+    per-key argmax, and the next cdc_compact_state (whose fold re-hashes
+    ``bkt`` and deletes stale dirs) removes them physically. Readers are
+    correct in every window. Single-writer with the apply stream, like
+    all maintenance."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        PENDING_SENTINEL,
+        TMP_SUFFIX,
+        finish_compaction_swap,
+        open_index,
+    )
+
+    new_nb = int(new_n_buckets)
+    if new_nb < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
+    if nb is None:
+        raise ValueError(f"no applied CDC state under {state_dir}")
+    log = _cdc_read_log(spark, state_dir)
+    if log is None:
+        # stamped-but-empty state: the modulus is the only thing to
+        # migrate — re-stamp it (atomic rename) and done
+        write_int_marker(spark, f"{state_dir}/{CDC_MARKER}", new_nb)
+        return 0
+    folded = _cdc_argmax(log).withColumn("bkt", _cdc_bucket(new_nb))
+    tmp = f"{state_dir}{TMP_SUFFIX}"
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    (
+        folded.repartition(min(n_parts, new_nb), "bkt")
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(state_dir).getFileSystem(hconf)
+
+    def _bkt_dirs(root: str):
+        st = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{root}/bkt=*"))
+        return [] if st is None else [s.getPath() for s in st]
+
+    tmp_parts = {d.getName() for d in _bkt_dirs(tmp)}
+    stale = [d for d in _bkt_dirs(state_dir) if d.getName() not in tmp_parts]
+    # COMMIT POINT: tmp complete — the sentinel carries the NEW modulus,
+    # so recovery from here lands the migrated layout
+    write_int_marker(spark, f"{state_dir}/{PENDING_SENTINEL}", new_nb)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{CDC_MARKER}"), False)
+    finish_compaction_swap(spark, state_dir, CDC_MARKER, "bkt")
+    for d in stale:  # old-modulus dirs: duplicates, argmax-masked
+        fs.delete(d, True)
     return int(n_rows)
 
 
@@ -1119,21 +1281,33 @@ def cdc_apply_stream(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
+        ops = batch_df.select(
+            "*",
+            F.concat_ws("|", "k", "seq", "op").alias("opkey"),
+            _cdc_bucket(nb if nb is not None else n_buckets).alias("bkt"),
+        )
         if nb is None:
+            # first contact: schema artifact FIRST, then the marker — a
+            # crash between the two leaves an unmarked dir the replayed
+            # epoch re-stamps; a crash after leaves a stamped-but-empty
+            # dir whose readers return an empty frame of this schema
+            from bert_etl_spark.functions.markers import write_text_marker
+
+            write_text_marker(
+                spark,
+                f"{state_dir}/{CDC_SCHEMA_ARTIFACT}",
+                ops.schema.json(),  # exact round-trip (StructType.fromJson)
+            )
             write_int_marker(spark, f"{state_dir}/{CDC_MARKER}", n_buckets)
             nb = n_buckets
         elif nb != n_buckets:
             raise ValueError(
                 f"CDC state at {state_dir} was bucketed with {nb} buckets "
                 f"but this stream hashes into {n_buckets} — the modulus is "
-                "a persistent layout property; keep it, or compact into a "
-                "fresh dir to re-bucket"
+                "a persistent layout property; keep it, or migrate the "
+                "state with cdc_rebucket (fold + rewrite under the new "
+                "modulus through the crash-safe swap)"
             )
-        ops = batch_df.select(
-            "*",
-            F.concat_ws("|", "k", "seq", "op").alias("opkey"),
-            _cdc_bucket(nb).alias("bkt"),
-        )
         ingest_rows(
             spark,
             state_dir,
