@@ -2406,6 +2406,158 @@ def streaming_cdc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# The RE-BUCKET path: apply under a deliberately small modulus, migrate
+# the state in place to a larger one (cdc_rebucket: fold + re-hash +
+# crash-safe swap — the growth verb for the frozen-at-first-contact
+# layout, round-13 'next round' item #3), then read the argmax view.
+# Re-bucketing is semantically a NO-OP on content, so the oracle is the
+# same one-shot argmax as streaming_cdc_apply — the driver hashing this
+# green certifies the migration loses/duplicates nothing. The FS-level
+# claims (old dirs gone, lookup prunes under the new modulus, crash
+# recovery) are pinned in tests/test_streaming.py.
+CDC_REBUCKET_FROM = 16
+CDC_REBUCKET_TO = 64
+
+
+@query(
+    "streaming_cdc_rebucket",
+    oracle=f"""
+    WITH ops AS ({_SQL_CDC_OPS}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY seq DESC, op) AS rn
+        FROM ops
+    )
+    SELECT k AS o_orderkey, price, CAST(seq AS INTEGER) AS last_seq
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def streaming_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import (
+        cdc_apply_stream,
+        cdc_rebucket,
+        latest_cdc_state,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_rebucket_")
+    try:
+        _cdc_ops_frame(spark, sf_dir).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("k long, seq int, op string, price double")
+            .parquet(f"{tmp}/in")
+        )
+        cdc_apply_stream(
+            stream, f"{tmp}/state", f"{tmp}/ckpt",
+            n_buckets=CDC_REBUCKET_FROM,
+        ).awaitTermination()
+        cdc_rebucket(spark, f"{tmp}/state", CDC_REBUCKET_TO)
+        return (
+            latest_cdc_state(spark, f"{tmp}/state")
+            .filter(F.col("op") == "U")
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "price",
+                F.col("seq").cast("int").alias("last_seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# SCHEMA EVOLUTION through the op log: the reference's work items are
+# schemaless dicts (/root/reference/bert/queues.py:21-35) — a CDC feed
+# whose payload GROWS a column mid-stream must not fail or silently drop
+# it. The op log appends each batch with its own parquet schema and every
+# read merges footers (events._cdc_read_log), so pre-evolution rows
+# surface the new column as NULL — the source_schema_evolution contract,
+# now certified on the CDC SINK by this hash gate. Phase 2 re-prices a
+# key subset and stamps a currency; phase 1 rows keep currency NULL.
+@query(
+    "streaming_cdc_schema_evolution",
+    oracle=f"""
+    WITH ops AS (
+        SELECT o_orderkey AS k, 0 AS seq, 'U' AS op,
+               o_totalprice AS price, CAST(NULL AS VARCHAR) AS currency
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 1, 'U', o_totalprice + 1000, 'EUR'
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 1, 'D', NULL, NULL
+        FROM orders WHERE o_orderkey % 5 = 1
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY seq DESC, op) AS rn
+        FROM ops
+    )
+    SELECT k AS o_orderkey, price, currency,
+           CAST(seq AS INTEGER) AS last_seq
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def streaming_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import cdc_apply_stream, latest_cdc_state
+
+    o = tbl(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="cdc_evo_")
+    try:
+        # phase 1: the pre-evolution schema (no currency column at all)
+        o.select(
+            k.alias("k"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ).coalesce(1).write.parquet(f"{tmp}/in1")
+        s1 = spark.readStream.schema(
+            "k long, seq int, op string, price double"
+        ).parquet(f"{tmp}/in1")
+        cdc_apply_stream(s1, f"{tmp}/state", f"{tmp}/ck1").awaitTermination()
+        # phase 2: the feed evolved — a currency column appeared
+        up = o.filter(k % 3 == 0).select(
+            k.alias("k"),
+            F.lit(1).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 1000).cast("double").alias("price"),
+            F.lit("EUR").alias("currency"),
+        )
+        dl = o.filter(k % 5 == 1).select(
+            k.alias("k"),
+            F.lit(1).cast("int").alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("string").alias("currency"),
+        )
+        up.unionByName(dl).coalesce(1).write.parquet(f"{tmp}/in2")
+        s2 = spark.readStream.schema(
+            "k long, seq int, op string, price double, currency string"
+        ).parquet(f"{tmp}/in2")
+        cdc_apply_stream(s2, f"{tmp}/state", f"{tmp}/ck2").awaitTermination()
+        return (
+            latest_cdc_state(spark, f"{tmp}/state")
+            .filter(F.col("op") == "U")
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "price",
+                "currency",
+                F.col("seq").cast("int").alias("last_seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Modularity of the LPA communities: Q = Σ_c (e_c/m − (D_c/(2m))²) — the
 # standard partition-quality score, here grading the SAME deterministic

@@ -1684,3 +1684,67 @@ def test_edge_delete_derives_bucket_and_prunes(spark, tmp_path):
     finally:
         for g in garbage:
             os.remove(g)
+
+
+def test_textidx_refuses_pre_positional_layout(spark, tmp_path):
+    """Round-13 advice ('medium'): every text-index verb refuses a
+    standing index stamped with the PRE-positional layout marker
+    (``_n_buckets``) with an explicit rebuild error — appending
+    positional rows would leave mixed footers whose single-footer schema
+    resolution silently reads old rows as positions=NULL."""
+    from bert_etl_spark.operators import text as tx
+
+    idx = str(tmp_path / "legacy")
+    os.makedirs(f"{idx}/bucket=3", exist_ok=True)
+    # a legacy posting file: NO positions column
+    spark.createDataFrame(
+        [("the", 0, 2, 5, "the|0", 3)],
+        schema="token string, doc_id long, tf long, dl int, pkey string,"
+        " bucket int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{idx}/bucket=3")
+    write_int_marker(spark, f"{idx}/_n_buckets", tx.TEXTIDX_BUCKETS)
+    doc = spark.createDataFrame(
+        [(900, "the quick fox")], schema="doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="pre-positional"):
+        tx.textidx_ingest(spark, doc, idx)
+    with pytest.raises(ValueError, match="pre-positional"):
+        tx.textidx_delete(spark, doc.select("doc_id"), idx)
+    with pytest.raises(ValueError, match="pre-positional"):
+        tx.textidx_compact(spark, idx)
+    with pytest.raises(ValueError, match="pre-positional"):
+        tx._textidx_open_or_build(spark, SF, idx)
+
+
+def test_edges_assign_bucket_type_stable(spark):
+    """Round-13 advice ('medium'): the edge table's build-side ebkt must
+    be the bigint hash of u even when the SOURCE key column is a
+    narrower integer type — otherwise graph_edges_delete's derived
+    (trusted) bucket misses the build rows and the delete silently
+    records zero tombstones."""
+    from bert_etl_spark.operators import advanced as adv
+
+    # an INT-typed lineitem source (the hazard: xxhash64(int) !=
+    # xxhash64(bigint) for the same value)
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30)],
+        schema="l_orderkey int, l_partkey int",
+    )
+    rows = adv._edges_assign_plan(li).collect()
+    assert rows  # co-purchase pairs exist
+    expect = {
+        (r["u"], r["v"]): r["b"]
+        for r in spark.createDataFrame(
+            [(r["u"], r["v"]) for r in rows], schema="u long, v long"
+        )
+        .select("u", "v", adv._edge_bucket(F.col("u").cast("bigint")).alias("b"))
+        .collect()
+    }
+    for r in rows:
+        assert r["ebkt"] == expect[(r["u"], r["v"])], (
+            r, expect[(r["u"], r["v"])]
+        )
+    # and the schema itself is bigint — the pure-function invariant holds
+    # regardless of source type
+    dt = dict(adv._edges_assign_plan(li).dtypes)
+    assert dt["u"] == "bigint" and dt["v"] == "bigint"
