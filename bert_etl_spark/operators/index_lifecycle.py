@@ -122,7 +122,19 @@ def finish_compaction_swap(
     their tombstone files (deleted last) masking the rows until it does.
     A crash-recovery re-run of this function alone therefore leaves
     fully-tombstoned partitions physically present but still masked; the
-    next compact_index removes them."""
+    next compact_index removes them.
+
+    ARTIFACT dirs staged in tmp swap too: any underscore-prefixed
+    DIRECTORY child of the tmp table (a rewritten ``_codebook``, a
+    refreshed ``_collection_stats``, a re-bucketed ``_keymap``) replaces
+    its root counterpart after the partition dirs move — the hook that
+    lets a rewrite verb refresh index-owned artifacts under the SAME
+    sentinel protocol instead of a second, unprotected write (round-14:
+    textidx stats refresh, ivfpq rebuild). Plain files (parquet's
+    ``_SUCCESS``) are skipped; a regular compaction stages no artifacts,
+    so this is a no-op there. Same idempotence proof as the partition
+    swap: an artifact already moved by a crashed run is simply no longer
+    in tmp."""
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
 
     sentinel = f"{index_dir}/{PENDING_SENTINEL}"
@@ -139,6 +151,19 @@ def finish_compaction_swap(
             fs.delete(dst, True)
         if not fs.rename(src, dst):
             raise IOError(f"compaction swap failed moving {src}")
+    tmp_p = p(tmp)
+    if fs.exists(tmp_p):
+        for st in fs.listStatus(tmp_p):
+            name = st.getPath().getName()
+            if not st.isDirectory() or not name.startswith("_"):
+                continue
+            dst = p(f"{index_dir}/{name}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"compaction swap failed moving artifact {name}"
+                )
     write_int_marker(spark, f"{index_dir}/{marker_name}", value)
     fs.delete(p(sentinel), False)
     fs.delete(p(tmp), True)
@@ -727,6 +752,7 @@ def compact_index(
     part_col: str,
     n_parts: int,
     key: str = "vec_id",
+    finalize_tmp=None,
 ) -> int:
     """Compact a grown index (per-ingest appends leave one file per
     touched partition per batch) back to one file per partition,
@@ -747,7 +773,14 @@ def compact_index(
     compaction applies the same tombstones again and completes the
     removal. Tombstones whose rows are already physically gone mask
     nothing (harmless) and clear on the next compaction; recovery via
-    finish_compaction_swap never needs to know about them."""
+    finish_compaction_swap never needs to know about them.
+
+    ``finalize_tmp(tmp_dir)``: optional hook run AFTER the rewrite lands
+    in tmp and BEFORE the commit point — the place to stage refreshed
+    index-owned artifacts (underscore-prefixed dirs, e.g. a recomputed
+    ``_collection_stats``) INSIDE tmp; finish_compaction_swap moves them
+    into the root table under the same sentinel protocol, so artifact
+    refresh and data rewrite commit atomically-or-not-at-all together."""
     from pyspark.sql import functions as F
 
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
@@ -774,6 +807,8 @@ def compact_index(
         .parquet(tmp)
     )
     n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    if finalize_tmp is not None:
+        finalize_tmp(tmp)
     # fully-tombstoned partitions: root dirs the FULL rewrite produced no
     # tmp counterpart for — the swap won't touch them, so they must be
     # deleted explicitly or their (deleted) rows resurrect once the

@@ -1748,3 +1748,97 @@ def test_edges_assign_bucket_type_stable(spark):
     # regardless of source type
     dt = dict(adv._edges_assign_plan(li).dtypes)
     assert dt["u"] == "bigint" and dt["v"] == "bigint"
+
+
+def test_textidx_refresh_stats_matches_fresh_build(spark, tmp_path):
+    """textidx_compact(refresh_stats=True) after heavy ingest leaves the
+    index scoring EXACTLY like a fresh full-corpus build: stats equal,
+    scores equal. The negative is pinned too: without the refresh the
+    frozen half-corpus stats differ — so the equality above is not
+    vacuous."""
+    from bert_etl_spark.operators import text as tx
+
+    docs = registry.tbl(spark, SF, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def build(idx, source):
+        life.build_index(
+            spark, idx, tx._TEXTIDX_MARKER, tx.TEXTIDX_BUCKETS,
+            tx._postings_plan(source), "bucket", 8,
+            finalize=lambda: tx._write_collection_stats(spark, idx),
+        )
+
+    grown = str(tmp_path / "grown")
+    build(grown, half)
+    assert tx.textidx_ingest(spark, rest, grown) > 0
+    frozen = tx.read_collection_stats(spark, grown).first()
+    fresh_dir = str(tmp_path / "fresh")
+    build(fresh_dir, docs)
+    want = tx.read_collection_stats(spark, fresh_dir).first()
+    # negative: frozen stats are the half-corpus ones, NOT the full ones
+    assert frozen["n_docs"] != want["n_docs"]
+    # refresh-compact: stats now equal the fresh build's
+    tx.textidx_compact(spark, grown, refresh_stats=True)
+    got = tx.read_collection_stats(spark, grown).first()
+    assert got["n_docs"] == want["n_docs"]
+    assert abs(got["avgdl"] - want["avgdl"]) < 1e-12
+    # and the scores equal a fresh build's, row for row
+    a = sorted(
+        (r["doc_id"], round(r["bm25"], 9))
+        for r in tx.bm25_scores_indexed(spark, SF, grown).collect()
+    )
+    b = sorted(
+        (r["doc_id"], round(r["bm25"], 9))
+        for r in tx.bm25_scores_indexed(spark, SF, fresh_dir).collect()
+    )
+    assert a == b and a
+
+
+def test_textidx_refresh_stats_crash_safe_swap(spark, tmp_path):
+    """The refreshed stats ride the compaction sentinel: constructed
+    crash window (tmp fully written INCLUDING the staged
+    _collection_stats, sentinel stamped, marker deleted) → the next
+    open recovers the swap and the REFRESHED stats are in place."""
+    from bert_etl_spark.operators import text as tx
+
+    docs = registry.tbl(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    life.build_index(
+        spark, idx, tx._TEXTIDX_MARKER, tx.TEXTIDX_BUCKETS,
+        tx._postings_plan(docs.filter(F.col("doc_id") % 2 == 0)),
+        "bucket", 8,
+        finalize=lambda: tx._write_collection_stats(spark, idx),
+    )
+    tx.textidx_ingest(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx
+    )
+    frozen_docs = tx.read_collection_stats(spark, idx).first()["n_docs"]
+    # construct the crash window by hand: the exact state a refresh-
+    # compact leaves if killed right after deleting the marker
+    table = spark.read.option("basePath", idx).parquet(idx)
+    tmp = f"{idx}{life.TMP_SUFFIX}"
+    table.repartition(8, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(tmp)
+    tmp_table = spark.read.option("basePath", tmp).parquet(tmp)
+    stats = tmp_table.select("doc_id", "dl").distinct().agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/{tx._STATS_DIR}"
+    )
+    write_int_marker(
+        spark, f"{idx}/{life.PENDING_SENTINEL}", tx.TEXTIDX_BUCKETS
+    )
+    os.remove(f"{idx}/{tx._TEXTIDX_MARKER}")
+    # recovery (any verb's open_index) finishes the swap, artifacts too
+    assert (
+        life.open_index(spark, idx, tx._TEXTIDX_MARKER, "bucket")
+        == tx.TEXTIDX_BUCKETS
+    )
+    got = tx.read_collection_stats(spark, idx).first()
+    total = registry.tbl(spark, SF, "documents").count()
+    assert got["n_docs"] == total != frozen_docs
+    assert not os.path.exists(tmp)
