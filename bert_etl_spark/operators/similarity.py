@@ -1645,6 +1645,240 @@ def ivfpq_index_compact(spark: SparkSession, index_dir: str) -> int:
     )
 
 
+def ivfpq_index_rebuild(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> int:
+    """RE-TRAIN the standing IVF-PQ index in place, crash-safely — the
+    staleness CURE the round-13 drift audit only detected (round-13
+    'next round' item #1; reference anchor: ``ETLDataset.update``'s
+    overwrite-in-place verb, /root/reference/bert/etl/__init__.py:158-164).
+
+    Both quantizers re-train with the build's own deterministic rule
+    applied to the index's LIVE rows (current partitions minus pending
+    tombstones — NEVER the corpus table, whose rebuild would silently
+    drop ingested-only rows, the index_lifecycle module-docstring
+    hazard): coarse centroids = the N_CENTROIDS smallest live vec_ids'
+    vectors, PQ codebooks = the PQ_K smallest live vec_ids' subvectors,
+    both renumbered densely (cid = rank) so the position-indexed encoders
+    stay consistent. Every live row re-encodes against the new
+    quantizers and the whole table re-partitions by its new cell.
+
+    ``vectors``: the caller's vector source for re-encoding — (vec_id,
+    embedding) rows, e.g. the corpus scan, the vector-store tier the
+    exact-rerank stage already reads, or a union including re-supplied
+    ingest batches. Codes are LOSSY, so true re-training needs true
+    vectors; live keys MISSING from the source are still PRESERVED —
+    they re-encode from their RECONSTRUCTED vectors (codeword
+    concatenation via the old codebooks, the standard refine-without-
+    originals fallback) and are reported in the return. Nothing is ever
+    dropped: row count in == row count out, minus nothing.
+
+    Crash safety is the compaction protocol with staged artifacts: the
+    re-encoded table lands in the sibling tmp dir together with the NEW
+    ``_codebook``/``_pq_codebook`` (and a rebuilt ``_keymap`` when the
+    index carries one), then the ``_compact_pending`` sentinel commits
+    the whole set — finish_compaction_swap moves partition dirs AND
+    artifact dirs, so data and quantizers can never be observed
+    half-swapped; applied tombstone files clear last (their rows are
+    physically gone only after the swap commits). A crash at any step
+    after the sentinel is finished by any reader via open_index; before
+    the sentinel, the old index is untouched.
+
+    Fresh-build parity, the verb's contract (tests pin it): after
+    rebuild the index equals bit-for-bit what ivfpq_build_or_open would
+    produce over a corpus holding exactly the live rows — while
+    preserving rows a from-scratch rebuild would lose. Operational
+    wiring: run when the drift audit's mean recall falls below
+    ``spark.bert_etl.ivfpq.recallRebuildFloor`` (ivfpq_rebuild_due).
+    Single-writer with ingest/compact, like all maintenance. Returns the
+    rebuilt row count."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        KEYMAP_BUCKETS,
+        KEYMAP_DIR,
+        PENDING_SENTINEL,
+        TMP_SUFFIX,
+        apply_tombstones,
+        finish_compaction_swap,
+        keymap_enabled,
+        open_index,
+    )
+    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+    from bert_etl_spark.functions.release import release
+
+    if open_index(spark, index_dir, _IVFPQ_MARKER, "cell") != N_CENTROIDS:
+        raise ValueError(
+            f"no standing IVF-PQ index at {index_dir} (or a drifted "
+            "layout) — nothing to rebuild"
+        )
+    old_pq = read_pq_codebook(spark, index_dir)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    def _dirs(root, pat):
+        st = fs.globStatus(_p(f"{root}/{pat}"))
+        return [] if st is None else [s.getPath() for s in st]
+
+    # snapshot the tombstone files this rebuild applies (cleared last)
+    tdir = f"{index_dir}/_tombstones"
+    applied = (
+        [
+            f.getPath()
+            for f in fs.listStatus(_p(tdir))
+            if not f.getPath().getName().startswith(("_", "."))
+        ]
+        if fs.exists(_p(tdir))
+        else []
+    )
+    phys = spark.read.option("basePath", index_dir).parquet(index_dir)
+    live = apply_tombstones(spark, index_dir, phys, "vec_id").select(
+        "vec_id", "label", "codes"
+    )
+    src = (
+        vectors.select(
+            "vec_id", as_double(F.col("embedding")).alias("e")
+        ).dropDuplicates(["vec_id"])
+    )
+    resolved = live.join(src, "vec_id").select("vec_id", "label", "e")
+    # reconstruction fallback: codeword concatenation via the OLD
+    # codebooks — constant-folded element_at over the codes array
+    by_m: dict[int, list] = {}
+    for r in old_pq:
+        by_m.setdefault(int(r.m), []).append(
+            (int(r.cid), [float(x) for x in r.cw])
+        )
+    pieces = []
+    for m in range(PQ_M):
+        cw_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cw]) for _c, cw in sorted(by_m[m])]
+        )
+        pieces.append(F.element_at(cw_lit, F.col("codes").getItem(m) + 1))
+    recon = (
+        live.join(F.broadcast(src.select("vec_id")), "vec_id", "left_anti")
+        .select("vec_id", "label", F.concat(*pieces).alias("e"))
+    )
+    n_recon = recon.count()
+    all_rows = resolved.unionByName(recon).localCheckpoint(eager=True)
+    try:
+        # deterministic retrain: the build's first-N rule over LIVE rows,
+        # renumbered densely (collect is bounded: PQ_K rows)
+        seeds = all_rows.orderBy("vec_id").limit(PQ_K).collect()
+        if len(seeds) < PQ_K:
+            raise ValueError(
+                f"index at {index_dir} holds {len(seeds)} live rows — "
+                f"fewer than the {PQ_K} training seeds a rebuild needs"
+            )
+        cent_rows = [
+            {"cid": i, "ce": [float(x) for x in s["e"]]}
+            for i, s in enumerate(seeds[:N_CENTROIDS])
+        ]
+        from types import SimpleNamespace
+
+        cent_rows = [SimpleNamespace(**r) for r in cent_rows]
+        pq_rows = [
+            SimpleNamespace(
+                m=m,
+                cid=i,
+                cw=[float(x) for x in s["e"][m * PQ_DSUB:(m + 1) * PQ_DSUB]],
+            )
+            for m in range(PQ_M)
+            for i, s in enumerate(seeds)
+        ]
+        assigned = all_rows.select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            _argmax_cell(cent_rows).cast("int").alias("cell"),
+            _pq_codes_col(pq_rows).alias("codes"),
+        )
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+        )
+        tmp = f"{index_dir}{TMP_SUFFIX}"
+        (
+            _ivfpq_index_columns(assigned)
+            .repartition(min(n_parts, N_CENTROIDS), "cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+        # stage the NEW quantizers (and keymap) INSIDE tmp: they swap in
+        # with the data under the same sentinel — never half-committed
+        spark.createDataFrame(
+            [(int(r.cid), r.ce) for r in cent_rows],
+            "cid int, ce array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+        spark.createDataFrame(
+            [(int(r.m), int(r.cid), r.cw) for r in pq_rows],
+            "m int, cid int, cw array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/{_PQ_CODEBOOK_DIR}"
+        )
+        if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
+            written = spark.read.option("basePath", tmp).parquet(tmp)
+            (
+                written.select(
+                    "vec_id",
+                    "cell",
+                    F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS))
+                    .cast("int")
+                    .alias("kbkt"),
+                )
+                .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+                .write.partitionBy("kbkt")
+                .mode("overwrite")
+                .parquet(f"{tmp}/{KEYMAP_DIR}")
+            )
+        tmp_parts = {d.getName() for d in _dirs(tmp, "cell=*")}
+        stale = [
+            d
+            for d in _dirs(index_dir, "cell=*")
+            if d.getName() not in tmp_parts
+        ]
+        # COMMIT POINT: tmp complete (data + quantizers + keymap)
+        write_int_marker(
+            spark, f"{index_dir}/{PENDING_SENTINEL}", N_CENTROIDS
+        )
+        fs.delete(_p(f"{index_dir}/{_IVFPQ_MARKER}"), False)
+        finish_compaction_swap(spark, index_dir, _IVFPQ_MARKER, "cell")
+        for d in stale:  # cells the re-partition emptied
+            fs.delete(d, True)
+        for f in applied:  # applied tombstones clear LAST (compact rule)
+            fs.delete(f, False)
+        if n_recon:
+            import warnings
+
+            warnings.warn(
+                f"ivfpq_index_rebuild at {index_dir}: {n_recon} live rows "
+                "were missing from the vector source and re-encoded from "
+                "their code reconstructions (preserved, but at the old "
+                "quantization's resolution) — supply their vectors to "
+                "re-encode them exactly",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return int(n_rows)
+    finally:
+        release(all_rows)
+
+
+def ivfpq_rebuild_due(spark: SparkSession, recall_df: DataFrame) -> bool:
+    """The audit→remediation wiring: True when the drift audit's mean
+    recall@k (sim_ivfpq_recall_drift's output, or any frame with a
+    ``recall_at_k`` column) has fallen below
+    ``spark.bert_etl.ivfpq.recallRebuildFloor`` (default 0.8) — the
+    signal to schedule ivfpq_index_rebuild in the maintenance lane."""
+    floor = float(
+        spark.conf.get(IVFPQ_RECALL_REBUILD_CONF, None)
+        or IVFPQ_RECALL_REBUILD_DEFAULT
+    )
+    row = recall_df.agg(F.avg("recall_at_k").alias("r")).first()
+    return row["r"] is not None and float(row["r"]) < floor
+
+
 def _ivfpq_topk(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
     """Top-k window over the ADC scores (_ivfpq_adc)."""
     adc = _ivfpq_adc(spark, sf_dir, index_dir)
@@ -2132,6 +2366,172 @@ def sim_ivfpq_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rebuild recovery (round-14): the remediation verb the round-13 drift
+# audit was missing, certified end to end. The scenario stacks BOTH
+# staleness classes the frozen quantizers can accumulate: (1) the
+# training seed rows are DELETED (a GDPR opt-out of exactly the build
+# sample — the quantizers now reference vectors that are gone), and
+# (2) a drifted batch is INGESTED (the audit's mean-shift arrivals).
+# ivfpq_index_rebuild then re-trains both quantizers from the index's
+# LIVE rows, re-encodes, re-partitions, and swaps — and the ORACLE
+# re-derives the re-trained codebooks independently (rank-based seeds
+# over the live set, dense renumber), so the driver hashing this green
+# proves the rebuilt index equals a from-scratch derivation over exactly
+# the live rows: re-train, re-encode, re-partition, crash protocol, and
+# ingested-row preservation, all under one hash.
+#
+# Honest note on the recall FLOOR (SCALING.md has the numbers): in this
+# synthetic corpus the PQ ceiling itself sits far below the 0.8 default
+# (mean recall ~0.36 at sf0.01 for a FRESH build — the 64-dim near-
+# uniform vectors are the hard case for 16-codeword product codes), so
+# "recall returns above the floor" is unattainable for ANY index here,
+# rebuilt or fresh. The provable cure criterion is fresh-build parity —
+# which this hash certifies exactly — and ivfpq_rebuild_due wires the
+# audit's measured recall to the conf'd floor for corpora where the
+# ceiling is real.
+# ---------------------------------------------------------------------------
+
+_SQL_REBUILD_PROBE = f"""{_SQL_PREP},
+    drift AS (
+        SELECT vec_id + {DRIFT_OFFSET} AS vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {DRIFT_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + DRIFT_N}
+    ),
+    le AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id >= {PQ_K}
+        UNION ALL SELECT vec_id, label, embedding FROM drift
+    ),
+    lv AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM le
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e
+        FROM (SELECT vec_id, e FROM lv ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    cent AS (SELECT cid, e AS ce FROM seeds WHERE cid < {N_CENTROIDS}),
+    cscored AS (
+        SELECT lv.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lv.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(lv.e)),
+                           i -> lv.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM lv, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM cscored WHERE rn = 1),
+    qscored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+        WHERE n.vec_id < {N_QUERIES}
+    ),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM qscored
+               WHERE rn <= {N_PROBES}),
+    cb AS (
+        SELECT m, s.cid,
+               list_slice(s.e, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS cw
+        FROM seeds s, range({PQ_M}) t(m)
+    ),
+    lsub AS (
+        SELECT vec_id, m,
+               list_slice(e, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sv
+        FROM lv, range({PQ_M}) t(m)
+    ),
+    enc AS (
+        SELECT lsub.vec_id, lsub.m, cb.cid, cb.cw,
+               ROW_NUMBER() OVER (PARTITION BY lsub.vec_id, lsub.m ORDER BY
+                   list_aggregate(list_transform(range({PQ_DSUB}),
+                       i -> (sv[i+1] - cw[i+1]) * (sv[i+1] - cw[i+1])), 'sum'),
+                   cb.cid) AS rn
+        FROM lsub JOIN cb USING (m)
+    ),
+    codes AS (SELECT vec_id, m, cid, cw FROM enc WHERE rn = 1),
+    candidates AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    ),
+    qsub AS (
+        SELECT vec_id AS q_id, m,
+               list_slice(e, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS qs
+        FROM n, range({PQ_M}) t(m)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    partials AS (
+        SELECT cand.q_id, cand.neighbor_id,
+               list_aggregate(list_transform(range({PQ_DSUB}),
+                   i -> q.qs[i+1] * c.cw[i+1]), 'sum') AS p
+        FROM candidates cand
+        JOIN codes c ON c.vec_id = cand.neighbor_id
+        JOIN qsub q ON q.q_id = cand.q_id AND q.m = c.m
+    ),
+    adc AS (
+        SELECT q_id, neighbor_id, ROUND({sql_dsum('p')}, 6) AS adc_dot
+        FROM partials GROUP BY q_id, neighbor_id
+    )"""
+
+
+@query(
+    "sim_ivfpq_rebuild_recovery",
+    oracle=f"""
+    WITH {_SQL_REBUILD_PROBE}
+    SELECT * FROM (
+        SELECT q_id, neighbor_id, adc_dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivfpq_rebuild_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    # ALWAYS a dedicated scratch replica (the sim_ivfpq_recall_drift
+    # isolation rule: this query deletes, ingests, and rebuilds). Re-runs
+    # are no-ops end to end: marker present -> no rebuild of the base;
+    # the seed keys are physically gone after the first rebuild so the
+    # delete records 0; the ingest anti-join drops the re-offered batch;
+    # the second rebuild re-derives the identical index (idempotence is
+    # unit-tested).
+    idx = session_scratch_dir(spark, "ivfpq_rebuild", sf_dir)
+    ivfpq_build_or_open(spark, sf_dir, idx)
+    emb = tbl(spark, sf_dir, "embeddings")
+    # staleness 1: the build sample opts out (bare-key GDPR delete)
+    ivfpq_index_delete(
+        spark, spark.range(PQ_K).select(F.col("id").alias("vec_id")), idx
+    )
+    # staleness 2: a mean-shifted batch arrives (the drift audit's shape)
+    shifted = emb.filter(
+        (F.col("vec_id") >= DRIFT_SRC_START)
+        & (F.col("vec_id") < DRIFT_SRC_START + DRIFT_N)
+    ).select(
+        (F.col("vec_id") + DRIFT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(DRIFT_DELTA)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivfpq_index_ingest(spark, shifted, idx)
+    # the cure: re-train from the live rows, vectors resolved from the
+    # store the exact-rerank tier already reads (corpus + the batch)
+    vectors = emb.select("vec_id", "embedding").unionByName(
+        shifted.select("vec_id", "embedding")
+    )
+    ivfpq_index_rebuild(spark, idx, vectors)
+    return _ivfpq_topk(spark, sf_dir, idx)
 
 
 MAXSIM_GROUP = 8  # token vectors per multi-vector document

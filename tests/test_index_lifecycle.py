@@ -1842,3 +1842,227 @@ def test_textidx_refresh_stats_crash_safe_swap(spark, tmp_path):
     total = registry.tbl(spark, SF, "documents").count()
     assert got["n_docs"] == total != frozen_docs
     assert not os.path.exists(tmp)
+
+
+def _mk_rebuilt_fixture(spark, tmp_path, name="rb"):
+    """Standing IVF-PQ scratch index + the drift-demo mutations, shared
+    by the rebuild tests: build, delete the training seeds, ingest a
+    shifted batch. Returns (idx, vectors — the full resolving source)."""
+    idx = str(tmp_path / name)
+    sim.ivfpq_build_or_open(spark, SF, idx)
+    emb = registry.tbl(spark, SF, "embeddings")
+    sim.ivfpq_index_delete(
+        spark, spark.range(sim.PQ_K).select(F.col("id").alias("vec_id")), idx
+    )
+    shifted = emb.filter(
+        (F.col("vec_id") >= sim.DRIFT_SRC_START)
+        & (F.col("vec_id") < sim.DRIFT_SRC_START + sim.DRIFT_N)
+    ).select(
+        (F.col("vec_id") + sim.DRIFT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(sim.DRIFT_DELTA)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    sim.ivfpq_index_ingest(spark, shifted, idx)
+    vectors = emb.select("vec_id", "embedding").unionByName(
+        shifted.select("vec_id", "embedding")
+    )
+    return idx, vectors
+
+
+def _probe_rows(spark, idx):
+    return sorted(
+        tuple(r)
+        for r in sim._ivfpq_topk(spark, SF, idx)
+        .select("q_id", "neighbor_id", "adc_dot", "rn")
+        .collect()
+    )
+
+
+def test_ivfpq_rebuild_retrains_and_applies_tombstones(spark, tmp_path):
+    """ivfpq_index_rebuild re-trains both quantizers from the LIVE rows
+    (rank-based first-N seeds, densely renumbered), re-encodes and
+    re-partitions every live row, applies pending tombstones physically
+    (the deleted seed keys are GONE, their tombstone files cleared), and
+    refreshes the keymap when the index carries one."""
+    spark.conf.set(life.KEYMAP_CONF, "true")
+    try:
+        idx, vectors = _mk_rebuilt_fixture(spark, tmp_path)
+        n = sim.ivfpq_index_rebuild(spark, idx, vectors)
+        base_n = registry.tbl(spark, SF, "embeddings").count()
+        assert n == base_n - sim.PQ_K + sim.DRIFT_N
+        t = spark.read.option("basePath", idx).parquet(idx)
+        assert t.count() == n
+        assert t.agg(F.min("vec_id")).first()[0] == sim.PQ_K  # seeds gone
+        assert not os.path.exists(f"{idx}/{life.TOMBSTONE_DIR}") or not [
+            f
+            for f in os.listdir(f"{idx}/{life.TOMBSTONE_DIR}")
+            if not f.startswith(("_", "."))
+        ]
+        # re-trained codebooks: densely renumbered rank seeds over live
+        cb = sim.read_codebook(spark, idx)
+        assert [r.cid for r in cb] == list(range(sim.N_CENTROIDS))
+        live_sorted = (
+            t.orderBy("vec_id").limit(sim.N_CENTROIDS).collect()
+        )
+        assert [r["vec_id"] for r in live_sorted] == list(
+            range(sim.PQ_K, sim.PQ_K + sim.N_CENTROIDS)
+        )
+        # the new centroid 0 IS the smallest live vec_id's true vector
+        v16 = (
+            registry.tbl(spark, SF, "embeddings")
+            .filter(F.col("vec_id") == sim.PQ_K)
+            .select(sim.as_double(F.col("embedding")).alias("e"))
+            .first()["e"]
+        )
+        assert [round(x, 12) for x in cb[0].ce] == [
+            round(float(x), 12) for x in v16
+        ]
+        # keymap rebuilt: every (vec_id, cell) pair matches the table
+        km = spark.read.option("basePath", f"{idx}/{life.KEYMAP_DIR}").parquet(
+            f"{idx}/{life.KEYMAP_DIR}"
+        )
+        a = sorted(
+            tuple(r) for r in km.select("vec_id", "cell").collect()
+        )
+        b = sorted(
+            tuple(r) for r in t.select("vec_id", "cell").collect()
+        )
+        assert a == b
+        # idempotence: rebuilding again derives the identical index
+        rows1 = sorted(
+            tuple(r)
+            for r in t.select(
+                "vec_id", "cell", F.col("codes").cast("string")
+            ).collect()
+        )
+        sim.ivfpq_index_rebuild(spark, idx, vectors)
+        t2 = spark.read.option("basePath", idx).parquet(idx)
+        rows2 = sorted(
+            tuple(r)
+            for r in t2.select(
+                "vec_id", "cell", F.col("codes").cast("string")
+            ).collect()
+        )
+        assert rows1 == rows2
+    finally:
+        spark.conf.unset(life.KEYMAP_CONF)
+
+
+def test_ivfpq_rebuild_preserves_rows_missing_from_source(spark, tmp_path):
+    """Live keys the vector source cannot resolve are PRESERVED — they
+    re-encode from their code reconstructions (warning emitted), never
+    dropped (the index_lifecycle docstring hazard the corpus-rebuild
+    shortcut would trip)."""
+    import warnings as w
+
+    idx, vectors = _mk_rebuilt_fixture(spark, tmp_path, "rb_missing")
+    before = spark.read.option("basePath", idx).parquet(idx)
+    # eager counts: the rebuild replaces these files. LIVE = physical
+    # minus the pending seed tombstones (the rebuild applies them).
+    n_live = life.apply_tombstones(spark, idx, before, "vec_id").count()
+    ingested_only = sorted(
+        r[0]
+        for r in before.filter(
+            F.col("vec_id") >= sim.DRIFT_OFFSET
+        ).select("vec_id").collect()
+    )
+    assert len(ingested_only) == sim.DRIFT_N
+    # the source resolves ONLY the corpus — the ingested batch is gone
+    corpus_only = registry.tbl(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        n = sim.ivfpq_index_rebuild(spark, idx, corpus_only)
+    assert any(
+        "missing from the vector source" in str(x.message) for x in caught
+    )
+    after = spark.read.option("basePath", idx).parquet(idx)
+    kept = sorted(
+        r[0]
+        for r in after.filter(
+            F.col("vec_id") >= sim.DRIFT_OFFSET
+        ).select("vec_id").collect()
+    )
+    assert kept == ingested_only  # provably preserved
+    assert after.count() == n == n_live
+
+
+def test_ivfpq_rebuild_crash_before_sentinel_is_clean(spark, tmp_path, monkeypatch):
+    """A crash after the tmp rewrite but BEFORE the sentinel leaves the
+    OLD index fully intact (marker present, old quantizers, old rows);
+    the next open clears the partial tmp and a re-run completes."""
+    from bert_etl_spark.functions import markers as mk
+
+    idx, vectors = _mk_rebuilt_fixture(spark, tmp_path, "rb_crash1")
+    before_probe = _probe_rows(spark, idx)
+    real = mk.write_int_marker
+
+    def boom(spark_, path, value):
+        if path.endswith(life.PENDING_SENTINEL):
+            raise RuntimeError("simulated crash before sentinel")
+        return real(spark_, path, value)
+
+    monkeypatch.setattr(mk, "write_int_marker", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sim.ivfpq_index_rebuild(spark, idx, vectors)
+    monkeypatch.setattr(mk, "write_int_marker", real)
+    assert os.path.exists(f"{idx}{life.TMP_SUFFIX}")
+    # reader recovery: marker intact, tmp debris cleared, probe unchanged
+    assert (
+        life.open_index(spark, idx, sim._IVFPQ_MARKER, "cell")
+        == sim.N_CENTROIDS
+    )
+    assert not os.path.exists(f"{idx}{life.TMP_SUFFIX}")
+    assert _probe_rows(spark, idx) == before_probe
+    # and the rebuild completes on re-run
+    assert sim.ivfpq_index_rebuild(spark, idx, vectors) > 0
+
+
+def test_ivfpq_rebuild_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """A crash inside the sentinel window (tmp complete INCLUDING the
+    staged new quantizers, sentinel stamped, marker deleted) is finished
+    by the next open_index: data AND codebooks land together — the probe
+    equals a completed rebuild's, bit for bit."""
+    idx, vectors = _mk_rebuilt_fixture(spark, tmp_path, "rb_crash2")
+    done_idx, _ = _mk_rebuilt_fixture(spark, tmp_path, "rb_done")
+    sim.ivfpq_index_rebuild(spark, done_idx, vectors)
+    want = _probe_rows(spark, done_idx)
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(life, "finish_compaction_swap", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sim.ivfpq_index_rebuild(spark, idx, vectors)
+    monkeypatch.undo()
+    assert read_int_marker(spark, f"{idx}/{life.PENDING_SENTINEL}") is not None
+    assert read_int_marker(spark, f"{idx}/{sim._IVFPQ_MARKER}") is None
+    # recovery via any reader's open
+    assert (
+        life.open_index(spark, idx, sim._IVFPQ_MARKER, "cell")
+        == sim.N_CENTROIDS
+    )
+    assert _probe_rows(spark, idx) == want
+    cb = sim.read_codebook(spark, idx)
+    assert [r.cid for r in cb] == list(range(sim.N_CENTROIDS))
+    assert not os.path.exists(f"{idx}{life.TMP_SUFFIX}")
+
+
+def test_ivfpq_rebuild_due_consults_floor_conf(spark):
+    """ivfpq_rebuild_due: True exactly when mean recall_at_k of the
+    audit frame sits below the conf'd floor."""
+    df = spark.createDataFrame(
+        [(0, 0.5), (1, 0.7)], "q_id int, recall_at_k double"
+    )
+    assert sim.ivfpq_rebuild_due(spark, df)  # mean 0.6 < default 0.8
+    spark.conf.set(sim.IVFPQ_RECALL_REBUILD_CONF, "0.5")
+    try:
+        assert not sim.ivfpq_rebuild_due(spark, df)
+    finally:
+        spark.conf.unset(sim.IVFPQ_RECALL_REBUILD_CONF)
