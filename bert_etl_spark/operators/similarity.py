@@ -924,8 +924,12 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_parts = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
+        from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
         build_index(
-            spark, index_dir, _SIMLSH_MARKER, N_PLANES, assign, "bucket", n_parts
+            spark, index_dir, _SIMLSH_MARKER, N_PLANES, assign, "bucket",
+            n_parts,
+            keymap_key="vec_id" if keymap_enabled(spark) else None,
         )
     from bert_etl_spark.operators.index_lifecycle import apply_tombstones
 
@@ -972,6 +976,8 @@ def simlsh_index_ingest(
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
+    from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
     return ingest_rows(
         spark,
         index_dir,
@@ -980,6 +986,7 @@ def simlsh_index_ingest(
         assigned,
         "bucket",
         min(n_parts, 1 << N_PLANES),
+        keymap=keymap_enabled(spark),
     )
 
 
@@ -999,6 +1006,32 @@ def simlsh_index_compact(spark: SparkSession, index_dir: str) -> int:
     )
     return compact_index(
         spark, index_dir, _SIMLSH_MARKER, "bucket", min(n_parts, 1 << N_PLANES)
+    )
+
+
+def simlsh_index_delete(
+    spark: SparkSession, keys: DataFrame, index_dir: str
+) -> int:
+    """Tombstone-delete vectors from the standing sign-LSH index — the
+    family's missing delete verb (round-13 'next round' item #5; the
+    ivf/ivfpq twins landed earlier). Logical until the next compact;
+    probes mask immediately. A feed that recorded the bucket at ingest
+    time prunes directly (cross-checked); a BARE-KEY feed (GDPR opt-out
+    — no vector to re-hash) goes through the persisted key→partition map
+    when the index carries one (delete_keys_by_map), falling back to the
+    slim full key scan only for keys the map does not locate."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        delete_keys,
+        delete_keys_by_map,
+    )
+
+    if "bucket" in keys.columns:
+        return delete_keys(
+            spark, index_dir, _SIMLSH_MARKER, N_PLANES, keys,
+            part_col="bucket",
+        )
+    return delete_keys_by_map(
+        spark, index_dir, _SIMLSH_MARKER, N_PLANES, keys, part_col="bucket"
     )
 
 
@@ -2753,6 +2786,8 @@ def _maxsim_assign_at_rest(
         # under, and the standing corpus isn't guaranteed to still contain
         # the centroid vectors (an arrival batch may BE docs 0..k). The
         # underscore prefix hides the subdir from the root table scan.
+        from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
         build_index(
             spark,
             index_dir,
@@ -2762,6 +2797,7 @@ def _maxsim_assign_at_rest(
             "cell",
             n_parts,
             finalize=lambda: _write_codebook(spark, sf_dir, index_dir),
+            keymap_key="vec_id" if keymap_enabled(spark) else None,
         )
     from bert_etl_spark.operators.index_lifecycle import apply_tombstones
 
@@ -3190,6 +3226,8 @@ def maxsim_index_ingest(
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
+    from bert_etl_spark.operators.index_lifecycle import keymap_enabled
+
     return ingest_rows(
         spark,
         index_dir,
@@ -3198,6 +3236,7 @@ def maxsim_index_ingest(
         assigned,
         "cell",
         min(n_parts, MAXSIM_IVF_CENTROIDS),
+        keymap=keymap_enabled(spark),
     )
 
 
@@ -3233,6 +3272,32 @@ def maxsim_index_compact(spark: SparkSession, index_dir: str) -> int:
         _MAXSIM_MARKER,
         "cell",
         min(n_parts, MAXSIM_IVF_CENTROIDS),
+    )
+
+
+def maxsim_index_delete(
+    spark: SparkSession, keys: DataFrame, index_dir: str
+) -> int:
+    """Tombstone-delete token vectors from the standing MaxSim index —
+    the family's missing delete verb (round-13 'next round' item #5).
+    ``keys``: any frame with a vec_id column (delete a whole document by
+    offering its MAXSIM_GROUP token ids). A feed carrying the cell
+    prunes directly (cross-checked); a bare-key feed goes through the
+    persisted key→partition map when present, else the slim full key
+    scan — the shared delete_keys contract."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        delete_keys,
+        delete_keys_by_map,
+    )
+
+    if "cell" in keys.columns:
+        return delete_keys(
+            spark, index_dir, _MAXSIM_MARKER, MAXSIM_IVF_CENTROIDS, keys,
+            part_col="cell",
+        )
+    return delete_keys_by_map(
+        spark, index_dir, _MAXSIM_MARKER, MAXSIM_IVF_CENTROIDS, keys,
+        part_col="cell",
     )
 
 

@@ -2066,3 +2066,95 @@ def test_ivfpq_rebuild_due_consults_floor_conf(spark):
         assert not sim.ivfpq_rebuild_due(spark, df)
     finally:
         spark.conf.unset(sim.IVFPQ_RECALL_REBUILD_CONF)
+
+
+def _family_keymap_delete_check(spark, idx, delete_verb, part_col, doomed_ids):
+    """Shared proof body for the family bare-key delete via the map:
+    garbage planted in (a) a part dir holding NEITHER doomed key per the
+    map and (b) a kbkt dir outside the request's buckets — the pruned
+    delete reads neither; the tombstones land; probes mask the keys."""
+    doomed = spark.createDataFrame(
+        [(i,) for i in doomed_ids], schema="vec_id long"
+    )
+    mapped = life.keymap_lookup(spark, idx, doomed, "vec_id")
+    located = {(r["vec_id"], r[part_col]) for r in mapped.collect()}
+    assert {v for v, _ in located} == set(doomed_ids)  # all mapped
+    hit_parts = {p for _, p in located}
+    req_kb = {
+        r["kb"]
+        for r in doomed.select(
+            life._keymap_bucket("vec_id").alias("kb")
+        ).collect()
+    }
+    victim_part = next(
+        d
+        for d in sorted(os.listdir(idx))
+        if d.startswith(f"{part_col}=")
+        and int(d.split("=")[1]) not in hit_parts
+    )
+    victim_kb = next(
+        d
+        for d in sorted(os.listdir(f"{idx}/{life.KEYMAP_DIR}"))
+        if d.startswith("kbkt=") and int(d.split("=")[1]) not in req_kb
+    )
+    g1 = f"{idx}/{victim_part}/part-garbage.parquet"
+    g2 = f"{idx}/{life.KEYMAP_DIR}/{victim_kb}/part-garbage.parquet"
+    for g in (g1, g2):
+        with open(g, "w") as fh:
+            fh.write("this is not parquet")
+    try:
+        assert delete_verb(spark, doomed, idx) == len(doomed_ids)
+    finally:
+        os.remove(g1)
+        os.remove(g2)
+    masked = life.apply_tombstones(
+        spark, idx, spark.read.option("basePath", idx).parquet(idx)
+    )
+    assert masked.filter(F.col("vec_id").isin(*doomed_ids)).count() == 0
+
+
+def test_simlsh_keymap_bare_key_delete_prunes(spark, tmp_path):
+    """Round-13 'next round' item #5: the sign-LSH family writes the
+    key→partition map at build AND ingest under the conf, and its new
+    delete verb prunes a bare-key feed through it (garbage-file proof)."""
+    idx = str(tmp_path / "simlsh_km")
+    spark.conf.set(life.KEYMAP_CONF, "true")
+    spark.conf.set(sim.SIMLSH_INDEX_DIR_CONF, idx)
+    try:
+        sim._lsh_bucket_table(spark, SF)  # builds the durable index
+        assert os.path.isdir(f"{idx}/{life.KEYMAP_DIR}")
+        batch = spark.createDataFrame(
+            [(9_000_001, [0.5] * sim.EMBED_DIM), (9_000_002, [-0.5] * sim.EMBED_DIM)],
+            schema="vec_id long, embedding array<float>",
+        )
+        assert sim.simlsh_index_ingest(spark, batch, idx) == 2
+        _family_keymap_delete_check(
+            spark, idx, sim.simlsh_index_delete, "bucket",
+            [7, 9_000_001],  # one build-time key, one ingested key
+        )
+    finally:
+        spark.conf.unset(sim.SIMLSH_INDEX_DIR_CONF)
+        spark.conf.unset(life.KEYMAP_CONF)
+
+
+def test_maxsim_keymap_bare_key_delete_prunes(spark, tmp_path):
+    """The MaxSim twin: map written at build and ingest, bare-key delete
+    verb prunes through it (garbage-file proof)."""
+    idx = str(tmp_path / "maxsim_km")
+    spark.conf.set(life.KEYMAP_CONF, "true")
+    spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, idx)
+    try:
+        sim._maxsim_assign(spark, SF)  # builds the durable index
+        assert os.path.isdir(f"{idx}/{life.KEYMAP_DIR}")
+        batch = spark.createDataFrame(
+            [(9_100_000 + i, [0.25] * sim.EMBED_DIM) for i in range(4)],
+            schema="vec_id long, embedding array<float>",
+        )
+        assert sim.maxsim_index_ingest(spark, batch, idx) == 4
+        _family_keymap_delete_check(
+            spark, idx, sim.maxsim_index_delete, "cell",
+            [11, 9_100_002],
+        )
+    finally:
+        spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
+        spark.conf.unset(life.KEYMAP_CONF)
