@@ -195,6 +195,7 @@ HEADLINE = [
     "streaming_cdc_lookup",   # bucket-pruned point read of the CDC state
     "text_phrase3_search_indexed",  # n-term phrase: <=n buckets, n-1 joins
     "sim_ivfpq_rebuild_recovery",  # in-place quantizer re-train (r14)
+    "sim_ivf_rebuild_recovery",  # vector-at-rest family rebuild (r14)
     "text_bm25_indexed_refreshed",  # stats refresh at the fold (r14)
     "streaming_cdc_rebucket",  # in-place bucket-modulus migration (r14)
     "streaming_cdc_schema_evolution",  # payload column growth mid-stream (r14)

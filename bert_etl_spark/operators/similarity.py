@@ -1912,6 +1912,176 @@ def ivfpq_rebuild_due(spark: SparkSession, recall_df: DataFrame) -> bool:
     return row["r"] is not None and float(row["r"]) < floor
 
 
+def _vector_index_rebuild(
+    spark: SparkSession,
+    index_dir: str,
+    marker_name: str,
+    expected: int,
+    n_seeds: int,
+    columns_fn,
+) -> int:
+    """Shared in-place rebuild for the vector-at-rest families (IVF,
+    MaxSim — their rows carry the full vector, so unlike the IVF-PQ
+    rebuild no external vector source and no reconstruction fallback are
+    needed): re-train the coarse quantizer with the build's deterministic
+    rule over the LIVE rows (the ``n_seeds`` smallest live vec_ids'
+    vectors, renumbered densely so the position-indexed encoder stays
+    consistent), re-assign every live row, re-partition, and swap data +
+    the new ``_codebook`` (+ a rebuilt ``_keymap`` when the index carries
+    one) together under the compaction sentinel — the ivfpq_index_rebuild
+    protocol, minus the PQ stage. Pending tombstones are applied (their
+    files clear last). Returns the rebuilt row count."""
+    from bert_etl_spark.functions.markers import write_int_marker
+    from bert_etl_spark.functions.release import release
+    from bert_etl_spark.operators.index_lifecycle import (
+        KEYMAP_BUCKETS,
+        KEYMAP_DIR,
+        PENDING_SENTINEL,
+        TMP_SUFFIX,
+        apply_tombstones,
+        finish_compaction_swap,
+        keymap_enabled,
+        open_index,
+    )
+
+    if open_index(spark, index_dir, marker_name, "cell") != expected:
+        raise ValueError(
+            f"no standing index at {index_dir} (or a drifted layout) — "
+            "nothing to rebuild"
+        )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    def _dirs(root, pat):
+        st = fs.globStatus(_p(f"{root}/{pat}"))
+        return [] if st is None else [s.getPath() for s in st]
+
+    tdir = f"{index_dir}/_tombstones"
+    applied = (
+        [
+            f.getPath()
+            for f in fs.listStatus(_p(tdir))
+            if not f.getPath().getName().startswith(("_", "."))
+        ]
+        if fs.exists(_p(tdir))
+        else []
+    )
+    phys = spark.read.option("basePath", index_dir).parquet(index_dir)
+    live = apply_tombstones(spark, index_dir, phys, "vec_id").localCheckpoint(
+        eager=True
+    )
+    try:
+        seeds = live.select("vec_id", "e").orderBy("vec_id").limit(
+            n_seeds
+        ).collect()
+        if len(seeds) < n_seeds:
+            raise ValueError(
+                f"index at {index_dir} holds {len(seeds)} live rows — "
+                f"fewer than the {n_seeds} training seeds a rebuild needs"
+            )
+        from types import SimpleNamespace
+
+        cent_rows = [
+            SimpleNamespace(cid=i, ce=[float(x) for x in s["e"]])
+            for i, s in enumerate(seeds)
+        ]
+        assigned = columns_fn(
+            live.drop("cell").withColumn(
+                "cell", _argmax_cell(cent_rows).cast("int")
+            )
+        )
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+        )
+        tmp = f"{index_dir}{TMP_SUFFIX}"
+        (
+            assigned.repartition(min(n_parts, expected), "cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+        spark.createDataFrame(
+            [(int(r.cid), r.ce) for r in cent_rows],
+            "cid int, ce array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+        if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
+            written = spark.read.option("basePath", tmp).parquet(tmp)
+            (
+                written.select(
+                    "vec_id",
+                    "cell",
+                    F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS))
+                    .cast("int")
+                    .alias("kbkt"),
+                )
+                .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+                .write.partitionBy("kbkt")
+                .mode("overwrite")
+                .parquet(f"{tmp}/{KEYMAP_DIR}")
+            )
+        tmp_parts = {d.getName() for d in _dirs(tmp, "cell=*")}
+        stale = [
+            d
+            for d in _dirs(index_dir, "cell=*")
+            if d.getName() not in tmp_parts
+        ]
+        # COMMIT POINT: tmp complete (data + codebook + keymap)
+        write_int_marker(spark, f"{index_dir}/{PENDING_SENTINEL}", expected)
+        fs.delete(_p(f"{index_dir}/{marker_name}"), False)
+        finish_compaction_swap(spark, index_dir, marker_name, "cell")
+        for d in stale:
+            fs.delete(d, True)
+        for f in applied:
+            fs.delete(f, False)
+        return int(n_rows)
+    finally:
+        release(live)
+
+
+def ivf_index_rebuild(spark: SparkSession, index_dir: str) -> int:
+    """RE-TRAIN the standing single-vector IVF index in place — the
+    ivfpq_index_rebuild sibling for the family that stores its vectors
+    AT REST (no external vector source needed: the live rows ARE the
+    training data). New quantizer = the N_CENTROIDS smallest live
+    vec_ids' vectors (the build's first-N rule over the live set, dense
+    renumber); every row re-assigns; data + new ``_codebook`` (+ keymap)
+    swap under one sentinel; tombstones applied. Crash-recoverable at
+    every step via open_index. Run when the quantizer went stale —
+    training rows deleted, or ingest drifted the distribution."""
+    return _vector_index_rebuild(
+        spark,
+        index_dir,
+        _IVF_MARKER,
+        N_CENTROIDS,
+        N_CENTROIDS,
+        _ivf_index_columns,
+    )
+
+
+def maxsim_index_rebuild(spark: SparkSession, index_dir: str) -> int:
+    """ivf_index_rebuild's multi-vector twin: re-train the MaxSim coarse
+    quantizer from the index's own live token vectors (the
+    MAXSIM_IVF_CENTROIDS smallest live vec_ids, dense renumber),
+    re-assign, re-partition, swap — completing rebuild-verb parity for
+    every family whose quantizer can go stale (IVF-PQ round 14, IVF and
+    MaxSim here; sign-LSH's hyperplanes are compile-time constants with
+    nothing to retrain; the text index refreshes its stats at the
+    fold)."""
+    return _vector_index_rebuild(
+        spark,
+        index_dir,
+        _MAXSIM_MARKER,
+        MAXSIM_IVF_CENTROIDS,
+        MAXSIM_IVF_CENTROIDS,
+        _index_columns,
+    )
+
+
 def _ivfpq_topk(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
     """Top-k window over the ADC scores (_ivfpq_adc)."""
     adc = _ivfpq_adc(spark, sf_dir, index_dir)
@@ -2565,6 +2735,119 @@ def sim_ivfpq_rebuild_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivfpq_index_rebuild(spark, idx, vectors)
     return _ivfpq_topk(spark, sf_dir, idx)
+
+
+# The single-vector-IVF rebuild under its own hash gate: same staleness
+# scenario as sim_ivfpq_rebuild_recovery (training seeds deleted +
+# drifted batch ingested), cured by ivf_index_rebuild — and because this
+# family stores its vectors AT REST, the retrain needs no vector source:
+# the live rows are the training data. The oracle re-derives the
+# re-trained quantizer (rank seeds over the live set, dense renumber)
+# and the exact rerank reads the live vectors — fresh-build parity for
+# the whole probe under one hash.
+_SQL_IVF_REBUILD_PROBE = f"""{_SQL_PREP},
+    drift AS (
+        SELECT vec_id + {DRIFT_OFFSET} AS vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {DRIFT_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + DRIFT_N}
+    ),
+    le AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id >= {N_CENTROIDS}
+        UNION ALL SELECT vec_id, label, embedding FROM drift
+    ),
+    lv0 AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM le
+    ),
+    lv AS (
+        SELECT vec_id, label, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm
+        FROM lv0
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e
+        FROM (SELECT vec_id, e FROM lv ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    cent AS (SELECT cid, e AS ce FROM seeds),
+    scored AS (
+        SELECT lv.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lv.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(lv.e)),
+                           i -> lv.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM lv, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+    qscored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(n.e)),
+                           i -> n.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM n, cent c
+        WHERE n.vec_id < {N_QUERIES}
+    ),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM qscored
+               WHERE rn <= {N_PROBES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    )"""
+
+
+@query(
+    "sim_ivf_rebuild_recovery",
+    oracle=f"""
+    WITH {_SQL_IVF_REBUILD_PROBE}
+    SELECT * FROM (
+        SELECT cand.q_id, cand.neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                    ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS INTEGER)
+                   AS rn
+        FROM cand
+        JOIN n q ON q.vec_id = cand.q_id
+        JOIN lv c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_rebuild_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    # dedicated scratch replica (mutating query — the isolation rule);
+    # re-runs are no-ops end to end (marker; dead keys; ingest anti-join;
+    # idempotent re-train)
+    idx = session_scratch_dir(spark, "ivf_rebuild", sf_dir)
+    _ivf_assign(spark, sf_dir, index_dir=idx)  # build-or-open
+    ivf_index_delete(
+        spark,
+        spark.range(N_CENTROIDS).select(F.col("id").alias("vec_id")),
+        idx,
+    )
+    emb = tbl(spark, sf_dir, "embeddings")
+    shifted = emb.filter(
+        (F.col("vec_id") >= DRIFT_SRC_START)
+        & (F.col("vec_id") < DRIFT_SRC_START + DRIFT_N)
+    ).select(
+        (F.col("vec_id") + DRIFT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(DRIFT_DELTA)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivf_index_ingest(spark, shifted, idx)
+    ivf_index_rebuild(spark, idx)
+    assign = _ivf_assign(spark, sf_dir, index_dir=idx)
+    return _ivf_topk(spark, sf_dir, assign, idx)
 
 
 MAXSIM_GROUP = 8  # token vectors per multi-vector document

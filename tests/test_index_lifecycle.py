@@ -2158,3 +2158,144 @@ def test_maxsim_keymap_bare_key_delete_prunes(spark, tmp_path):
     finally:
         spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
         spark.conf.unset(life.KEYMAP_CONF)
+
+
+def test_ivf_rebuild_retrains_and_preserves(spark, tmp_path):
+    """ivf_index_rebuild (vector-at-rest family — no external vector
+    source): after seed-delete + drifted ingest, the rebuilt quantizer is
+    the rank-based first-N over LIVE rows (dense cids), every row's cell
+    is the argmax against it, tombstones are applied, ingested-only rows
+    survive, and a second rebuild is a no-op on content."""
+    idx = str(tmp_path / "ivf_rb")
+    sim._ivf_assign(spark, SF, index_dir=idx)
+    sim.ivf_index_delete(
+        spark,
+        spark.range(sim.N_CENTROIDS).select(F.col("id").alias("vec_id")),
+        idx,
+    )
+    emb = registry.tbl(spark, SF, "embeddings")
+    shifted = emb.filter(
+        (F.col("vec_id") >= sim.DRIFT_SRC_START)
+        & (F.col("vec_id") < sim.DRIFT_SRC_START + sim.DRIFT_N)
+    ).select(
+        (F.col("vec_id") + sim.DRIFT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(sim.DRIFT_DELTA)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    assert sim.ivf_index_ingest(spark, shifted, idx) == sim.DRIFT_N
+    base_n = emb.count()
+    n = sim.ivf_index_rebuild(spark, idx)
+    assert n == base_n - sim.N_CENTROIDS + sim.DRIFT_N
+    t = spark.read.option("basePath", idx).parquet(idx)
+    assert t.count() == n
+    assert t.agg(F.min("vec_id")).first()[0] == sim.N_CENTROIDS
+    assert t.filter(F.col("vec_id") >= sim.DRIFT_OFFSET).count() == sim.DRIFT_N
+    cb = sim.read_codebook(spark, idx)
+    assert [r.cid for r in cb] == list(range(sim.N_CENTROIDS))
+    # seed 0 = smallest live vec_id's vector
+    v8 = (
+        emb.filter(F.col("vec_id") == sim.N_CENTROIDS)
+        .select(sim.as_double(F.col("embedding")).alias("e"))
+        .first()["e"]
+    )
+    assert [round(x, 12) for x in cb[0].ce] == [round(float(x), 12) for x in v8]
+    # fresh parity: every row's cell == argmax against the new codebook
+    bad = t.withColumn("want", sim._argmax_cell(cb).cast("int")).filter(
+        F.col("cell") != F.col("want")
+    ).count()
+    assert bad == 0
+    # tombstones cleared (applied physically)
+    assert not os.path.exists(f"{idx}/{life.TOMBSTONE_DIR}") or not [
+        f
+        for f in os.listdir(f"{idx}/{life.TOMBSTONE_DIR}")
+        if not f.startswith(("_", "."))
+    ]
+    rows1 = sorted(
+        tuple(r) for r in t.select("vec_id", "cell").collect()
+    )
+    sim.ivf_index_rebuild(spark, idx)
+    rows2 = sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert rows1 == rows2
+
+
+def test_ivf_rebuild_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """The shared sentinel-window proof for the vector-at-rest rebuild:
+    kill inside the swap (tmp complete incl. the new _codebook, sentinel
+    stamped, marker deleted) — any reader's open finishes it, data and
+    quantizer land together."""
+    idx = str(tmp_path / "ivf_rb_crash")
+    sim._ivf_assign(spark, SF, index_dir=idx)
+    sim.ivf_index_delete(
+        spark,
+        spark.range(sim.N_CENTROIDS).select(F.col("id").alias("vec_id")),
+        idx,
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(life, "finish_compaction_swap", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sim.ivf_index_rebuild(spark, idx)
+    monkeypatch.undo()
+    assert read_int_marker(spark, f"{idx}/{sim._IVF_MARKER}") is None
+    assert (
+        life.open_index(spark, idx, sim._IVF_MARKER, "cell")
+        == sim.N_CENTROIDS
+    )
+    cb = sim.read_codebook(spark, idx)
+    assert [r.cid for r in cb] == list(range(sim.N_CENTROIDS))
+    t = spark.read.option("basePath", idx).parquet(idx)
+    assert t.agg(F.min("vec_id")).first()[0] == sim.N_CENTROIDS
+    bad = t.withColumn("want", sim._argmax_cell(cb).cast("int")).filter(
+        F.col("cell") != F.col("want")
+    ).count()
+    assert bad == 0
+
+
+def test_maxsim_rebuild_retrains_from_live_tokens(spark, tmp_path):
+    """maxsim_index_rebuild: delete the first 64 token vectors (docs
+    0..7 — the whole training sample), rebuild, and the new quantizer is
+    the next 64 live token vectors with every row re-assigned against
+    it (fresh-build parity recomputed in the test)."""
+    idx = str(tmp_path / "maxsim_rb")
+    spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, idx)
+    try:
+        sim._maxsim_assign(spark, SF)  # builds the durable index
+    finally:
+        spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
+    k = sim.MAXSIM_IVF_CENTROIDS
+    sim.maxsim_index_delete(
+        spark, spark.range(k).select(F.col("id").alias("vec_id")), idx
+    )
+    n = sim.maxsim_index_rebuild(spark, idx)
+    t = spark.read.option("basePath", idx).parquet(idx)
+    assert t.count() == n and t.agg(F.min("vec_id")).first()[0] == k
+    cb = sim.read_codebook(spark, idx)
+    assert [r.cid for r in cb] == list(range(k))
+    vk = (
+        registry.tbl(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == k)
+        .select(sim.as_double(F.col("embedding")).alias("e"))
+        .first()["e"]
+    )
+    assert [round(x, 12) for x in cb[0].ce] == [round(float(x), 12) for x in vk]
+    bad = t.withColumn("want", sim._argmax_cell(cb).cast("int")).filter(
+        F.col("cell") != F.col("want")
+    ).count()
+    assert bad == 0
+    # doc grouping preserved through the rewrite
+    assert t.filter(
+        F.col("doc") != F.expr(f"vec_id div {sim.MAXSIM_GROUP}")
+    ).count() == 0
