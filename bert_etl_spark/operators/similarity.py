@@ -1794,11 +1794,21 @@ def ivfpq_index_rebuild(
         .select("vec_id", "label", F.concat(*pieces).alias("e"))
     )
     n_recon = recon.count()
-    all_rows = resolved.unionByName(recon).localCheckpoint(eager=True)
+    # NOT checkpointed (the 100 TB memory-hazard rule above): the full
+    # resolve-join executes exactly once — in the rewrite — because the
+    # seeds resolve through a SLIM path: the PQ_K smallest live keys
+    # (TakeOrdered over the key column alone) broadcast into the join.
+    all_rows = resolved.unionByName(recon)
     try:
         # deterministic retrain: the build's first-N rule over LIVE rows,
         # renumbered densely (collect is bounded: PQ_K rows)
-        seeds = all_rows.orderBy("vec_id").limit(PQ_K).collect()
+        seed_keys = live.select("vec_id").orderBy("vec_id").limit(PQ_K)
+        seeds = (
+            all_rows.join(F.broadcast(seed_keys), "vec_id")
+            .orderBy("vec_id")
+            .limit(PQ_K)
+            .collect()
+        )
         if len(seeds) < PQ_K:
             raise ValueError(
                 f"index at {index_dir} holds {len(seeds)} live rows — "
@@ -1971,9 +1981,12 @@ def _vector_index_rebuild(
         else []
     )
     phys = spark.read.option("basePath", index_dir).parquet(index_dir)
-    live = apply_tombstones(spark, index_dir, phys, "vec_id").localCheckpoint(
-        eager=True
-    )
+    # NOT checkpointed: materializing the full live index into executor
+    # blocks is the memory hazard a 100 TB rebuild cannot afford — the
+    # two actions below (a slim seed TakeOrdered and the rewrite) each
+    # re-run the columnar scan + broadcast tombstone anti-join instead,
+    # the cheap side of that trade at any size
+    live = apply_tombstones(spark, index_dir, phys, "vec_id")
     try:
         seeds = live.select("vec_id", "e").orderBy("vec_id").limit(
             n_seeds
