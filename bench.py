@@ -199,6 +199,7 @@ HEADLINE = [
     "text_bm25_indexed_refreshed",  # stats refresh at the fold (r14)
     "streaming_cdc_rebucket",  # in-place bucket-modulus migration (r14)
     "streaming_cdc_schema_evolution",  # payload column growth mid-stream (r14)
+    "sim_lsh_rebuild_migrate",  # in-place plane-count migration (r14)
 ]
 
 

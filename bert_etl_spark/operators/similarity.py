@@ -47,9 +47,18 @@ def _plane_sign(p: int, d: int) -> int:
     return 1 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] in "01234567" else -1
 
 
-PLANES: list[list[int]] = [
-    [_plane_sign(p, d) for d in range(EMBED_DIM)] for p in range(N_PLANES)
-]
+def planes_for(n_planes: int) -> list[list[int]]:
+    """The first ``n_planes`` deterministic hyperplanes — a PREFIX chain:
+    planes_for(m) is a prefix of planes_for(n) for m < n, because each
+    plane depends only on its own index. A plane-count migration
+    (simlsh_index_rebuild) therefore only adds/removes high bits of the
+    bucket id; the low bits of every row's bucket are stable."""
+    return [
+        [_plane_sign(p, d) for d in range(EMBED_DIM)] for p in range(n_planes)
+    ]
+
+
+PLANES: list[list[int]] = planes_for(N_PLANES)
 
 
 # ---------------------------------------------------------------------------
@@ -73,10 +82,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def sign_bucket(vec: Column) -> Column:
-    """LSH bucket id: bit p = sign of <vec, plane_p>."""
+def sign_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
+    """LSH bucket id: bit p = sign of <vec, plane_p>. ``planes`` defaults
+    to the module's N_PLANES set; pass ``planes_for(n)`` to hash under a
+    migrated plane count (simlsh_index_rebuild)."""
     bucket = F.lit(0)
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(PLANES if planes is None else planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -811,11 +822,12 @@ def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bucket(alias: str) -> str:
+def _sql_bucket(alias: str, planes: list[list[int]] | None = None) -> str:
     """DuckDB expression for the sign-LSH bucket of {alias}.e — generated
-    from the same PLANES constants the Spark side uses."""
+    from the same PLANES constants the Spark side uses (or an explicit
+    ``planes_for(n)`` set, mirroring sign_bucket)."""
     terms = []
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(PLANES if planes is None else planes):
         arr = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
         proj = (
             f"list_aggregate(list_transform(range(len({alias}.e)), "
@@ -1069,6 +1081,133 @@ def simlsh_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def simlsh_index_rebuild(
+    spark: SparkSession, index_dir: str, n_planes: int
+) -> int:
+    """RE-HASH the standing durable sign-LSH index under a NEW plane
+    count, in place — the family's capacity-migration verb. The
+    hyperplanes themselves are compile-time constants (nothing to
+    retrain — maxsim_index_rebuild's docstring), but the plane COUNT is
+    a frozen layout property: 2^p buckets saturate as the index grows
+    (at 100 TB a 16-bucket layout makes every probe scan ~1/16th of the
+    corpus), and until now the marker-mismatch error's only remedy was
+    "point the conf at a fresh dir" — the manual copy the CDC re-bucket
+    verb (cdc_rebucket, streaming/events.py) eliminated for the op log.
+    Same cure here: read the LIVE rows (current partitions minus
+    tombstones — never the corpus table, which would silently drop
+    ingested-only rows, the index_lifecycle module-docstring rule),
+    re-hash every vector with ``planes_for(n_planes)`` (a PREFIX of the
+    old planes when shrinking, a superset when growing), re-partition,
+    and swap through the compaction protocol: tmp sibling + the
+    ``_compact_pending`` sentinel stamped with the NEW plane count (the
+    sentinel value is what finish_compaction_swap re-stamps as the
+    layout marker, so data and marker commit together), a rebuilt
+    ``_keymap`` staged inside tmp when the index carries one, applied
+    tombstone files cleared last. Crash at any step after the sentinel
+    is finished by any reader via open_index; before it, the old layout
+    is untouched. Works in both directions (grow or shrink); rebuilding
+    to the CURRENT count is a plain compact-with-keymap-refresh.
+    Single-writer with ingest/compact, like all maintenance verbs.
+    Returns the rebuilt row count.
+
+    Reference anchor: ETLDataset.update's overwrite-in-place semantics
+    (/root/reference/bert/etl/__init__.py:158-164)."""
+    from bert_etl_spark.functions.markers import write_int_marker
+    from bert_etl_spark.operators.index_lifecycle import (
+        KEYMAP_BUCKETS,
+        KEYMAP_DIR,
+        PENDING_SENTINEL,
+        TMP_SUFFIX,
+        apply_tombstones,
+        finish_compaction_swap,
+        keymap_enabled,
+        open_index,
+    )
+
+    if not 1 <= n_planes <= 24:
+        raise ValueError(
+            f"n_planes={n_planes} out of range — the bucket id is "
+            "1 << n_planes, keep it a sane partition count"
+        )
+    if open_index(spark, index_dir, _SIMLSH_MARKER, "bucket") is None:
+        raise ValueError(
+            f"no standing sign-LSH index at {index_dir} — nothing to rebuild"
+        )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    def _dirs(root, pat):
+        st = fs.globStatus(_p(f"{root}/{pat}"))
+        return [] if st is None else [s.getPath() for s in st]
+
+    # snapshot the tombstone files this rebuild applies (cleared last)
+    tdir = f"{index_dir}/_tombstones"
+    applied = (
+        [
+            f.getPath()
+            for f in fs.listStatus(_p(tdir))
+            if not f.getPath().getName().startswith(("_", "."))
+        ]
+        if fs.exists(_p(tdir))
+        else []
+    )
+    phys = spark.read.option("basePath", index_dir).parquet(index_dir)
+    # NOT checkpointed: the live frame executes once, in the rewrite
+    # (the rebuild-verb memory rule — never materialize the full index)
+    live = apply_tombstones(spark, index_dir, phys, "vec_id").select(
+        "vec_id", "e", "nrm"
+    )
+    assigned = live.withColumn(
+        "bucket", sign_bucket(F.col("e"), planes_for(n_planes)).cast("int")
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    tmp = f"{index_dir}{TMP_SUFFIX}"
+    (
+        assigned.repartition(min(n_parts, 1 << n_planes), "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
+        written = spark.read.option("basePath", tmp).parquet(tmp)
+        (
+            written.select(
+                "vec_id",
+                "bucket",
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS))
+                .cast("int")
+                .alias("kbkt"),
+            )
+            .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+            .write.partitionBy("kbkt")
+            .mode("overwrite")
+            .parquet(f"{tmp}/{KEYMAP_DIR}")
+        )
+    tmp_parts = {d.getName() for d in _dirs(tmp, "bucket=*")}
+    stale = [
+        d
+        for d in _dirs(index_dir, "bucket=*")
+        if d.getName() not in tmp_parts
+    ]
+    # COMMIT POINT: tmp complete (data + keymap), sentinel carries the
+    # NEW plane count — the marker finish_compaction_swap re-stamps
+    write_int_marker(spark, f"{index_dir}/{PENDING_SENTINEL}", n_planes)
+    fs.delete(_p(f"{index_dir}/{_SIMLSH_MARKER}"), False)
+    finish_compaction_swap(spark, index_dir, _SIMLSH_MARKER, "bucket")
+    for d in stale:  # buckets the new modulus emptied (or shrink removed)
+        fs.delete(d, True)
+    for f in applied:  # applied tombstones clear LAST (compact rule)
+        fs.delete(f, False)
+    return int(n_rows)
 
 
 def _lsh_buckets_scan(
@@ -2083,7 +2222,8 @@ def maxsim_index_rebuild(spark: SparkSession, index_dir: str) -> int:
     re-assign, re-partition, swap — completing rebuild-verb parity for
     every family whose quantizer can go stale (IVF-PQ round 14, IVF and
     MaxSim here; sign-LSH's hyperplanes are compile-time constants with
-    nothing to retrain; the text index refreshes its stats at the
+    nothing to retrain — its capacity move is the plane-count migration,
+    simlsh_index_rebuild; the text index refreshes its stats at the
     fold)."""
     return _vector_index_rebuild(
         spark,
@@ -2861,6 +3001,145 @@ def sim_ivf_rebuild_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index_rebuild(spark, idx)
     assign = _ivf_assign(spark, sf_dir, index_dir=idx)
     return _ivf_topk(spark, sf_dir, assign, idx)
+
+
+# Plane-count migration demo: the corpus-built 4-plane (16-bucket)
+# sign-LSH index grows by an ingested batch, then simlsh_index_rebuild
+# migrates it IN PLACE to 6 planes (64 buckets) — the capacity move a
+# growing index needs when its bucket fan-out saturates (each probe scans
+# ~1/2^p of the corpus). The probe then hashes its queries under the NEW
+# plane set and reads only their bucket= dirs. The oracle re-derives the
+# whole thing from scratch: corpus + batch, 6-plane bucket ids from the
+# same deterministic md5-parity hyperplanes, bucketed cosine top-k —
+# fresh-build parity for the migrated index under one hash. Scenario is
+# idempotent on re-run (marker already at the target count skips the
+# mutation; ingest's anti-join absorbs a mid-scenario crash replay).
+SIMLSH_MIGRATE_PLANES = 6
+
+
+@query(
+    "sim_lsh_rebuild_migrate",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    drift AS (
+        SELECT vec_id + {DRIFT_OFFSET} AS vec_id,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {DRIFT_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + DRIFT_N}
+    ),
+    ge AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM drift
+    ),
+    g0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM ge
+    ),
+    g AS (
+        SELECT vec_id, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm
+        FROM g0
+    ),
+    b AS (SELECT vec_id, e, nrm,
+                 {_sql_bucket('g', planes_for(SIMLSH_MIGRATE_PLANES))}
+                     AS bucket
+          FROM g)
+    SELECT * FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.bucket,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rn
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_lsh_rebuild_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+    from bert_etl_spark.operators.index_lifecycle import (
+        apply_tombstones,
+        build_index,
+        keymap_enabled,
+        open_index,
+        pruned_scan,
+    )
+
+    # dedicated scratch replica (mutating query — the isolation rule)
+    idx = session_scratch_dir(spark, "lsh_migrate", sf_dir)
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    marker = open_index(spark, idx, _SIMLSH_MARKER, "bucket")
+    if marker != SIMLSH_MIGRATE_PLANES:
+        if marker is None:
+            assign = _prepared(spark, sf_dir).withColumn(
+                "bucket", sign_bucket(F.col("e"))
+            )
+            build_index(
+                spark, idx, _SIMLSH_MARKER, N_PLANES, assign, "bucket",
+                min(n_parts, 1 << N_PLANES),
+                keymap_key="vec_id" if keymap_enabled(spark) else None,
+            )
+        emb = tbl(spark, sf_dir, "embeddings")
+        shifted = emb.filter(
+            (F.col("vec_id") >= DRIFT_SRC_START)
+            & (F.col("vec_id") < DRIFT_SRC_START + DRIFT_N)
+        ).select(
+            (F.col("vec_id") + DRIFT_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") + F.lit(DRIFT_DELTA)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+        simlsh_index_ingest(spark, shifted, idx)
+        simlsh_index_rebuild(spark, idx, SIMLSH_MIGRATE_PLANES)
+    # probe under the NEW plane set: queries hash to their buckets, the
+    # scan reads exactly those bucket= dirs of the migrated index
+    qs = (
+        _prepared(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            sign_bucket(
+                F.col("e"), planes_for(SIMLSH_MIGRATE_PLANES)
+            ).cast("int").alias("bucket"),
+        )
+    )
+    touched = [r["bucket"] for r in qs.select("bucket").distinct().collect()]
+    scan = pruned_scan(spark, idx, "bucket", touched)
+    table = apply_tombstones(
+        spark,
+        idx,
+        _lsh_index_columns(
+            scan
+            if scan is not None
+            else spark.read.option("basePath", idx).parquet(idx)
+        ),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        table.join(F.broadcast(qs), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round("cosine", 6).alias("cosine"),
+            "rn",
+        )
+    )
 
 
 MAXSIM_GROUP = 8  # token vectors per multi-vector document

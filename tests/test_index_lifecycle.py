@@ -360,6 +360,174 @@ def test_simlsh_stream_and_compact_lifecycle(spark, tmp_path):
         spark.conf.unset(sim.SIMLSH_INDEX_DIR_CONF)
 
 
+def _mk_simlsh_idx(spark, tmp_path, name, keymap=False):
+    """Standing 4-plane sign-LSH index over the sf0.001 embeddings (the
+    test_simlsh_ingest fixture shape, via the real build verb)."""
+    idx = str(tmp_path / name)
+    assign = sim._prepared(spark, SF).withColumn(
+        "bucket", sim.sign_bucket(F.col("e"))
+    ).drop("label")
+    assert life.open_index(spark, idx, sim._SIMLSH_MARKER, "bucket") is None
+    life.build_index(
+        spark, idx, sim._SIMLSH_MARKER, sim.N_PLANES, assign, "bucket", 4,
+        keymap_key="vec_id" if keymap else None,
+    )
+    return idx
+
+
+def test_simlsh_rebuild_migrates_plane_count(spark, tmp_path):
+    """simlsh_index_rebuild re-hashes the LIVE rows (standing + ingested
+    − tombstoned) under the new plane count in place: marker re-stamped,
+    every row's bucket equals its new-plane hash, ingested-only rows
+    preserved, tombstoned rows physically gone, keymap rebuilt to the
+    new buckets, and shrink-back works too."""
+    spark.conf.set(life.KEYMAP_CONF, "true")
+    try:
+        idx = _mk_simlsh_idx(spark, tmp_path, "lsh_mig", keymap=True)
+        emb = registry.tbl(spark, SF, "embeddings")
+        arrivals = emb.select(
+            (F.col("vec_id") + 4_000_000).alias("vec_id"), "embedding"
+        ).limit(16)
+        n_in = sim.simlsh_index_ingest(spark, arrivals, idx)
+        assert n_in == 16
+        dead = spark.createDataFrame([(1,), (2,)], "vec_id long")
+        assert sim.simlsh_index_delete(spark, dead, idx) == 2
+        total = emb.count() + n_in - 2
+
+        n = sim.simlsh_index_rebuild(spark, idx, 6)
+        assert n == total
+        assert read_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}") == 6
+        rows = (
+            spark.read.option("basePath", idx)
+            .parquet(idx)
+            .select(
+                "vec_id",
+                "bucket",
+                sim.sign_bucket(F.col("e"), sim.planes_for(6))
+                .cast("int")
+                .alias("want"),
+            )
+        )
+        assert rows.count() == total
+        assert rows.filter(F.col("bucket") != F.col("want")).count() == 0
+        ids = {r.vec_id for r in rows.select("vec_id").collect()}
+        assert 4_000_000 in ids or any(i >= 4_000_000 for i in ids)
+        assert not ids & {1, 2}  # tombstoned rows physically gone
+        assert not glob.glob(f"{idx}/_tombstones/*.parquet")
+        # grown fan-out actually used
+        got_buckets = {
+            int(d.split("bucket=")[1]) for d in glob.glob(f"{idx}/bucket=*")
+        }
+        assert max(got_buckets) >= 16  # beyond the 4-plane range
+        # keymap rebuilt to the NEW buckets
+        km = (
+            spark.read.option("basePath", f"{idx}/{life.KEYMAP_DIR}")
+            .parquet(f"{idx}/{life.KEYMAP_DIR}")
+        )
+        km_pairs = {(r.vec_id, r.bucket) for r in km.collect()}
+        assert km_pairs == {
+            (r.vec_id, r.bucket) for r in rows.select("vec_id", "bucket").collect()
+        }
+        # shrink back: prefix-planes property, counts conserved
+        assert sim.simlsh_index_rebuild(spark, idx, sim.N_PLANES) == total
+        assert (
+            read_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}")
+            == sim.N_PLANES
+        )
+        back = spark.read.option("basePath", idx).parquet(idx)
+        assert back.count() == total
+        assert (
+            back.filter(F.col("bucket") >= (1 << sim.N_PLANES)).count() == 0
+        )
+        # refusals
+        with pytest.raises(ValueError, match="nothing to rebuild"):
+            sim.simlsh_index_rebuild(spark, str(tmp_path / "nope"), 6)
+        with pytest.raises(ValueError, match="out of range"):
+            sim.simlsh_index_rebuild(spark, idx, 0)
+    finally:
+        spark.conf.unset(life.KEYMAP_CONF)
+
+
+def test_simlsh_rebuild_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """A crash inside the sentinel window (tmp complete, sentinel stamped
+    with the NEW plane count, old marker deleted) is finished by any
+    reader's open_index: the marker lands at the new count and the table
+    equals a completed migration's."""
+    idx = _mk_simlsh_idx(spark, tmp_path, "lsh_mig_crash")
+    done = _mk_simlsh_idx(spark, tmp_path, "lsh_mig_done")
+    want_n = sim.simlsh_index_rebuild(spark, done, 6)
+    want = sorted(
+        (r.vec_id, r.bucket)
+        for r in spark.read.option("basePath", done)
+        .parquet(done)
+        .select("vec_id", "bucket")
+        .collect()
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(life, "finish_compaction_swap", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sim.simlsh_index_rebuild(spark, idx, 6)
+    monkeypatch.undo()
+    assert read_int_marker(spark, f"{idx}/{life.PENDING_SENTINEL}") == 6
+    assert read_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}") is None
+    assert life.open_index(spark, idx, sim._SIMLSH_MARKER, "bucket") == 6
+    got = sorted(
+        (r.vec_id, r.bucket)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .select("vec_id", "bucket")
+        .collect()
+    )
+    assert got == want and len(got) == want_n
+    assert not os.path.exists(f"{idx}{life.TMP_SUFFIX}")
+
+
+def test_simlsh_migrate_probe_prunes_to_query_buckets(spark, tmp_path):
+    """The registered migration demo's probe reads ONLY the queries'
+    bucket= dirs of the migrated index — a garbage file planted in an
+    un-probed bucket is never touched and the rows match the oracle-
+    checked baseline."""
+    base = _rows(spark, "sim_lsh_rebuild_migrate")
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    idx = session_scratch_dir(spark, "lsh_migrate", SF)
+    assert read_int_marker(spark, f"{idx}/{sim._SIMLSH_MARKER}") == 6
+    qs_buckets = {
+        r[0]
+        for r in sim._prepared(spark, SF)
+        .filter(F.col("vec_id") < sim.N_QUERIES)
+        .select(
+            sim.sign_bucket(F.col("e"), sim.planes_for(6)).cast("int")
+        )
+        .distinct()
+        .collect()
+    }
+    victim = next(
+        int(d.split("bucket=")[1])
+        for d in sorted(glob.glob(f"{idx}/bucket=*"))
+        if int(d.split("bucket=")[1]) not in qs_buckets
+    )
+    garbage = f"{idx}/bucket={victim}/garbage.parquet"
+    with open(garbage, "w") as fh:
+        fh.write("not parquet")
+    try:
+        df = registry.ALL_QUERIES["sim_lsh_rebuild_migrate"](spark, SF)
+        assert sorted(tuple(r) for r in df.collect()) == base
+        files = df.inputFiles()
+        probed = {
+            int(f.split("/bucket=")[1].split("/")[0])
+            for f in files
+            if "/bucket=" in f
+        }
+        assert probed <= qs_buckets
+        assert victim not in probed
+    finally:
+        os.remove(garbage)
+
+
 def test_index_file_stats_reports_fragmentation(spark, tmp_path):
     """index_file_stats is the compaction trigger signal: file counts per
     partition rise with ingests and return to 1 after compaction; row
