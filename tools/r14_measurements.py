@@ -29,6 +29,13 @@ Usage: python tools/r14_measurements.py <step> [sf_dir]
              100x index after an ingest epoch: the stats recompute rides
              the rewrite (one extra distinct-doc aggregate over the tmp
              table). Round-13 'next round' item #2.
+  ivfrebuild    — ivf_index_rebuild (vector-at-rest single-vector family):
+             build, seed-delete + drifted ingest, in-place re-train.
+  maxsimrebuild — maxsim_index_rebuild: same scenario on the multi-vector
+             family's standing index.
+  lshmigrate    — simlsh_index_rebuild: 4->8-plane capacity migration of a
+             grown sign-LSH index, probe timings before/after (the probe
+             scans |Q| buckets of 16 vs 256 — fan-out is the point).
 """
 
 from __future__ import annotations
@@ -236,6 +243,162 @@ def main() -> None:
                 f"[stats] n_docs={st['n_docs']} avgdl={st['avgdl']:.2f}",
                 flush=True,
             )
+        elif step == "ivfrebuild":
+            import bert_etl_spark.operators.similarity as sim
+
+            idx = f"{work}/ivf"
+            t0 = time.time()
+            sim._ivf_assign(spark, sf_dir, index_dir=idx)
+            print(f"[build] standing IVF: {time.time() - t0:.1f} s", flush=True)
+            t0 = time.time()
+            nd = sim.ivf_index_delete(
+                spark,
+                spark.range(sim.N_CENTROIDS).select(F.col("id").alias("vec_id")),
+                idx,
+            )
+            print(f"[seed-delete] {nd} bare keys: {time.time() - t0:.1f} s", flush=True)
+            emb = registry.tbl(spark, sf_dir, "embeddings")
+            shifted = emb.filter(
+                (F.col("vec_id") >= sim.DRIFT_SRC_START)
+                & (F.col("vec_id") < sim.DRIFT_SRC_START + 10_000)
+            ).select(
+                (F.col("vec_id") + sim.DRIFT_OFFSET).alias("vec_id"),
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") + F.lit(sim.DRIFT_DELTA)).cast(
+                        "float"
+                    ),
+                ).alias("embedding"),
+            )
+            t0 = time.time()
+            ni = sim.ivf_index_ingest(spark, shifted, idx)
+            print(f"[ingest] {ni} drifted: {time.time() - t0:.1f} s", flush=True)
+            t0 = time.time()
+            nr = sim.ivf_index_rebuild(spark, idx)
+            print(
+                f"[rebuild] {nr} live rows re-trained/re-assigned/swapped: "
+                f"{time.time() - t0:.1f} s",
+                flush=True,
+            )
+            t0 = time.time()
+            assign = sim._ivf_assign(spark, sf_dir, index_dir=idx)
+            n = sim._ivf_topk(spark, sf_dir, assign, idx).count()
+            print(f"[probe-after] {n} rows: {time.time() - t0:.1f} s", flush=True)
+        elif step == "maxsimrebuild":
+            import bert_etl_spark.operators.similarity as sim
+
+            idx = f"{work}/maxsim"
+            spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, idx)
+            t0 = time.time()
+            sim._maxsim_assign(spark, sf_dir)
+            print(f"[build] standing MaxSim: {time.time() - t0:.1f} s", flush=True)
+            t0 = time.time()
+            nd = sim.maxsim_index_delete(
+                spark,
+                spark.range(sim.MAXSIM_IVF_CENTROIDS).select(
+                    F.col("id").alias("vec_id")
+                ),
+                idx,
+            )
+            print(f"[seed-delete] {nd} bare keys: {time.time() - t0:.1f} s", flush=True)
+            emb = registry.tbl(spark, sf_dir, "embeddings")
+            batch = emb.select(
+                (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+            ).limit(10_000)
+            t0 = time.time()
+            ni = sim.maxsim_index_ingest(spark, batch, idx)
+            print(f"[ingest] {ni} rows: {time.time() - t0:.1f} s", flush=True)
+            t0 = time.time()
+            nr = sim.maxsim_index_rebuild(spark, idx)
+            print(
+                f"[rebuild] {nr} live token vectors re-trained/swapped: "
+                f"{time.time() - t0:.1f} s",
+                flush=True,
+            )
+            t0 = time.time()
+            n = registry.ALL_QUERIES["sim_maxsim_ivf"](spark, sf_dir).count()
+            print(f"[probe-after] {n} rows: {time.time() - t0:.1f} s", flush=True)
+        elif step == "lshmigrate":
+            import bert_etl_spark.operators.similarity as sim
+            from bert_etl_spark.operators import index_lifecycle as life
+            from pyspark.sql import Window
+
+            idx = f"{work}/lsh"
+
+            def _lsh_probe(planes_n, tag):
+                t0 = time.time()
+                qs = (
+                    sim._prepared(spark, sf_dir)
+                    .filter(F.col("vec_id") < sim.N_QUERIES)
+                    .select(
+                        F.col("vec_id").alias("q_id"),
+                        F.col("e").alias("qe"),
+                        F.col("nrm").alias("qnrm"),
+                        sim.sign_bucket(F.col("e"), sim.planes_for(planes_n))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                )
+                touched = [
+                    r["bucket"]
+                    for r in qs.select("bucket").distinct().collect()
+                ]
+                table = sim._lsh_index_columns(
+                    life.pruned_scan(spark, idx, "bucket", touched)
+                )
+                cos = sim.dot(F.col("e"), F.col("qe")) / (
+                    F.col("nrm") * F.col("qnrm")
+                )
+                w = Window.partitionBy("q_id").orderBy(
+                    F.desc("cosine"), "vec_id"
+                )
+                n = (
+                    table.join(F.broadcast(qs), "bucket")
+                    .filter(F.col("vec_id") != F.col("q_id"))
+                    .withColumn("cosine", cos)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= sim.TOP_K)
+                    .count()
+                )
+                print(
+                    f"[probe-{tag} {planes_n}p] {len(touched)} buckets, "
+                    f"{n} rows: {time.time() - t0:.1f} s",
+                    flush=True,
+                )
+
+            assign = (
+                sim._prepared(spark, sf_dir)
+                .withColumn("bucket", sim.sign_bucket(F.col("e")))
+                .drop("label")
+            )
+            t0 = time.time()
+            life.build_index(
+                spark, idx, sim._SIMLSH_MARKER, sim.N_PLANES, assign,
+                "bucket", 16,
+            )
+            print(
+                f"[build] standing {sim.N_PLANES}-plane sign-LSH: "
+                f"{time.time() - t0:.1f} s",
+                flush=True,
+            )
+            emb = registry.tbl(spark, sf_dir, "embeddings")
+            batch = emb.select(
+                (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+            ).limit(10_000)
+            t0 = time.time()
+            ni = sim.simlsh_index_ingest(spark, batch, idx)
+            print(f"[ingest] {ni} rows: {time.time() - t0:.1f} s", flush=True)
+            _lsh_probe(sim.N_PLANES, "before")
+            t0 = time.time()
+            nr = sim.simlsh_index_rebuild(spark, idx, 8)
+            print(
+                f"[migrate {sim.N_PLANES}->8 planes] {nr} rows re-hashed/"
+                f"swapped: {time.time() - t0:.1f} s",
+                flush=True,
+            )
+            _lsh_probe(8, "after")
+            _lsh_probe(8, "after-warm")
         else:
             raise SystemExit(f"unknown step {step}")
     finally:
