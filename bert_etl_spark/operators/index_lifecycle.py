@@ -908,6 +908,51 @@ def pruned_scan(
     return apply_tombstones(spark, index_dir, scan, key)
 
 
+def partition_saturation(
+    spark: SparkSession, index_dir: str, part_col: str
+) -> dict[str, int]:
+    """Data bytes per partition dir, from one driver-side FS listing —
+    O(partition dirs + files), zero Spark jobs (the pending_tombstone_bytes
+    idiom). Underscore/dot files (markers, _SUCCESS) are excluded. The
+    raw signal behind saturation_due."""
+    fs, p = _fs(spark, index_dir)
+    out: dict[str, int] = {}
+    for d in _part_dirs(fs, p, index_dir, part_col):
+        b = 0
+        for f in fs.listStatus(d):
+            if not f.getPath().getName().startswith(("_", ".")):
+                b += f.getLen()
+        out[d.getName().split("=", 1)[1]] = b
+    return out
+
+
+def saturation_due(
+    spark: SparkSession,
+    index_dir: str,
+    part_col: str,
+    mean_bytes_over: int,
+) -> bool:
+    """The capacity-migration trigger — compaction_due's sibling for the
+    FAN-OUT dimension. A partition-pruned probe reads |Q| partition dirs,
+    so the MEAN data bytes per dir is the per-probe unit cost; once
+    ingest growth pushes it past ``mean_bytes_over``, the layout's
+    modulus has saturated and the cure is the family's in-place
+    migration verb: simlsh_index_rebuild(n_planes+k) for the sign-LSH
+    index, cdc_rebucket(new_nb) for the CDC op log (whose growing-state
+    saturation this measures just as well — pass part_col='bkt').
+    Mean, not max: a single hot dir is a SKEW problem (salting,
+    functions/skew.py), not a capacity one, and migrating the modulus
+    would not fix it. ``mean_bytes_over <= 0`` disables (never due) —
+    the compaction_due convention. Driver-side listing only; run it in
+    the maintenance lane at whatever cadence the FS listing tolerates."""
+    if mean_bytes_over <= 0:
+        return False
+    sizes = partition_saturation(spark, index_dir, part_col)
+    if not sizes:
+        return False
+    return sum(sizes.values()) / len(sizes) > mean_bytes_over
+
+
 def index_file_stats(
     spark: SparkSession, index_dir: str, part_col: str
 ) -> DataFrame:

@@ -926,8 +926,9 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"sign-LSH index at {index_dir} was built with {marker} planes "
             f"but this build hashes with {N_PLANES} — the plane count is a "
-            "persistent layout property; point the conf at a fresh dir "
-            "(or delete the stale index to rebuild)"
+            "persistent layout property; migrate it in place with "
+            f"simlsh_index_rebuild(spark, index_dir, {N_PLANES}), or point "
+            "the conf at a fresh dir"
         )
     if marker is None:
         assign = _prepared(spark, sf_dir).withColumn(
@@ -977,8 +978,9 @@ def simlsh_index_ingest(
     if marker != N_PLANES:
         raise ValueError(
             f"sign-LSH index at {index_dir} was built with {marker} planes "
-            f"but this build hashes with {N_PLANES} — rebuild or point at "
-            "a fresh dir"
+            f"but this build hashes with {N_PLANES} — migrate with "
+            f"simlsh_index_rebuild(spark, index_dir, {N_PLANES}) or point "
+            "at a fresh dir"
         )
     assigned = (
         batch.select("vec_id", as_double(F.col("embedding")).alias("e"))

@@ -1556,6 +1556,27 @@ def test_compaction_due_thresholds(spark, tmp_path):
     )
 
 
+def test_saturation_due_mean_partition_bytes(spark, tmp_path):
+    """saturation_due — the capacity-migration trigger: fires once the
+    MEAN data bytes per partition dir exceed the bound, from a pure
+    driver-side FS listing; disabled at <=0; False on an empty dir;
+    marker/underscore files excluded from the byte count."""
+    idx = str(tmp_path / "ivf_sat")
+    # nothing there yet -> never due
+    assert not life.saturation_due(spark, idx, "cell", 1)
+    sim._ivf_assign(spark, SF, idx)
+    sizes = life.partition_saturation(spark, idx, "cell")
+    assert sizes and all(b > 0 for b in sizes.values())
+    mean = sum(sizes.values()) / len(sizes)
+    assert life.saturation_due(spark, idx, "cell", int(mean // 2))
+    assert not life.saturation_due(spark, idx, "cell", int(mean * 2))
+    assert not life.saturation_due(spark, idx, "cell", 0)  # disabled
+    # underscore artifacts don't count: plant a big marker-like file
+    with open(f"{idx}/cell=0/_garbage", "w") as fh:
+        fh.write("x" * 1_000_000)
+    assert life.partition_saturation(spark, idx, "cell") == sizes
+
+
 def test_stream_compacts_when_tombstones_over_threshold(spark, tmp_path):
     """The *_stream wrappers' compact_when_tombstones_over=B: below the
     threshold the drain leaves pending tombstones untouched; above it,
