@@ -200,6 +200,7 @@ HEADLINE = [
     "streaming_cdc_rebucket",  # in-place bucket-modulus migration (r14)
     "streaming_cdc_schema_evolution",  # payload column growth mid-stream (r14)
     "sim_lsh_rebuild_migrate",  # in-place plane-count migration (r14)
+    "sim_ivf_upsert_refresh",  # keyed in-place upsert via partial swap (r14)
 ]
 
 

@@ -374,6 +374,150 @@ def ingest_rows(
             release(dups)
 
 
+def upsert_rows(
+    spark: SparkSession,
+    index_dir: str,
+    marker_name: str,
+    expected: int,
+    assigned: DataFrame,
+    part_col: str,
+    n_parts: int,
+    key: str = "vec_id",
+    keymap: bool = False,
+) -> tuple[int, int]:
+    """Keyed in-place UPSERT into the standing index: each batch row
+    REPLACES every physical row of its key (wherever it lives) or
+    inserts fresh — the verb the ingest contract explicitly lacks
+    (ingest_rows' docstring: "Neither is an update. The supported update
+    path is delete the key, compact, re-ingest"), and the closest
+    engine analog of the reference's overwrite-in-place update
+    (ETLDataset.update, /root/reference/bert/etl/__init__.py:158-164;
+    ETLState's per-item read-modify-write, ibid:86-164). Returns
+    ``(n_replaced, n_inserted)``.
+
+    Cost: O(touched partitions) rewrite + one SLIM two-column
+    (key, part) scan to locate the standing rows. The scan is
+    deliberate: the key→partition map is an under-approximation by
+    contract (stale/missing entries allowed), and an upsert that missed
+    a stale-located row would leave TWO live rows for the key — a
+    correctness break, unlike delete's cross-checked no-op — so
+    location comes from the one source that cannot lie. Bare-key
+    deletes already price this scan (SCALING.md: 0.7–1.2 s at a 9.4M-key
+    100× index); upserts are maintenance-cadence, not probe-path.
+
+    Protocol (the partial-swap form of the compaction protocol):
+    touched = (dirs holding the batch keys) ∪ (the batch's new
+    assignments). Those dirs — and ONLY those — are rewritten into the
+    sibling tmp table as (standing rows minus batch keys) ∪ batch. A
+    touched dir the rewrite fully drains is staged as an EMPTY tmp dir,
+    so the swap replaces — not skips — it (no stale-dir crash window, no
+    tombstone masking needed: unlike compact_index's fully-tombstoned
+    case, an upserted key's old rows have nothing masking them, so the
+    swap itself must be what removes them). When batch keys are
+    currently TOMBSTONED, the filtered ``_tombstones`` table is staged
+    inside tmp as a swap artifact — the upsert RESURRECTS a deleted key
+    atomically with its new row (the delete-compact-reingest cycle,
+    collapsed into the one sentinel commit). Crash before the sentinel:
+    old index untouched; after: any reader's open_index finishes the
+    swap. Re-running the whole verb is idempotent — it is a
+    deterministic rewrite given the batch, not an append. Single-writer
+    with ingest/delete/compact, like all maintenance."""
+    from pyspark.sql import functions as F
+
+    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+
+    marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
+    if marker is None:
+        raise ValueError(
+            f"no standing index at {index_dir} — nothing to upsert into"
+        )
+    if marker != expected:
+        raise ValueError(
+            f"index at {index_dir} carries layout marker {marker}, "
+            f"expected {expected} — refusing to upsert against a "
+            "different layout"
+        )
+    batch = assigned.dropDuplicates([key]).localCheckpoint(eager=True)
+    locs = None
+    try:
+        n_batch = batch.count()
+        if n_batch == 0:
+            return (0, 0)
+        new_parts = [
+            r[0] for r in batch.select(part_col).distinct().collect()
+        ]
+        # slim (key, part) scan to locate standing rows of the batch keys
+        # — bounded result: |batch keys| × (physical dup rows, normally 1)
+        locs = (
+            spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .select(key, part_col)
+            .join(F.broadcast(batch.select(key)), key, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_replaced = locs.dropDuplicates([key]).count()
+        old_parts = [
+            r[0] for r in locs.select(part_col).distinct().collect()
+        ]
+        touched = sorted(set(new_parts) | set(old_parts))
+        keep = physical_pruned_scan(spark, index_dir, part_col, touched)
+        rows = batch
+        if keep is not None:
+            rows = (
+                keep.select(*batch.columns)
+                .join(F.broadcast(batch.select(key)), key, "left_anti")
+                .unionByName(batch)
+            )
+        tmp = f"{index_dir}{TMP_SUFFIX}"
+        (
+            rows.repartition(min(n_parts, len(touched)), part_col)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        fs, p = _fs(spark, index_dir)
+        for v in touched:  # fully-drained dirs: stage EMPTY so the swap
+            d = p(f"{tmp}/{part_col}={v}")  # replaces, never skips, them
+            if not fs.exists(d):
+                fs.mkdirs(d)
+        ts = tombstones(spark, index_dir)
+        if ts is not None:
+            doomed = ts.select(key).join(
+                F.broadcast(batch.select(key)), key, "left_semi"
+            )
+            if doomed.count():
+                # resurrection: the filtered tombstone table swaps in as
+                # an artifact, atomically with the keys' new rows
+                (
+                    ts.join(
+                        F.broadcast(batch.select(key)), key, "left_anti"
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/{TOMBSTONE_DIR}")
+                )
+        # single-writer tripwire, then COMMIT POINT
+        if read_int_marker(spark, f"{index_dir}/{marker_name}") != expected:
+            raise ValueError(
+                f"index at {index_dir} changed underneath this upsert — "
+                "a concurrent compact/rebuild violated the single-writer "
+                "assumption; re-run against the settled index"
+            )
+        write_int_marker(spark, f"{index_dir}/{PENDING_SENTINEL}", expected)
+        fs.delete(p(f"{index_dir}/{marker_name}"), False)
+        finish_compaction_swap(spark, index_dir, marker_name, part_col)
+        if keymap or fs.exists(p(f"{index_dir}/{KEYMAP_DIR}")):
+            # post-commit append, like ingest: a superseded (key, old
+            # part) entry may remain — the map's documented stale-allowed
+            # under-approximation, healed by the next compact/rebuild
+            keymap_record(spark, index_dir, batch, key, part_col, n_parts)
+        return (int(n_replaced), int(n_batch - n_replaced))
+    finally:
+        release(batch)
+        if locs is not None:
+            release(locs)
+
+
 def _tombstone_files(fs, p, index_dir: str) -> list:
     """Data files currently in the index's tombstone sub-table."""
     td = p(f"{index_dir}/{TOMBSTONE_DIR}")

@@ -496,6 +496,67 @@ def ivf_index_ingest(
     )
 
 
+def ivf_index_upsert(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> tuple[int, int]:
+    """Keyed upsert into the standing durable IVF index: re-embedded
+    vectors REPLACE their standing rows in place (wherever the frozen
+    quantizer had filed them — including a move to a different cell when
+    the new embedding assigns differently), fresh keys insert, and a
+    currently-tombstoned key resurrects atomically with its new row —
+    the delete→compact→re-ingest cycle the ingest contract prescribes
+    for updates, collapsed into one sentinel commit (upsert_rows).
+    ``batch``: (vec_id, embedding[, label]). Returns
+    ``(n_replaced, n_inserted)``."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        keymap_enabled,
+        open_index,
+        upsert_rows,
+    )
+
+    marker = open_index(spark, index_dir, _IVF_MARKER, "cell")
+    if marker is None:
+        raise ValueError(
+            f"no standing IVF index at {index_dir} — build it first (set "
+            "spark.bert_etl.ivf.indexDir and run sim_ivf, or call "
+            "_ivf_assign)"
+        )
+    if marker != N_CENTROIDS:
+        raise ValueError(
+            f"IVF index at {index_dir} was built with {marker} centroids "
+            f"but this build quantizes into {N_CENTROIDS} — rebuild or "
+            "point at a fresh dir"
+        )
+    cent_rows = read_codebook(spark, index_dir)
+    lbl = (
+        F.col("label").cast("int")
+        if "label" in batch.columns
+        else F.lit(None).cast("int")
+    )
+    assigned = (
+        batch.select("vec_id", lbl.alias("label"), F.col("embedding"))
+        .withColumn("e", as_double(F.col("embedding")))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .select(
+            "vec_id", "label", "e", "nrm",
+            _argmax_cell(cent_rows).cast("int").alias("cell"),
+        )
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return upsert_rows(
+        spark,
+        index_dir,
+        _IVF_MARKER,
+        N_CENTROIDS,
+        assigned,
+        "cell",
+        min(n_parts, N_CENTROIDS),
+        keymap=keymap_enabled(spark),
+    )
+
+
 def ivf_index_compact(spark: SparkSession, index_dir: str) -> int:
     """Compact the grown IVF index back to one file per cell through the
     shared crash-safe protocol (tmp + pending sentinel + per-cell swap)."""
@@ -1000,6 +1061,49 @@ def simlsh_index_ingest(
         assigned,
         "bucket",
         min(n_parts, 1 << N_PLANES),
+        keymap=keymap_enabled(spark),
+    )
+
+
+def simlsh_index_upsert(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> tuple[int, int]:
+    """ivf_index_upsert's sign-LSH twin: re-embedded vectors REPLACE
+    their standing rows (re-hashed with the module's deterministic
+    planes at the index's stamped plane count), fresh keys insert,
+    tombstoned keys resurrect atomically — upsert_rows through the
+    partial-swap protocol. ``batch``: (vec_id, embedding). Returns
+    (n_replaced, n_inserted)."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        keymap_enabled,
+        open_index,
+        upsert_rows,
+    )
+
+    marker = open_index(spark, index_dir, _SIMLSH_MARKER, "bucket")
+    if marker is None:
+        raise ValueError(
+            f"no standing sign-LSH index at {index_dir} — build it first"
+        )
+    assigned = (
+        batch.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .withColumn(
+            "bucket",
+            sign_bucket(F.col("e"), planes_for(marker)).cast("int"),
+        )
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return upsert_rows(
+        spark,
+        index_dir,
+        _SIMLSH_MARKER,
+        marker,
+        assigned,
+        "bucket",
+        min(n_parts, 1 << marker),
         keymap=keymap_enabled(spark),
     )
 
@@ -3144,6 +3248,129 @@ def sim_lsh_rebuild_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keyed-upsert demo over the durable IVF index: a re-embedding pass
+# REPLACES 32 standing vectors in place (shifted payloads, same keys —
+# the "model refresh re-embeds documents" scenario), INSERTS their 32
+# shifted twins under fresh keys, RESURRECTS a tombstoned key atomically
+# with its row, and leaves a second tombstoned key dead — one
+# upsert_rows call through the partial-swap protocol. The oracle derives
+# the post-upsert corpus from scratch (original minus the dead key minus
+# the updated range, plus updates, plus inserts) and runs the full IVF
+# chain over it: the frozen quantizer's centroids (vec_id < 8) are
+# untouched by the scenario, so frozen-codebook probe == fresh-derive.
+UPSERT_DEAD = 40  # deleted, never upserted — stays gone
+UPSERT_RESURRECT = 50  # deleted, then upserted with its original payload
+
+
+@query(
+    "sim_ivf_upsert_refresh",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    upd AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {DRIFT_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + DRIFT_N}
+    ),
+    me AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id != {UPSERT_DEAD}
+          AND NOT (vec_id >= {DRIFT_SRC_START}
+                   AND vec_id < {DRIFT_SRC_START + DRIFT_N})
+        UNION ALL SELECT vec_id, label, embedding FROM upd
+        UNION ALL SELECT vec_id + {DRIFT_OFFSET}, label, embedding FROM upd
+    ),
+    m0 AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM me
+    ),
+    m AS (
+        SELECT vec_id, label, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm
+        FROM m0
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM m WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT m.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(m.e)),
+                           i -> m.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM m, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM scored
+               WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    )
+    SELECT * FROM (
+        SELECT cand.q_id, cand.neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                    ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS INTEGER)
+                   AS rn
+        FROM cand
+        JOIN m q ON q.vec_id = cand.q_id
+        JOIN m c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+
+    # dedicated scratch replica (mutating query); re-runs converge to the
+    # same state: the build reopens, UPSERT_DEAD's delete records 0, the
+    # resurrected key re-tombstones and the deterministic upsert rewrite
+    # resurrects it again with identical content
+    idx = session_scratch_dir(spark, "ivf_upsert", sf_dir)
+    _ivf_assign(spark, sf_dir, index_dir=idx)  # build-or-open
+    ivf_index_delete(
+        spark,
+        spark.createDataFrame(
+            [(UPSERT_DEAD,), (UPSERT_RESURRECT,)], "vec_id long"
+        ),
+        idx,
+    )
+    emb = tbl(spark, sf_dir, "embeddings")
+    shifted = emb.filter(
+        (F.col("vec_id") >= DRIFT_SRC_START)
+        & (F.col("vec_id") < DRIFT_SRC_START + DRIFT_N)
+    ).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(DRIFT_DELTA)).cast("float"),
+        ).alias("embedding"),
+    )
+    batch = (
+        shifted  # updates: same keys, new payloads
+        .unionByName(
+            shifted.select(  # inserts: fresh keys
+                (F.col("vec_id") + DRIFT_OFFSET).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+        )
+        .unionByName(  # resurrection: original payload back
+            emb.filter(F.col("vec_id") == UPSERT_RESURRECT).select(
+                "vec_id", "label", "embedding"
+            )
+        )
+    )
+    ivf_index_upsert(spark, batch, idx)
+    assign = _ivf_assign(spark, sf_dir, index_dir=idx)
+    return _ivf_topk(spark, sf_dir, assign, idx)
+
+
 MAXSIM_GROUP = 8  # token vectors per multi-vector document
 MAXSIM_QUERY_DOCS = 3  # query set: the first 3 documents
 MAXSIM_K = 5
@@ -3806,6 +4033,58 @@ def maxsim_index_ingest(
     from bert_etl_spark.operators.index_lifecycle import keymap_enabled
 
     return ingest_rows(
+        spark,
+        index_dir,
+        _MAXSIM_MARKER,
+        MAXSIM_IVF_CENTROIDS,
+        assigned,
+        "cell",
+        min(n_parts, MAXSIM_IVF_CENTROIDS),
+        keymap=keymap_enabled(spark),
+    )
+
+
+def maxsim_index_upsert(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> tuple[int, int]:
+    """ivf_index_upsert's multi-vector twin: re-embedded token vectors
+    REPLACE their standing rows in place (re-assigned with the index's
+    frozen quantizer), fresh token ids insert, tombstoned ids resurrect
+    atomically — upsert_rows through the partial-swap protocol.
+    ``batch``: (vec_id, embedding). Returns (n_replaced, n_inserted)."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        keymap_enabled,
+        open_index,
+        upsert_rows,
+    )
+
+    marker = open_index(spark, index_dir, _MAXSIM_MARKER, "cell")
+    if marker is None:
+        raise ValueError(
+            f"no standing MaxSim index at {index_dir} — build it first "
+            "(set spark.bert_etl.maxsim.indexDir and run any MaxSim "
+            "query, or call _maxsim_assign)"
+        )
+    if marker != MAXSIM_IVF_CENTROIDS:
+        raise ValueError(
+            f"MaxSim index at {index_dir} was built with {marker} "
+            f"centroids but this build quantizes into "
+            f"{MAXSIM_IVF_CENTROIDS} — rebuild or point at a fresh dir"
+        )
+    cent_rows = read_codebook(spark, index_dir)
+    assigned = (
+        batch.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .withColumn("doc", F.expr(f"vec_id div {MAXSIM_GROUP}"))
+        .select(
+            "vec_id", "doc", "e", "nrm",
+            _argmax_cell(cent_rows).cast("int").alias("cell"),
+        )
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return upsert_rows(
         spark,
         index_dir,
         _MAXSIM_MARKER,

@@ -1556,6 +1556,230 @@ def test_compaction_due_thresholds(spark, tmp_path):
     )
 
 
+def _mk_ivf_idx(spark, tmp_path, name):
+    idx = str(tmp_path / name)
+    sim._ivf_assign(spark, SF, idx)
+    return idx
+
+
+def test_ivf_upsert_replaces_inserts_resurrects(spark, tmp_path):
+    """upsert_rows end to end through the IVF wrapper: an existing key's
+    row is REPLACED in place (one physical row, new payload), a fresh
+    key inserts, a tombstoned key resurrects atomically (its tombstone
+    gone), an un-upserted tombstoned key stays dead, counts are
+    conserved, and the keymap learns the new locations."""
+    spark.conf.set(life.KEYMAP_CONF, "true")
+    try:
+        idx = _mk_ivf_idx(spark, tmp_path, "ivf_ups")
+        emb = registry.tbl(spark, SF, "embeddings")
+        total = emb.count()
+        dead = spark.createDataFrame([(40,), (50,)], "vec_id long")
+        assert sim.ivf_index_delete(spark, dead, idx) == 2
+        upd = emb.filter(F.col("vec_id") == 100).select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding", lambda x: (x.cast("double") + F.lit(9.5)).cast("float")
+            ).alias("embedding"),
+        )
+        ins = emb.filter(F.col("vec_id") == 100).select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"), "label", "embedding"
+        )
+        res = emb.filter(F.col("vec_id") == 50).select(
+            "vec_id", "label", "embedding"
+        )
+        nr, ni = sim.ivf_index_upsert(
+            spark, upd.unionByName(ins).unionByName(res), idx
+        )
+        assert (nr, ni) == (2, 1)  # 100 replaced, 50 replaced-in-place, new inserted
+        phys = spark.read.option("basePath", idx).parquet(idx)
+        live = life.apply_tombstones(spark, idx, phys, "vec_id")
+        # counts: total - dead(40) + insert; 50 resurrected, 100 replaced
+        assert live.count() == total - 1 + 1
+        assert phys.filter(F.col("vec_id") == 100).count() == 1  # replaced, not duplicated
+        got = phys.filter(F.col("vec_id") == 100).select("e").first()["e"]
+        want = [
+            float(x) + 9.5
+            for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]
+        ]
+        assert got == pytest.approx(want)
+        assert live.filter(F.col("vec_id") == 50).count() == 1  # resurrected
+        assert live.filter(F.col("vec_id") == 40).count() == 0  # stays dead
+        ts = life.tombstones(spark, idx)
+        assert ts is not None and {r.vec_id for r in ts.collect()} == {40}
+        # keymap learned the fresh key (bare-key delete prunes through it)
+        km = spark.read.option("basePath", f"{idx}/{life.KEYMAP_DIR}").parquet(
+            f"{idx}/{life.KEYMAP_DIR}"
+        )
+        assert km.filter(F.col("vec_id") == 100 + 5_000_000).count() == 1
+        # idempotent re-run: same batch converges to the same state
+        nr2, ni2 = sim.ivf_index_upsert(
+            spark, upd.unionByName(ins).unionByName(res), idx
+        )
+        assert (nr2, ni2) == (3, 0)  # all three now standing
+        live2 = life.apply_tombstones(
+            spark,
+            idx,
+            spark.read.option("basePath", idx).parquet(idx),
+            "vec_id",
+        )
+        assert live2.count() == total
+        # refusals + empty batch
+        with pytest.raises(ValueError, match="no standing"):
+            sim.ivf_index_upsert(spark, upd, str(tmp_path / "nowhere"))
+        assert sim.ivf_index_upsert(spark, upd.limit(0), idx) == (0, 0)
+    finally:
+        spark.conf.unset(life.KEYMAP_CONF)
+
+
+def test_ivf_upsert_moves_key_and_drains_cell(spark, tmp_path):
+    """An upsert whose new embedding assigns to a DIFFERENT cell moves
+    the key: the old cell's rows shrink (or drain to an empty swapped
+    dir), the new cell gains the row, and no duplicate of the key
+    survives anywhere — the partial-swap's empty-dir staging rule."""
+    idx = _mk_ivf_idx(spark, tmp_path, "ivf_move")
+    phys = spark.read.option("basePath", idx).parquet(idx)
+    cells = [
+        (r["cell"], r["n"])
+        for r in phys.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    src_cell, src_n = min(cells, key=lambda c: c[1])
+    dst_cell = max(cells, key=lambda c: c[1])[0]
+    # centroid vector of dst wins its own argmax for this corpus
+    cb = {int(r.cid): [float(x) for x in r.ce] for r in sim.read_codebook(spark, idx)}
+    victims = [
+        r["vec_id"]
+        for r in phys.filter(F.col("cell") == src_cell)
+        .select("vec_id")
+        .collect()
+    ]
+    batch = spark.createDataFrame(
+        [(int(v), [float(x) for x in cb[dst_cell]]) for v in victims],
+        "vec_id long, embedding array<double>",
+    )
+    total = phys.count()
+    nr, ni = sim.ivf_index_upsert(spark, batch, idx)
+    assert (nr, ni) == (len(victims), 0)
+    after = spark.read.option("basePath", idx).parquet(idx)
+    assert after.count() == total
+    moved = after.join(batch.select("vec_id"), "vec_id", "left_semi")
+    assert moved.count() == len(victims)
+    new_cells = {r["cell"] for r in moved.select("cell").distinct().collect()}
+    assert src_cell not in new_cells
+    assert after.filter(F.col("cell") == src_cell).count() == 0
+    assert after.dropDuplicates(["vec_id"]).count() == total  # no dup keys
+
+
+def test_ivf_upsert_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """Crash inside the sentinel window (tmp complete including the
+    filtered tombstone artifact, sentinel stamped, marker deleted):
+    open_index finishes the swap and the table equals a completed
+    upsert's — rows AND resurrection commit together."""
+    emb = registry.tbl(spark, SF, "embeddings")
+    upd = emb.filter(F.col("vec_id") == 100).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + F.lit(3.25)).cast("float")
+        ).alias("embedding"),
+    )
+    res = emb.filter(F.col("vec_id") == 50).select("vec_id", "label", "embedding")
+    batch = upd.unionByName(res)
+
+    def scenario(name, crash):
+        idx = _mk_ivf_idx(spark, tmp_path, name)
+        sim.ivf_index_delete(
+            spark, spark.createDataFrame([(50,)], "vec_id long"), idx
+        )
+        if crash:
+            def boom(*a, **kw):
+                raise RuntimeError("simulated crash mid-swap")
+
+            monkeypatch.setattr(life, "finish_compaction_swap", boom)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                sim.ivf_index_upsert(spark, batch, idx)
+            monkeypatch.undo()
+            assert read_int_marker(spark, f"{idx}/{life.PENDING_SENTINEL}") is not None
+            assert read_int_marker(spark, f"{idx}/{sim._IVF_MARKER}") is None
+            assert (
+                life.open_index(spark, idx, sim._IVF_MARKER, "cell")
+                == sim.N_CENTROIDS
+            )
+        else:
+            sim.ivf_index_upsert(spark, batch, idx)
+        live = life.apply_tombstones(
+            spark,
+            idx,
+            spark.read.option("basePath", idx).parquet(idx),
+            "vec_id",
+        )
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.e))
+            for r in live.select("vec_id", "cell", "e").collect()
+        )
+
+    want = scenario("ups_done", crash=False)
+    got = scenario("ups_crash", crash=True)
+    assert got == want
+    assert not os.path.exists(f"{tmp_path}/ups_crash{life.TMP_SUFFIX}")
+
+
+def test_upsert_wrappers_maxsim_and_simlsh(spark, tmp_path):
+    """Verb parity: the MaxSim and sign-LSH upsert twins replace a
+    standing row in place (new payload, correct new partition under
+    each family's own frozen layout — including a MIGRATED sign-LSH
+    plane count) and insert fresh keys; no duplicate keys survive."""
+    emb = registry.tbl(spark, SF, "embeddings")
+    shift = F.transform(
+        "embedding", lambda x: (x.cast("double") + F.lit(2.5)).cast("float")
+    )
+    batch = emb.filter(F.col("vec_id") == 64).select(
+        "vec_id", shift.alias("embedding")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 64).select(
+            (F.col("vec_id") + 6_000_000).alias("vec_id"),
+            shift.alias("embedding"),
+        )
+    )
+    # MaxSim
+    midx = str(tmp_path / "ms_ups")
+    spark.conf.set(sim.MAXSIM_INDEX_DIR_CONF, midx)
+    try:
+        sim._maxsim_assign(spark, SF)
+    finally:
+        spark.conf.unset(sim.MAXSIM_INDEX_DIR_CONF)
+    total = spark.read.option("basePath", midx).parquet(midx).count()
+    assert sim.maxsim_index_upsert(spark, batch, midx) == (1, 1)
+    after = spark.read.option("basePath", midx).parquet(midx)
+    assert after.count() == total + 1
+    assert after.filter(F.col("vec_id") == 64).count() == 1
+    cb = sim.read_codebook(spark, midx)
+    got = after.filter(F.col("vec_id") == 64).first()
+    want_cell = (
+        spark.createDataFrame([(got["e"],)], "e array<double>")
+        .select(sim._argmax_cell(cb).cast("int").alias("c"))
+        .first()["c"]
+    )
+    assert got["cell"] == want_cell  # re-assigned under the frozen quantizer
+    # sign-LSH, on a MIGRATED (6-plane) index: upsert hashes at the
+    # index's stamped count, not the module constant
+    lidx = _mk_simlsh_idx(spark, tmp_path, "lsh_ups")
+    sim.simlsh_index_rebuild(spark, lidx, 6)
+    ltotal = spark.read.option("basePath", lidx).parquet(lidx).count()
+    assert sim.simlsh_index_upsert(spark, batch, lidx) == (1, 1)
+    lafter = spark.read.option("basePath", lidx).parquet(lidx)
+    assert lafter.count() == ltotal + 1
+    row = lafter.filter(F.col("vec_id") == 64)
+    assert row.count() == 1
+    assert (
+        row.select(
+            (F.col("bucket")
+             == sim.sign_bucket(F.col("e"), sim.planes_for(6)).cast("int"))
+            .alias("ok")
+        ).first()["ok"]
+    )
+
+
 def test_saturation_due_mean_partition_bytes(spark, tmp_path):
     """saturation_due — the capacity-migration trigger: fires once the
     MEAN data bytes per partition dir exceed the bound, from a pure

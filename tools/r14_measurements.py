@@ -36,6 +36,10 @@ Usage: python tools/r14_measurements.py <step> [sf_dir]
   lshmigrate    — simlsh_index_rebuild: 4->8-plane capacity migration of a
              grown sign-LSH index, probe timings before/after (the probe
              scans |Q| buckets of 16 vs 256 — fan-out is the point).
+  upsert   — ivf_index_upsert at the 100x standing index: 10k re-embedded
+             keys replaced in place + 10k inserted in one partial-swap
+             call; the slim locate scan and the touched-cell rewrite are
+             the two priced components (vs an ingest-only epoch).
 """
 
 from __future__ import annotations
@@ -399,6 +403,49 @@ def main() -> None:
             )
             _lsh_probe(8, "after")
             _lsh_probe(8, "after-warm")
+        elif step == "upsert":
+            import bert_etl_spark.operators.similarity as sim
+
+            idx = f"{work}/ivf"
+            t0 = time.time()
+            sim._ivf_assign(spark, sf_dir, index_dir=idx)
+            print(f"[build] standing IVF: {time.time() - t0:.1f} s", flush=True)
+            emb = registry.tbl(spark, sf_dir, "embeddings")
+            upd = emb.filter(
+                (F.col("vec_id") >= 1000) & (F.col("vec_id") < 11_000)
+            ).select(
+                "vec_id",
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") + F.lit(0.25)).cast("float"),
+                ).alias("embedding"),
+            )
+            ins = upd.select(
+                (F.col("vec_id") + 8_000_000).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            # comparator: a plain ingest epoch of the same insert volume
+            t0 = time.time()
+            ni = sim.ivf_index_ingest(
+                spark,
+                ins.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                           "label", "embedding"),
+                idx,
+            )
+            print(f"[ingest-epoch] {ni} rows: {time.time() - t0:.1f} s", flush=True)
+            t0 = time.time()
+            nr, nin = sim.ivf_index_upsert(spark, upd.unionByName(ins), idx)
+            print(
+                f"[upsert] {nr} replaced + {nin} inserted: "
+                f"{time.time() - t0:.1f} s",
+                flush=True,
+            )
+            t0 = time.time()
+            assign = sim._ivf_assign(spark, sf_dir, index_dir=idx)
+            n = sim._ivf_topk(spark, sf_dir, assign, idx).count()
+            print(f"[probe-after] {n} rows: {time.time() - t0:.1f} s", flush=True)
         else:
             raise SystemExit(f"unknown step {step}")
     finally:
