@@ -201,6 +201,7 @@ HEADLINE = [
     "streaming_cdc_schema_evolution",  # payload column growth mid-stream (r14)
     "sim_lsh_rebuild_migrate",  # in-place plane-count migration (r14)
     "sim_ivf_upsert_refresh",  # keyed in-place upsert via partial swap (r14)
+    "streaming_cdc_index_sync",  # CDC op log -> ANN index convergence (r14)
 ]
 
 

@@ -438,27 +438,32 @@ def upsert_rows(
             "different layout"
         )
     batch = assigned.dropDuplicates([key]).localCheckpoint(eager=True)
-    locs = None
     try:
-        n_batch = batch.count()
+        # one aggregate job for the batch's size + its touched partitions
+        brow = batch.agg(
+            F.count("*").alias("n"),
+            F.collect_set(part_col).alias("parts"),
+        ).first()
+        n_batch = int(brow["n"])
         if n_batch == 0:
             return (0, 0)
-        new_parts = [
-            r[0] for r in batch.select(part_col).distinct().collect()
-        ]
+        new_parts = list(brow["parts"])
         # slim (key, part) scan to locate standing rows of the batch keys
-        # — bounded result: |batch keys| × (physical dup rows, normally 1)
-        locs = (
+        # — bounded result: |batch keys| × (physical dup rows, normally
+        # 1); one aggregate job for the replace count + old partitions
+        lrow = (
             spark.read.option("basePath", index_dir)
             .parquet(index_dir)
             .select(key, part_col)
             .join(F.broadcast(batch.select(key)), key, "left_semi")
-            .localCheckpoint(eager=True)
+            .agg(
+                F.countDistinct(key).alias("n"),
+                F.collect_set(part_col).alias("parts"),
+            )
+            .first()
         )
-        n_replaced = locs.dropDuplicates([key]).count()
-        old_parts = [
-            r[0] for r in locs.select(part_col).distinct().collect()
-        ]
+        n_replaced = int(lrow["n"])
+        old_parts = list(lrow["parts"])
         touched = sorted(set(new_parts) | set(old_parts))
         keep = physical_pruned_scan(spark, index_dir, part_col, touched)
         rows = batch
@@ -485,7 +490,7 @@ def upsert_rows(
             doomed = ts.select(key).join(
                 F.broadcast(batch.select(key)), key, "left_semi"
             )
-            if doomed.count():
+            if not doomed.isEmpty():
                 # resurrection: the filtered tombstone table swaps in as
                 # an artifact, atomically with the keys' new rows
                 (
@@ -514,8 +519,6 @@ def upsert_rows(
         return (int(n_replaced), int(n_batch - n_replaced))
     finally:
         release(batch)
-        if locs is not None:
-            release(locs)
 
 
 def _tombstone_files(fs, p, index_dir: str) -> list:

@@ -3371,6 +3371,185 @@ def sim_ivf_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, assign, idx)
 
 
+# CDC → index sync, end to end: the op log is the source of truth for a
+# corpus under churn, and the IVF index converges onto it through
+# cdc_index_sync's watermarked delta — epoch 1 applies re-embeds,
+# inserts and two deletes; epoch 2 re-updates half the range and
+# RESURRECTS one deleted key (its upsert rides the tombstone-artifact
+# swap); the second sync processes ONLY the keys whose final op is
+# seq 2 (the ``_synced_seq`` watermark). The oracle derives the final
+# corpus straight from the op semantics and runs the full IVF chain —
+# the probe over the synced index must match it under one hash.
+UPS2_DELTA = 0.5  # the seq-2 re-embedding shift
+UPS2_N = 16  # seq-2 re-updates cover the first half of the DRIFT range
+
+
+@query(
+    "streaming_cdc_index_sync",
+    oracle=f"""
+    WITH {_SQL_PREP},
+    u1 AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {DRIFT_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + DRIFT_N}
+    ),
+    u2 AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) + {UPS2_DELTA} AS FLOAT))
+                   AS embedding
+        FROM embeddings
+        WHERE vec_id >= {DRIFT_SRC_START}
+          AND vec_id < {DRIFT_SRC_START + UPS2_N}
+    ),
+    me AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id != {UPSERT_DEAD}
+          AND NOT (vec_id >= {DRIFT_SRC_START}
+                   AND vec_id < {DRIFT_SRC_START + DRIFT_N})
+        UNION ALL SELECT vec_id, label, embedding FROM u2
+        UNION ALL SELECT vec_id, label, embedding FROM u1
+            WHERE vec_id >= {DRIFT_SRC_START + UPS2_N}
+        UNION ALL SELECT vec_id + {DRIFT_OFFSET}, label, embedding FROM u1
+    ),
+    m0 AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM me
+    ),
+    m AS (
+        SELECT vec_id, label, e,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm
+        FROM m0
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM m WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT m.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.vec_id
+                   ORDER BY list_aggregate(list_transform(range(len(m.e)),
+                           i -> m.e[i+1] * c.ce[i+1]), 'sum') DESC, c.cid) AS rn
+        FROM m, cent c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM scored
+               WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id != p.q_id
+    )
+    SELECT * FROM (
+        SELECT cand.q_id, cand.neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                    ORDER BY {_SQL_COS} DESC, cand.neighbor_id) AS INTEGER)
+                   AS rn
+        FROM cand
+        JOIN m q ON q.vec_id = cand.q_id
+        JOIN m c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def streaming_cdc_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bert_etl_spark.streaming.events import cdc_apply_stream, cdc_index_sync
+
+    tmp = tempfile.mkdtemp(prefix="cdc_idx_sync_")
+    try:
+        idx = f"{tmp}/ivf"
+        _ivf_assign(spark, sf_dir, index_dir=idx)  # the standing index
+        emb = tbl(spark, sf_dir, "embeddings")
+
+        def shifted(lo: int, n: int, delta: float) -> DataFrame:
+            return emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + n)
+            ).select(
+                F.col("vec_id").alias("k"),
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") + F.lit(delta)).cast(
+                        "float"
+                    ),
+                ).alias("embedding"),
+            )
+
+        def mk(df: DataFrame, seq: int, opc: str) -> DataFrame:
+            return df.select(
+                "k",
+                F.lit(seq).cast("int").alias("seq"),
+                F.lit(opc).alias("op"),
+                "embedding",
+                F.col("label").cast("int").alias("label"),
+            )
+
+        upd1 = shifted(DRIFT_SRC_START, DRIFT_N, DRIFT_DELTA)
+        ins1 = upd1.select(
+            (F.col("k") + DRIFT_OFFSET).alias("k"), "label", "embedding"
+        )
+        dead = spark.createDataFrame(
+            [(UPSERT_DEAD,), (UPSERT_RESURRECT,)], "k long"
+        ).select(
+            "k",
+            F.lit(None).cast("int").alias("label"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+        batch1 = (
+            mk(upd1, 1, "U")
+            .unionByName(mk(ins1, 1, "U"))
+            .unionByName(mk(dead, 1, "D"))
+        )
+        upd2 = shifted(DRIFT_SRC_START, UPS2_N, UPS2_DELTA)
+        res2 = emb.filter(F.col("vec_id") == UPSERT_RESURRECT).select(
+            F.col("vec_id").alias("k"), "label", "embedding"
+        )
+        batch2 = mk(upd2, 2, "U").unionByName(mk(res2, 2, "U"))
+
+        schema = "k long, seq int, op string, embedding array<float>, label int"
+        state = f"{tmp}/state"
+
+        # one micro-batch per drain: arrival-order robustness is
+        # streaming_cdc_apply's job (random file splits there); THIS
+        # query certifies the sync, and the epoch boundary it needs is
+        # the drain/sync/drain/sync sequence itself
+        def drain(ops: DataFrame, src: str, ck: str) -> None:
+            ops.coalesce(1).write.parquet(f"{tmp}/{src}")
+            cdc_apply_stream(
+                spark.readStream.schema(schema).parquet(f"{tmp}/{src}"),
+                state,
+                f"{tmp}/{ck}",
+            ).awaitTermination()
+
+        def sync() -> tuple:
+            return cdc_index_sync(
+                spark,
+                state,
+                idx,
+                lambda b: ivf_index_upsert(spark, b, idx),
+                lambda ks: ivf_index_delete(spark, ks, idx),
+                payload_cols=("embedding", "label"),
+            )
+
+        drain(batch1, "in1", "ck1")
+        sync()  # epoch 1: re-embeds + inserts + two deletes
+        drain(batch2, "in2", "ck2")
+        sync()  # epoch 2 delta only: re-updates + the resurrection
+        assign = _ivf_assign(spark, sf_dir, index_dir=idx)
+        return _ivf_topk(spark, sf_dir, assign, idx).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 MAXSIM_GROUP = 8  # token vectors per multi-vector document
 MAXSIM_QUERY_DOCS = 3  # query set: the first 3 documents
 MAXSIM_K = 5

@@ -1330,3 +1330,71 @@ def cdc_apply_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# Sync-progress marker a cdc_index_sync call leaves in the TARGET index
+# dir (it is index-owned progress, not CDC state): the highest op seq
+# whose final effect has been applied to the index.
+CDC_SYNCED_SEQ = "_synced_seq"
+
+
+def cdc_index_sync(
+    spark: SparkSession,
+    state_dir: str,
+    index_dir: str,
+    upsert,
+    delete,
+    key_out: str = "vec_id",
+    payload_cols: tuple = ("embedding",),
+) -> tuple[int, int, int]:
+    """Converge a durable index onto the CDC-maintained corpus — the
+    end-to-end composition the two subsystems exist for: the op log is
+    the source of truth for a corpus under churn (the reference's
+    ETLState, /root/reference/bert/queues.py:21-35 +
+    etl/__init__.py:86-164), and the index families are its derived
+    search structures. Each sync reads the per-key argmax view
+    (latest_cdc_state), keeps only keys whose FINAL op is newer than the
+    index's ``_synced_seq`` watermark, routes op='D' keys to the
+    family's ``delete`` verb and the rest to its ``upsert`` verb
+    (keyed in-place replace-or-insert — updates re-embed in place,
+    resurrections ride the tombstone-artifact swap), then advances the
+    watermark. Returns ``(n_deleted, n_replaced, n_inserted)``.
+
+    Convergence under crashes, at-least-once: the watermark is written
+    AFTER both verbs commit, so a crash replays a SUPERSET of the delta
+    — both verbs are idempotent (delete skips tombstoned/absent keys;
+    upsert is a deterministic rewrite), so the replayed sync lands the
+    identical end state. Delete-then-upsert order is safe because the
+    argmax view yields exactly one final op per key — the two key sets
+    are disjoint. Write cost is O(changed keys since last sync), the
+    CDC apply's own bound carried through to the index; the read is one
+    pass of the (fold-bounded) op log. Single-writer against the index,
+    like all maintenance verbs. ``upsert``/``delete`` are the family
+    wrappers partially applied to the index dir, e.g.
+    ``lambda b: ivf_index_upsert(spark, b, idx)``."""
+    from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
+    from bert_etl_spark.functions.release import release
+
+    state = latest_cdc_state(spark, state_dir)
+    last = read_int_marker(spark, f"{index_dir}/{CDC_SYNCED_SEQ}")
+    if last is not None:
+        state = state.filter(F.col("seq") > last)
+    delta = state.localCheckpoint(eager=True)
+    try:
+        mx = delta.agg(F.max("seq")).first()[0]
+        if mx is None:
+            return (0, 0, 0)
+        nd = delete(
+            delta.filter(F.col("op") == "D").select(
+                F.col("k").alias(key_out)
+            )
+        )
+        nr, ni = upsert(
+            delta.filter(F.col("op") != "D").select(
+                F.col("k").alias(key_out), *payload_cols
+            )
+        )
+        write_int_marker(spark, f"{index_dir}/{CDC_SYNCED_SEQ}", int(mx))
+        return (int(nd), int(nr), int(ni))
+    finally:
+        release(delta)

@@ -1670,3 +1670,87 @@ def test_cdc_first_contact_stamps_schema_artifact(spark, tmp_path):
     assert [f.name for f in schema.fields] == [
         "k", "seq", "op", "price", "opkey", "bkt",
     ]
+
+
+def test_cdc_index_sync_watermark_and_replay(spark, tmp_path):
+    """cdc_index_sync: the first sync applies the full state to the
+    standing IVF index (delete + replace); an immediate re-sync is a
+    watermark no-op; wiping the watermark (crash before it was written)
+    replays a superset delta and converges to the IDENTICAL index
+    state; a second CDC epoch syncs only its delta keys."""
+    import bert_etl_spark.operators.similarity as sim
+    from bert_etl_spark.operators import index_lifecycle as life
+    from bert_etl_spark.streaming import events as ev
+
+    idx = str(tmp_path / "ivf")
+    sim._ivf_assign(spark, SF, index_dir=idx)
+    emb = tbl(spark, SF, "embeddings")
+    schema = "k long, seq int, op string, embedding array<float>, label int"
+
+    def ops(seq, delta):
+        upd = emb.filter(F.col("vec_id") == 100).select(
+            F.col("vec_id").alias("k"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") + F.lit(delta)).cast("float"),
+            ).alias("embedding"),
+            F.col("label").cast("int").alias("label"),
+        )
+        return upd
+
+    dele = spark.createDataFrame([(40,)], "k long").select(
+        "k",
+        F.lit(1).cast("int").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    state = str(tmp_path / "state")
+
+    def drain(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        ev.cdc_apply_stream(
+            spark.readStream.schema(schema).parquet(str(tmp_path / name)),
+            state,
+            str(tmp_path / f"ck_{name}"),
+        ).awaitTermination()
+
+    up = lambda b: sim.ivf_index_upsert(spark, b, idx)  # noqa: E731
+    de = lambda ks: sim.ivf_index_delete(spark, ks, idx)  # noqa: E731
+
+    def sync():
+        return ev.cdc_index_sync(
+            spark, state, idx, up, de, payload_cols=("embedding", "label")
+        )
+
+    def live_rows():
+        phys = spark.read.option("basePath", idx).parquet(idx)
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.e))
+            for r in life.apply_tombstones(spark, idx, phys, "vec_id")
+            .select("vec_id", "cell", "e")
+            .collect()
+        )
+
+    drain(ops(1, 1.5).unionByName(dele), "in1")
+    assert sync() == (1, 1, 0)  # 40 deleted, 100 replaced
+    snap1 = live_rows()
+    assert not any(v == 40 for v, _c, _e in snap1)
+    assert sync() == (0, 0, 0)  # watermark no-op
+    # crash before the watermark landed: replay the superset delta
+    os.remove(f"{idx}/{ev.CDC_SYNCED_SEQ}")
+    # re-applied delta: the delete is a no-op (40 already tombstoned),
+    # the upsert a deterministic rewrite...
+    assert sync() == (0, 1, 0)
+    assert live_rows() == snap1  # ...converging to the identical state
+    # epoch 2: only the re-updated key rides the delta
+    drain(ops(2, 4.5), "in2")
+    assert sync() == (0, 1, 0)
+    got = dict((v, e) for v, _c, e in live_rows())
+    want = [
+        float(x) + 4.5
+        for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]
+    ]
+    assert got[100] == pytest.approx(want)
