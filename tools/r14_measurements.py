@@ -40,6 +40,10 @@ Usage: python tools/r14_measurements.py <step> [sf_dir]
              keys replaced in place + 10k inserted in one partial-swap
              call; the slim locate scan and the touched-cell rewrite are
              the two priced components (vs an ingest-only epoch).
+  sync     — cdc_index_sync end to end at 100x: apply a changed-keys CDC
+             epoch (re-embeds + inserts + deletes) to the op log, then
+             converge the standing IVF index; a second empty-delta sync
+             prices the watermark no-op.
 """
 
 from __future__ import annotations
@@ -446,6 +450,71 @@ def main() -> None:
             assign = sim._ivf_assign(spark, sf_dir, index_dir=idx)
             n = sim._ivf_topk(spark, sf_dir, assign, idx).count()
             print(f"[probe-after] {n} rows: {time.time() - t0:.1f} s", flush=True)
+        elif step == "sync":
+            import bert_etl_spark.operators.similarity as sim
+            from bert_etl_spark.streaming import events as ev
+
+            idx = f"{work}/ivf"
+            t0 = time.time()
+            sim._ivf_assign(spark, sf_dir, index_dir=idx)
+            print(f"[build] standing IVF: {time.time() - t0:.1f} s", flush=True)
+            emb = registry.tbl(spark, sf_dir, "embeddings")
+            upd = emb.filter(F.col("vec_id") % 19 == 1).select(
+                F.col("vec_id").alias("k"),
+                F.lit(1).cast("int").alias("seq"),
+                F.lit("U").alias("op"),
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") + F.lit(0.25)).cast("float"),
+                ).alias("embedding"),
+                F.col("label").cast("int").alias("label"),
+            )
+            ins = upd.select(
+                (F.col("k") + 17_000_000_000).alias("k"), "seq", "op",
+                "embedding", "label",
+            )
+            dels = emb.filter(F.col("vec_id") % 19 == 2).select(
+                F.col("vec_id").alias("k"),
+                F.lit(1).cast("int").alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+                F.lit(None).cast("int").alias("label"),
+            )
+            ops = upd.unionByName(ins).unionByName(dels)
+            ops.coalesce(4).write.parquet(f"{work}/in")
+            schema = (
+                "k long, seq int, op string, embedding array<float>, "
+                "label int"
+            )
+            t0 = time.time()
+            ev.cdc_apply_stream(
+                spark.readStream.schema(schema).parquet(f"{work}/in"),
+                f"{work}/state",
+                f"{work}/ck",
+            ).awaitTermination()
+            print(f"[apply] ops epoch: {time.time() - t0:.1f} s", flush=True)
+
+            def _sync():
+                return ev.cdc_index_sync(
+                    spark,
+                    f"{work}/state",
+                    idx,
+                    lambda b: sim.ivf_index_upsert(spark, b, idx),
+                    lambda ks: sim.ivf_index_delete(spark, ks, idx),
+                    payload_cols=("embedding", "label"),
+                )
+            t0 = time.time()
+            nd, nr, ni = _sync()
+            print(
+                f"[sync] {nd} deleted / {nr} replaced / {ni} inserted: "
+                f"{time.time() - t0:.1f} s",
+                flush=True,
+            )
+            t0 = time.time()
+            print(
+                f"[sync-noop] {_sync()}: {time.time() - t0:.1f} s",
+                flush=True,
+            )
         else:
             raise SystemExit(f"unknown step {step}")
     finally:
