@@ -2038,7 +2038,14 @@ def ivfpq_index_rebuild(
         live.join(F.broadcast(src.select("vec_id")), "vec_id", "left_anti")
         .select("vec_id", "label", F.concat(*pieces).alias("e"))
     )
-    n_recon = recon.count()
+    # SLIM unresolved-key count (key columns only — the reconstruction
+    # expression itself runs once, in the rewrite; counting through it
+    # would execute the codeword concat a second time for nothing)
+    n_recon = (
+        live.select("vec_id")
+        .join(src.select("vec_id"), "vec_id", "left_anti")
+        .count()
+    )
     # NOT checkpointed (the 100 TB memory-hazard rule above): the full
     # resolve-join executes exactly once — in the rewrite — because the
     # seeds resolve through a SLIM path: the PQ_K smallest live keys
