@@ -202,6 +202,7 @@ HEADLINE = [
     "sim_lsh_rebuild_migrate",  # in-place plane-count migration (r14)
     "sim_ivf_upsert_refresh",  # keyed in-place upsert via partial swap (r14)
     "streaming_cdc_index_sync",  # CDC op log -> ANN index convergence (r14)
+    "text_bm25_indexed_upsert",  # atomic document re-ingest, multi-bucket (r14)
 ]
 
 

@@ -384,6 +384,7 @@ def upsert_rows(
     n_parts: int,
     key: str = "vec_id",
     keymap: bool = False,
+    multi_rows: bool = False,
 ) -> tuple[int, int]:
     """Keyed in-place UPSERT into the standing index: each batch row
     REPLACES every physical row of its key (wherever it lives) or
@@ -421,7 +422,14 @@ def upsert_rows(
     old index untouched; after: any reader's open_index finishes the
     swap. Re-running the whole verb is idempotent — it is a
     deterministic rewrite given the batch, not an append. Single-writer
-    with ingest/delete/compact, like all maintenance."""
+    with ingest/delete/compact, like all maintenance.
+
+    ``multi_rows=True``: the key maps to MANY batch rows (a document's
+    postings in the inverted text index) — within-batch key dedup is
+    skipped (the caller guarantees one coherent row-set per key) and
+    the returned counts are DISTINCT KEYS, not rows. Replace semantics
+    are unchanged: every standing row of a batch key goes, every batch
+    row lands."""
     from pyspark.sql import functions as F
 
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
@@ -437,11 +445,13 @@ def upsert_rows(
             f"expected {expected} — refusing to upsert against a "
             "different layout"
         )
-    batch = assigned.dropDuplicates([key]).localCheckpoint(eager=True)
+    batch = (
+        assigned if multi_rows else assigned.dropDuplicates([key])
+    ).localCheckpoint(eager=True)
     try:
         # one aggregate job for the batch's size + its touched partitions
         brow = batch.agg(
-            F.count("*").alias("n"),
+            F.countDistinct(key).alias("n"),
             F.collect_set(part_col).alias("parts"),
         ).first()
         n_batch = int(brow["n"])
@@ -515,7 +525,12 @@ def upsert_rows(
             # post-commit append, like ingest: a superseded (key, old
             # part) entry may remain — the map's documented stale-allowed
             # under-approximation, healed by the next compact/rebuild
-            keymap_record(spark, index_dir, batch, key, part_col, n_parts)
+            krows = (
+                batch.select(key, part_col).dropDuplicates()
+                if multi_rows
+                else batch
+            )
+            keymap_record(spark, index_dir, krows, key, part_col, n_parts)
         return (int(n_replaced), int(n_batch - n_replaced))
     finally:
         release(batch)

@@ -1850,6 +1850,56 @@ def ivfpq_index_ingest(spark: SparkSession, batch: DataFrame, index_dir: str) ->
     )
 
 
+def ivfpq_index_upsert(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> tuple[int, int]:
+    """ivf_index_upsert's codes-at-rest twin, completing upsert parity
+    across all four vector families: re-embedded vectors RE-ENCODE with
+    the index's frozen quantizers (new cell + new PQ codes) and REPLACE
+    their standing rows through the partial-swap protocol; fresh keys
+    insert; tombstoned keys resurrect atomically. ``batch``: (vec_id,
+    embedding[, label]). Returns (n_replaced, n_inserted)."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        keymap_enabled,
+        open_index,
+        upsert_rows,
+    )
+
+    if open_index(spark, index_dir, _IVFPQ_MARKER, "cell") != N_CENTROIDS:
+        raise ValueError(
+            f"no standing IVF-PQ index at {index_dir} (or a drifted "
+            "layout) — build it first (ivfpq_build_or_open)"
+        )
+    cent_rows = read_codebook(spark, index_dir)
+    pq_rows = read_pq_codebook(spark, index_dir)
+    lbl = (
+        F.col("label").cast("int")
+        if "label" in batch.columns
+        else F.lit(None).cast("int")
+    )
+    assigned = (
+        batch.select("vec_id", lbl.alias("label"), F.col("embedding"))
+        .withColumn("e", as_double(F.col("embedding")))
+        .select(
+            "vec_id",
+            "label",
+            _argmax_cell(cent_rows).cast("int").alias("cell"),
+            _pq_codes_col(pq_rows).alias("codes"),
+        )
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    return upsert_rows(
+        spark,
+        index_dir,
+        _IVFPQ_MARKER,
+        N_CENTROIDS,
+        assigned,
+        "cell",
+        min(n_parts, N_CENTROIDS),
+        keymap=keymap_enabled(spark),
+    )
+
+
 def ivfpq_index_stream(
     stream: DataFrame,
     index_dir: str,

@@ -1134,17 +1134,32 @@ _SQL_BM25_CONTRIB = (
     f" * (CAST(bdl.dl AS DOUBLE) / bstats.avgdl)))"
 )
 
-# the full scoring pipeline as oracle CTEs, shared with sim_hybrid_rrf
-SQL_BM25_CTES = f"""
+# the full scoring pipeline as oracle CTEs, shared with sim_hybrid_rrf.
+# Parameterized by corpus CTE name at the f-string (never post-hoc regex
+# rewriting — the round-13 _sql_ivfpq_ctes lesson): ``stats_corpus``
+# lets an oracle score a MODIFIED corpus with the stats FROZEN from the
+# build corpus — exactly what the indexed probe does after an upsert.
+def _sql_bm25_ctes(
+    corpus: str = "documents", stats_corpus: str | None = None
+) -> str:
+    stats_src = (
+        "bdl"
+        if stats_corpus is None
+        else (
+            "(SELECT len(string_split(trim(text), ' ')) AS dl "
+            f"FROM {stats_corpus})"
+        )
+    )
+    return f"""
 btok AS (
-    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM {corpus}
 ),
 bdl AS (
-    SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents
+    SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM {corpus}
 ),
 bstats AS (
     SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-    FROM bdl
+    FROM {stats_src}
 ),
 btf AS (
     SELECT doc_id, token, COUNT(*) AS tf FROM btok
@@ -1160,6 +1175,9 @@ bscore AS (
     GROUP BY btf.doc_id
 )
 """
+
+
+SQL_BM25_CTES = _sql_bm25_ctes()
 
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,6 +1421,46 @@ def textidx_ingest(
     )
 
 
+def textidx_upsert(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> tuple[int, int]:
+    """Re-ingest CHANGED documents atomically — the multi-row form of
+    the keyed upsert (upsert_rows, multi_rows=True): a document's OLD
+    postings, across every token bucket they occupy, are replaced by
+    the new text's postings in ONE partial swap; fresh doc_ids insert;
+    a tombstoned doc resurrects atomically (the filtered ``_tombstones``
+    swaps as an artifact). This closes the text index's update gap: a
+    changed document previously needed delete → full compact →
+    re-ingest, with the doc invisible in between. Touched buckets =
+    (buckets holding the doc's old postings, from the slim
+    doc_id+bucket scan) ∪ (the new postings' buckets) — bounded by the
+    batch's token diversity, not the index. Collection stats stay
+    FROZEN (the _codebook contract; refresh at the fold via
+    textidx_compact(refresh_stats=True)). ``docs``: (doc_id, text).
+    Returns (n_docs_replaced, n_docs_inserted)."""
+    from bert_etl_spark.operators.index_lifecycle import open_index, upsert_rows
+
+    _textidx_legacy_check(spark, index_dir)
+    if open_index(spark, index_dir, _TEXTIDX_MARKER, "bucket") is None:
+        raise ValueError(
+            f"no standing text index at {index_dir} — build it first"
+        )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return upsert_rows(
+        spark,
+        index_dir,
+        _TEXTIDX_MARKER,
+        TEXTIDX_BUCKETS,
+        _postings_plan(docs),
+        "bucket",
+        min(n_parts, TEXTIDX_BUCKETS),
+        key="doc_id",
+        multi_rows=True,
+    )
+
+
 def textidx_delete(
     spark: SparkSession, doc_keys: DataFrame, index_dir: str
 ) -> int:
@@ -1601,6 +1659,66 @@ def text_bm25_indexed_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-offered posting and the refresh recomputes identical stats.
     textidx_ingest(spark, docs.filter(F.col("doc_id") % 2 == 1), index_dir)
     textidx_compact(spark, index_dir, refresh_stats=True)
+    scored = bm25_scores_indexed(spark, sf_dir, index_dir)
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+    return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")
+
+
+# Document upsert demo: one doc is deleted and stays dead, another is
+# deleted then UPSERTED with new text (resurrect-with-changed-content —
+# the edit flow), and a fresh doc inserts; textidx_upsert replaces the
+# changed docs' postings across every token bucket they occupy in one
+# partial swap (the old delete→full-compact→re-ingest cycle, one
+# commit). Scoring contract under the hash gate: tf/dl/df come from the
+# LIVE postings (the modified corpus), while n_docs/avgdl stay FROZEN
+# at build (the _codebook contract) — the oracle scores the modified
+# corpus with original-corpus stats (_sql_bm25_ctes(stats_corpus=...)).
+TEXTUP_DEAD = 11  # deleted, never upserted
+TEXTUP_CHG = 13  # deleted, then upserted with new text
+TEXTUP_NEW = 9_000_013  # fresh doc_id
+_TEXTUP_CHG_TEXT = "vector spark dup vector rewrite"
+_TEXTUP_NEW_TEXT = "spark spark dup upsert fresh"
+
+
+@query(
+    "text_bm25_indexed_upsert",
+    oracle=f"""
+    WITH mdocs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN ({TEXTUP_DEAD}, {TEXTUP_CHG})
+        UNION ALL SELECT {TEXTUP_CHG}, '{_TEXTUP_CHG_TEXT}'
+        UNION ALL SELECT {TEXTUP_NEW}, '{_TEXTUP_NEW_TEXT}'
+    ),
+    {_sql_bm25_ctes("mdocs", stats_corpus="documents")}
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS rank
+    FROM bscore
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def text_bm25_indexed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bert_etl_spark.functions.scratch import session_scratch_dir
+    from bert_etl_spark.operators.global_order import rank_bounded
+
+    # dedicated scratch replica (mutating query). Re-runs converge: the
+    # dead doc's delete records 0, the changed doc re-tombstones and the
+    # deterministic upsert rewrite resurrects it with identical postings
+    index_dir = session_scratch_dir(spark, "textidx_upsert", sf_dir)
+    _textidx_open_or_build(spark, sf_dir, index_dir)  # full-corpus build
+    textidx_delete(
+        spark,
+        spark.createDataFrame(
+            [(TEXTUP_DEAD,), (TEXTUP_CHG,)], "doc_id long"
+        ),
+        index_dir,
+    )
+    changed = spark.createDataFrame(
+        [(TEXTUP_CHG, _TEXTUP_CHG_TEXT), (TEXTUP_NEW, _TEXTUP_NEW_TEXT)],
+        "doc_id long, text string",
+    )
+    textidx_upsert(spark, changed, index_dir)
     scored = bm25_scores_indexed(spark, sf_dir, index_dir)
     top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
     return rank_bounded(top, [F.desc("bm25"), F.col("doc_id")], "rank")

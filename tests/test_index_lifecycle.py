@@ -2712,3 +2712,104 @@ def test_maxsim_rebuild_retrains_from_live_tokens(spark, tmp_path):
     assert t.filter(
         F.col("doc") != F.expr(f"vec_id div {sim.MAXSIM_GROUP}")
     ).count() == 0
+
+
+def test_ivfpq_upsert_reencodes_in_place(spark, tmp_path):
+    """Upsert parity for the codes-at-rest family: a re-embedded key's
+    row re-encodes (new cell + codes from the FROZEN quantizers) and
+    replaces in place; a fresh key inserts; no duplicates; the rerank
+    path still opens the index cleanly."""
+    idx = str(tmp_path / "pq_ups")
+    sim.ivfpq_build_or_open(spark, SF, idx)
+    emb = registry.tbl(spark, SF, "embeddings")
+    shift = F.transform(
+        "embedding", lambda x: (x.cast("double") + F.lit(3.5)).cast("float")
+    )
+    batch = emb.filter(F.col("vec_id") == 77).select(
+        "vec_id", "label", shift.alias("embedding")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 77).select(
+            (F.col("vec_id") + 7_000_000).alias("vec_id"),
+            "label",
+            shift.alias("embedding"),
+        )
+    )
+    total = spark.read.option("basePath", idx).parquet(idx).count()
+    assert sim.ivfpq_index_upsert(spark, batch, idx) == (1, 1)
+    after = spark.read.option("basePath", idx).parquet(idx)
+    assert after.count() == total + 1
+    rows = after.filter(
+        F.col("vec_id").isin([77, 77 + 7_000_000])
+    ).collect()
+    assert len(rows) == 2
+    # both carry the SAME (shifted) embedding -> identical cell + codes,
+    # and they equal a fresh encode under the frozen quantizers
+    cent = sim.read_codebook(spark, idx)
+    pq = sim.read_pq_codebook(spark, idx)
+    want = (
+        batch.limit(1)
+        .withColumn("e", sim.as_double(F.col("embedding")))
+        .select(
+            sim._argmax_cell(cent).cast("int").alias("cell"),
+            sim._pq_codes_col(pq).alias("codes"),
+        )
+        .first()
+    )
+    for r in rows:
+        assert r["cell"] == want["cell"] and list(r["codes"]) == list(want["codes"])
+    assert after.dropDuplicates(["vec_id"]).count() == total + 1
+
+
+def test_textidx_upsert_replaces_doc_postings(spark, tmp_path):
+    """Multi-row upsert: a changed document's OLD postings vanish from
+    every token bucket they occupied, the new text's postings land, a
+    tombstoned doc resurrects atomically, other docs' postings are
+    untouched, and counts are per-DOC, not per-posting."""
+    from bert_etl_spark.operators import text as tx
+
+    tix = str(tmp_path / "tix_ups")
+    tx._textidx_open_or_build(spark, SF, tix)
+    phys0 = spark.read.option("basePath", tix).parquet(tix)
+    # count EAGERLY: phys0 is lazy and the upsert below replaces its
+    # files (the captured-frame rebuild trap)
+    before_other = phys0.filter(~F.col("doc_id").isin([11, 13])).count()
+    n_11 = phys0.filter(F.col("doc_id") == 11).count()
+    old_13_tokens = {
+        r["token"] for r in phys0.filter(F.col("doc_id") == 13).collect()
+    }
+    assert old_13_tokens  # the doc has postings to replace
+    assert tx.textidx_delete(
+        spark, spark.createDataFrame([(13,)], "doc_id long"), tix
+    ) == 1
+    changed = spark.createDataFrame(
+        [(13, "zebra quokka zebra"), (9_000_777, "quokka dup")],
+        "doc_id long, text string",
+    )
+    assert tx.textidx_upsert(spark, changed, tix) == (1, 1)
+    phys = spark.read.option("basePath", tix).parquet(tix)
+    # old postings gone everywhere, new ones exactly the new text's
+    got_13 = {
+        (r["token"], r["tf"])
+        for r in phys.filter(F.col("doc_id") == 13)
+        .select("token", "tf")
+        .collect()
+    }
+    assert got_13 == {("zebra", 2), ("quokka", 1)}
+    # resurrected: no tombstone masks doc 13 anymore
+    live = life.apply_tombstones(spark, tix, phys, "doc_id")
+    assert live.filter(F.col("doc_id") == 13).count() == 2
+    assert live.filter(F.col("doc_id") == 9_000_777).count() == 2
+    # bystanders untouched
+    assert phys.filter(~F.col("doc_id").isin([13, 9_000_777])).count() == (
+        before_other + n_11
+    )
+    # idempotent re-run (deterministic rewrite)
+    assert tx.textidx_upsert(spark, changed, tix) == (2, 0)
+    assert {
+        (r["token"], r["tf"])
+        for r in spark.read.option("basePath", tix)
+        .parquet(tix)
+        .filter(F.col("doc_id") == 13)
+        .select("token", "tf")
+        .collect()
+    } == {("zebra", 2), ("quokka", 1)}
