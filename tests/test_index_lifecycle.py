@@ -2813,3 +2813,100 @@ def test_textidx_upsert_replaces_doc_postings(spark, tmp_path):
         .select("token", "tf")
         .collect()
     } == {("zebra", 2), ("quokka", 1)}
+
+
+def test_textidx_upsert_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """Crash inside the multi-row upsert's sentinel window: open_index
+    finishes the swap and the posting table equals a completed
+    document upsert's, bucket for bucket."""
+    from bert_etl_spark.operators import text as tx
+
+    changed = spark.createDataFrame(
+        [(13, "zebra quokka zebra"), (9_000_778, "quokka dup")],
+        "doc_id long, text string",
+    )
+
+    def scenario(name, crash):
+        tix = str(tmp_path / name)
+        tx._textidx_open_or_build(spark, SF, tix)
+        if crash:
+            def boom(*a, **kw):
+                raise RuntimeError("simulated crash mid-swap")
+
+            monkeypatch.setattr(life, "finish_compaction_swap", boom)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                tx.textidx_upsert(spark, changed, tix)
+            monkeypatch.undo()
+            assert (
+                read_int_marker(spark, f"{tix}/{life.PENDING_SENTINEL}")
+                is not None
+            )
+            assert (
+                read_int_marker(spark, f"{tix}/{tx._TEXTIDX_MARKER}") is None
+            )
+            assert (
+                life.open_index(spark, tix, tx._TEXTIDX_MARKER, "bucket")
+                == tx.TEXTIDX_BUCKETS
+            )
+        else:
+            assert tx.textidx_upsert(spark, changed, tix) == (1, 1)
+        return sorted(
+            (r.doc_id, r.token, r.tf, r.bucket)
+            for r in spark.read.option("basePath", tix)
+            .parquet(tix)
+            .select("doc_id", "token", "tf", "bucket")
+            .collect()
+        )
+
+    want = scenario("tix_done", crash=False)
+    got = scenario("tix_crash", crash=True)
+    assert got == want
+    assert not os.path.exists(f"{tmp_path}/tix_crash{life.TMP_SUFFIX}")
+
+
+def test_upsert_empty_dir_staging_survives_crash(spark, tmp_path, monkeypatch):
+    """The partial swap's fully-drained rule under a crash: all rows of
+    one cell move away, the verb stages that cell as an EMPTY tmp dir,
+    the crash hits mid-swap — recovery must still REPLACE (drain) the
+    old dir, leaving no duplicate and no resurrected rows."""
+    idx = _mk_ivf_idx(spark, tmp_path, "ivf_drain_crash")
+    phys = spark.read.option("basePath", idx).parquet(idx)
+    cells = [
+        (r["cell"], r["n"])
+        for r in phys.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    src_cell = min(cells, key=lambda c: c[1])[0]
+    dst_cell = max(cells, key=lambda c: c[1])[0]
+    cb = {
+        int(r.cid): [float(x) for x in r.ce]
+        for r in sim.read_codebook(spark, idx)
+    }
+    victims = [
+        int(r["vec_id"])
+        for r in phys.filter(F.col("cell") == src_cell)
+        .select("vec_id")
+        .collect()
+    ]
+    total = phys.count()
+    batch = spark.createDataFrame(
+        [(v, [float(x) for x in cb[dst_cell]]) for v in victims],
+        "vec_id long, embedding array<double>",
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(life, "finish_compaction_swap", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sim.ivf_index_upsert(spark, batch, idx)
+    monkeypatch.undo()
+    # the staged EMPTY dir is in tmp awaiting the swap
+    assert os.path.isdir(f"{idx}{life.TMP_SUFFIX}/cell={src_cell}")
+    assert (
+        life.open_index(spark, idx, sim._IVF_MARKER, "cell")
+        == sim.N_CENTROIDS
+    )
+    after = spark.read.option("basePath", idx).parquet(idx)
+    assert after.count() == total
+    assert after.filter(F.col("cell") == src_cell).count() == 0
+    assert after.dropDuplicates(["vec_id"]).count() == total
