@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.functions.localdf import local_frame
 from bert_etl_spark.operators.registry import (
     ALL_ORACLES,
     checkpoint_get,
@@ -66,6 +67,43 @@ PLANES: list[list[int]] = planes_for(N_PLANES)
 # ---------------------------------------------------------------------------
 
 
+def _sql_num(x: float) -> str:
+    """One SQL double literal. repr() round-trips the exact value
+    (shortest-decimal, re-parsed by Java's Double.parseDouble); the
+    non-finite spellings differ between Python and SQL, so map them."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
+def lit_vec(values) -> Column:
+    """``array<double>`` literal built with ONE py4j call (F.expr parse)
+    instead of one driver round trip per element. Constant-folding the
+    quantizer/plane tables into the plan is the families' scale design;
+    this keeps the identical CreateArray(Literal…) expression while
+    removing the measured ~1 ms/element py4j cost (a 16×8×8 PQ codebook
+    cost ~0.8 s of pure driver time per construction — round-14 §4/§1
+    measurement)."""
+    return F.expr("array(" + ",".join(_sql_num(x) for x in values) + ")")
+
+
+def lit_mat(rows) -> Column:
+    """``array<array<double>>`` literal via one F.expr parse — lit_vec's
+    nested form, same motivation and value-exactness contract."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_num(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -89,11 +127,7 @@ def sign_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
     bucket = F.lit(0)
     for p, plane in enumerate(PLANES if planes is None else planes):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(s)) for s in plane]),
-                lambda x, s: x * s,
-            ),
+            F.zip_with(vec, lit_vec(plane), lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -108,9 +142,7 @@ def _argmax_cell(cent_rows: list) -> Column:
     zero shuffle, zero join. Ties break toward the LOWEST cid via the
     negated index (array_max on structs compares lexicographically),
     matching the oracles' ROW_NUMBER (dot DESC, cid) contract."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r.ce]) for r in cent_rows]
-    )
+    cent_lit = lit_mat(r.ce for r in cent_rows)
     best = F.array_max(
         F.transform(
             cent_lit,
@@ -1701,9 +1733,7 @@ def _pq_codes_col(pq_rows: list) -> Column:
         by_m.setdefault(int(r.m), []).append((int(r.cid), [float(x) for x in r.cw]))
     codes = []
     for m in range(PQ_M):
-        cw_lit = F.array(
-            *[F.array(*[F.lit(x) for x in cw]) for _cid, cw in sorted(by_m[m])]
-        )
+        cw_lit = lit_mat(cw for _cid, cw in sorted(by_m[m]))
         sv = F.slice(F.col("e"), m * PQ_DSUB + 1, PQ_DSUB)
         l2 = lambda cw, sv=sv: F.aggregate(  # noqa: E731
             F.zip_with(sv, cw, lambda x, c: (x - c) * (x - c)),
@@ -2080,9 +2110,7 @@ def ivfpq_index_rebuild(
         )
     pieces = []
     for m in range(PQ_M):
-        cw_lit = F.array(
-            *[F.array(*[F.lit(x) for x in cw]) for _c, cw in sorted(by_m[m])]
-        )
+        cw_lit = lit_mat(cw for _c, cw in sorted(by_m[m]))
         pieces.append(F.element_at(cw_lit, F.col("codes").getItem(m) + 1))
     recon = (
         live.join(F.broadcast(src.select("vec_id")), "vec_id", "left_anti")
@@ -2151,17 +2179,22 @@ def ivfpq_index_rebuild(
         )
         n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
         # stage the NEW quantizers (and keymap) INSIDE tmp: they swap in
-        # with the data under the same sentinel — never half-committed
-        spark.createDataFrame(
+        # with the data under the same sentinel — never half-committed.
+        # local_frame (ONE Python slice), not createDataFrame: a
+        # coalesce(1) write over a defaultParallelism-sliced local
+        # relation iterates every slice sequentially in one task, paying
+        # the Python-worker handshake per slice — measured ~4.5 s per
+        # codebook write on local[32] vs ~0.35 s single-slice.
+        local_frame(
+            spark,
             [(int(r.cid), r.ce) for r in cent_rows],
             "cid int, ce array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_codebook")
-        spark.createDataFrame(
+        ).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+        local_frame(
+            spark,
             [(int(r.m), int(r.cid), r.cw) for r in pq_rows],
             "m int, cid int, cw array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{tmp}/{_PQ_CODEBOOK_DIR}"
-        )
+        ).write.mode("overwrite").parquet(f"{tmp}/{_PQ_CODEBOOK_DIR}")
         if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
             written = spark.read.option("basePath", tmp).parquet(tmp)
             (
@@ -2320,10 +2353,14 @@ def _vector_index_rebuild(
             .parquet(tmp)
         )
         n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
-        spark.createDataFrame(
+        # local_frame (one Python slice), not createDataFrame+coalesce:
+        # see ivfpq_index_rebuild — the sliced local relation pays one
+        # Python-worker handshake per slice inside the single write task
+        local_frame(
+            spark,
             [(int(r.cid), r.ce) for r in cent_rows],
             "cid int, ce array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+        ).write.mode("overwrite").parquet(f"{tmp}/_codebook")
         if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
             written = spark.read.option("basePath", tmp).parquet(tmp)
             (
@@ -3391,8 +3428,9 @@ def sim_ivf_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_assign(spark, sf_dir, index_dir=idx)  # build-or-open
     ivf_index_delete(
         spark,
-        spark.createDataFrame(
-            [(UPSERT_DEAD,), (UPSERT_RESURRECT,)], "vec_id long"
+        spark.sql(
+            f"SELECT explode(array({UPSERT_DEAD}L, {UPSERT_RESURRECT}L)) "
+            "AS vec_id"
         ),
         idx,
     )
@@ -3552,8 +3590,12 @@ def streaming_cdc_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         ins1 = upd1.select(
             (F.col("k") + DRIFT_OFFSET).alias("k"), "label", "embedding"
         )
-        dead = spark.createDataFrame(
-            [(UPSERT_DEAD,), (UPSERT_RESURRECT,)], "k long"
+        # JVM-literal key frame, not createDataFrame: these two rows ride
+        # into the drain's parquet write, and a write task sourced from a
+        # Python-local relation stalls ~4.5 s on a fresh Python worker
+        # (the ivfpq_index_rebuild measurement, round-14 §1)
+        dead = spark.sql(
+            f"SELECT explode(array({UPSERT_DEAD}L, {UPSERT_RESURRECT}L)) AS k"
         ).select(
             "k",
             F.lit(None).cast("int").alias("label"),
@@ -4992,7 +5034,7 @@ def _hybrid_indexed_plan(
     cand = pruned_scan(spark, ivf_dir, "cell", cells)
     if cand is None:
         raise ValueError(f"IVF index at {ivf_dir} holds no probed cells")
-    qe_lit = F.array(*[F.lit(x) for x in qe])
+    qe_lit = lit_vec(qe)
     cos = dot(F.col("e"), qe_lit) / (F.col("nrm") * F.lit(qnrm))
     dense_top = (
         _ivf_index_columns(cand)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
+from bert_etl_spark.functions.localdf import local_frame
 from bert_etl_spark.operators.dedup import shingles_df, tokenize
 from bert_etl_spark.operators.registry import persist_once, query, spread, tbl
 
@@ -1310,6 +1311,32 @@ def _token_bucket(col: F.Column | str):
     return F.pmod(F.xxhash64(c), F.lit(TEXTIDX_BUCKETS)).cast("int")
 
 
+def _term_buckets(spark: SparkSession, terms) -> list[int]:
+    """Bucket ids for a handful of CONSTANT query terms, via one
+    LocalTableScan job over string literals — replaces the
+    createDataFrame→distinct→collect round trip that parallelized the
+    terms across defaultParallelism Python partitions (a full shuffle
+    job per probe) just to hash a few constants (round-14 §5: the
+    driver should do almost no data work, and Spark none it can avoid).
+    Same expression (_token_bucket), so identical bucket values."""
+    df = spark.sql(
+        "SELECT token FROM (" +
+        " UNION ALL ".join(
+            f"SELECT {_sql_str(t)} AS token" for t in terms
+        ) + ")"
+    )
+    return sorted(
+        r["b"]
+        for r in df.select(_token_bucket("token").alias("b"))
+        .distinct()
+        .collect()
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _postings_plan(docs: DataFrame) -> DataFrame:
     """(token, doc_id, tf, positions, dl, pkey, bucket) — one row per
     distinct (token, doc); dl denormalized onto the posting so probes
@@ -1538,15 +1565,7 @@ def bm25_scores_indexed(
     )
 
     _textidx_open_or_build(spark, sf_dir, index_dir)
-    buckets = sorted(
-        r["b"]
-        for r in spark.createDataFrame(
-            [(t,) for t in BM25_TERMS], schema="token string"
-        )
-        .select(_token_bucket("token").alias("b"))
-        .distinct()
-        .collect()
-    )
+    buckets = _term_buckets(spark, BM25_TERMS)
     scan = pruned_scan(spark, index_dir, "bucket", buckets, key="doc_id")
     if scan is None:  # no matching dirs — fall back to the full table
         scan = apply_tombstones(
@@ -1709,12 +1728,18 @@ def text_bm25_indexed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     _textidx_open_or_build(spark, sf_dir, index_dir)  # full-corpus build
     textidx_delete(
         spark,
-        spark.createDataFrame(
-            [(TEXTUP_DEAD,), (TEXTUP_CHG,)], "doc_id long"
+        spark.sql(
+            f"SELECT explode(array({TEXTUP_DEAD}L, {TEXTUP_CHG}L)) "
+            "AS doc_id"
         ),
         index_dir,
     )
-    changed = spark.createDataFrame(
+    # local_frame (one Python slice): the postings derived from these
+    # rows ride through upsert_rows' checkpoints and writes, and a
+    # defaultParallelism-sliced local relation pays one Python-worker
+    # handshake per slice in every single-task consumer (round-14 §4)
+    changed = local_frame(
+        spark,
         [(TEXTUP_CHG, _TEXTUP_CHG_TEXT), (TEXTUP_NEW, _TEXTUP_NEW_TEXT)],
         "doc_id long, text string",
     )
@@ -1914,15 +1939,7 @@ def _positional_postings(
     from bert_etl_spark.operators.index_lifecycle import pruned_scan
 
     _textidx_open_or_build(spark, sf_dir, index_dir)
-    buckets = sorted(
-        r["b"]
-        for r in spark.createDataFrame(
-            [(t,) for t in terms], schema="token string"
-        )
-        .select(_token_bucket("token").alias("b"))
-        .distinct()
-        .collect()
-    )
+    buckets = _term_buckets(spark, terms)
     scan = pruned_scan(spark, index_dir, "bucket", buckets, key="doc_id")
     if scan is None:
         # no matching bucket dirs: none of the terms occur anywhere
