@@ -387,8 +387,16 @@ CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 )
 def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bert_etl_spark.functions.deterministic import dsum
+    from bert_etl_spark.operators.registry import spread_scan
 
-    li = tbl(spark, sf_dir, "lineitem")
+    # project to the correlated columns, then spread_scan: the 14 decimal
+    # co-moment sums are the per-row cost, and a single-row-group fixture
+    # file otherwise serializes the whole partial-agg pass in one task
+    # (4.2 s measured); at scale the scan has enough splits and this is a
+    # no-op — the shuffle, when it happens, ships only the 4 columns
+    li = spread_scan(
+        tbl(spark, sf_dir, "lineitem").select(*CORR_COLS)
+    )
     aggs = [F.count("*").cast("double").alias("n")]
     for c in CORR_COLS:
         aggs.append(dsum(F.col(c), f"s_{c}"))

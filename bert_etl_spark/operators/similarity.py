@@ -2478,9 +2478,16 @@ def _ivfpq_adc(
     # query-side ADC lookup table off the FROZEN PQ codebook: one row per
     # (q, m, codeword) = |Q| * M * K tiny rows
     pq_rows = read_pq_codebook(spark, index_dir)
-    cb = spark.createDataFrame(
-        [(int(r.m), int(r.cid), [float(x) for x in r.cw]) for r in pq_rows],
-        "m int, cid int, cw array<double>",
+    # VALUES inline table (JVM) — broadcast per probe, same rationale as
+    # _codebook_frame
+    cb = spark.sql(
+        "SELECT m, cid, cw FROM (VALUES "
+        + ",".join(
+            f"({int(r.m)}, {int(r.cid)}, "
+            f"array({','.join(_sql_num(x) for x in r.cw)}))"
+            for r in pq_rows
+        )
+        + ") AS t(m, cid, cw)"
     )
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
     qsub = qprep.select(F.col("vec_id").alias("q_id"), ms, F.col("e")).select(
@@ -3793,9 +3800,16 @@ def _codebook_frame(spark: SparkSession, index_dir: str) -> DataFrame | None:
         return None
     if not rows:
         return None
-    return spark.createDataFrame(
-        [(int(r.cid), [float(x) for x in r.ce]) for r in rows],
-        "cid bigint, ce array<double>",
+    # SQL VALUES inline table (pure JVM), not createDataFrame: this frame
+    # is broadcast on every probe, and a Python-parallelized local
+    # relation pays the worker round trip each time (round-14 §4)
+    vals = ",".join(
+        f"({int(r.cid)}, array({','.join(_sql_num(x) for x in r.ce)}))"
+        for r in rows
+    )
+    return spark.sql(
+        f"SELECT CAST(cid AS BIGINT) AS cid, ce "
+        f"FROM (VALUES {vals}) AS t(cid, ce)"
     )
 
 
