@@ -1569,10 +1569,15 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heaviest join in the family and executing it into the block cache
     # would run the whole pipeline on the AQE-suppressed cached-plan path
     # (the round-8 family lesson, registry.checkpoint_once's docstring)
+    # respread=True: the consumers (df-rank window, prefix self-join,
+    # collect_list + array_intersect verify) are the heaviest per-row
+    # compute in the family — a frozen 2-partition layout serialized the
+    # whole pipeline (registry.checkpoint_once, round-14 §2)
     sh = checkpoint_once(
         shingles_df(tbl(spark, sf_dir, "documents")),
         "allpairs_raw_shingles",
         sf_dir,
+        respread=True,
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -1584,7 +1589,7 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1)
         .select("doc_id", "shingle", "sz")
     )
-    prefix = checkpoint_once(prefix, "allpairs_prefix", sf_dir)
+    prefix = checkpoint_once(prefix, "allpairs_prefix", sf_dir, respread=True)
     try:
         budget = int(
             spark.conf.get(ALLPAIRS_BUDGET_CONF, str(ALLPAIRS_BUDGET_DEFAULT))

@@ -1164,9 +1164,14 @@ def index_file_stats(
         )
         for r in rows
     ]
-    return spark.createDataFrame(
+    # local_frame: O(partitions) driver rows in ONE Python slice
+    # (functions/localdf.py, round-14 §4)
+    from bert_etl_spark.functions.localdf import local_frame
+
+    return local_frame(
+        spark,
         data,
-        schema=(
+        (
             f"{part_col} string, n_files int, n_rows bigint, "
             "n_tombstones bigint, tombstone_bytes bigint"
         ),

@@ -638,5 +638,13 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.get(DHASH_OCCUPANCY_CONF, str(DHASH_TARGET_OCCUPANCY))
     )
     w = dhash_band_bits(docs.count(), occ)
-    bits = persist_once(dhash_bits(docs, band_w=w))  # bands + both verify sides
+    # spread_scan before the 128-substring-per-row dHash expression: the
+    # single-file fixture scans as ONE split, so the whole hash pass (the
+    # query's dominant cost) ran in one task (measured 1.9 s single-task
+    # at sf0.1); a natural multi-split scan at scale is left untouched
+    from bert_etl_spark.operators.registry import spread_scan
+
+    bits = persist_once(
+        dhash_bits(spread_scan(docs), band_w=w)
+    )  # bands + both verify sides
     return dhash_band_pairs(bits)

@@ -337,6 +337,9 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     from bert_etl_spark.operators.registry import persist_once
 
     docs = tbl(spark, sf_dir, "documents")
+    # round-14 note: deliberately NOT spread — the counter union reads
+    # toks D=4 times, so a 32-way spread turned the pass into 128 tiny
+    # tasks and measured 1.56 -> 2.43 s; the compact layout wins here
     toks = persist_once(cms_trigram_occurrences(docs))
     counters = cms_counters(toks)
     exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
@@ -469,6 +472,11 @@ def streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            # round-14 note: deliberately NOT spread: each epoch holds
+            # ~1/3 of the corpus and the counter union reads its input
+            # D=4 times, so a 32-way spread produced 128 tiny tasks per
+            # epoch and measured SLOWER (0.7 s/epoch) than the compact
+            # form; the full-corpus exact pass below IS spread
             cms_counters(cms_trigram_occurrences(batch_df)).write.mode(
                 "overwrite"
             ).parquet(f"{tmp}/sketch/epoch={epoch_id}")

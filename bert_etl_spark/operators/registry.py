@@ -162,7 +162,9 @@ def checkpoint_invalidate(spark, *key: object) -> bool:
     return _SHARED_CHECKPOINTS.pop(k, None) is not None
 
 
-def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:
+def checkpoint_once(
+    df: DataFrame, *key: object, respread: bool = False
+) -> DataFrame:
     """Materialize a shared cross-query table via eager localCheckpoint,
     memoized per (SparkContext, key) for the session.
 
@@ -216,6 +218,29 @@ def checkpoint_once(df: DataFrame, *key: object) -> DataFrame:
         out = df.checkpoint(eager=True)
     else:
         out = df.localCheckpoint(eager=True)
+    # respread (opt-in): the checkpoint FREEZES whatever partition count
+    # AQE's coalescing picked for the build — sized by shuffle BYTES,
+    # which for a CPU-dense table lands at 1-4 partitions at test scale
+    # and serializes every consumer's map pass on one or two cores
+    # (measured: dedup_allpairs_prefix ran its whole verify pipeline in
+    # 2 tasks, 6.2 s; with respread, 5.2 s). Respread once, at build
+    # time: one round-robin pass over the just-materialized blocks,
+    # re-checkpointed, so consumers read a parallel layout with no
+    # per-consumer exchange and no plan-shape change. OPT-IN because the
+    # opposite effect is real too: consumers whose per-row work is cheap
+    # (warm shingle probes, wedge joins) measured 0.4-0.6 s SLOWER from
+    # 32-tiny-task scheduling overhead — only callers whose consumers do
+    # heavy per-row compute ask for it. At scale the table already has
+    # >= defaultParallelism partitions and the branch never runs
+    # (guide §2: derive partitioning from the data, not the deployment).
+    if respread:
+        n = sc.defaultParallelism
+        if out.rdd.getNumPartitions() < n:
+            wide = out.repartition(n)
+            if reliable_dir:
+                out = wide.checkpoint(eager=True)
+            else:
+                out = wide.localCheckpoint(eager=True)
     _SHARED_CHECKPOINTS[k] = out
     return out
 

@@ -5280,8 +5280,11 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append((best_id, rank, round(best_score, 6)))
         chosen.append(best_id)
         remaining.discard(best_id)
-    return spark.createDataFrame(
-        selected, schema="id long, mmr_rank int, mmr_score double"
+    # local_frame: MMR_K driver rows in ONE Python slice — the sliced
+    # createDataFrame shape pays a per-slice worker handshake in any
+    # single-task consumer (functions/localdf.py, round-14 §4)
+    return local_frame(
+        spark, selected, "id long, mmr_rank int, mmr_score double"
     )
 
 

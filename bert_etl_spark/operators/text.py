@@ -976,7 +976,10 @@ def _sql_bpe_steps(k: int, table: str = "documents") -> str:
 def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(tbl(spark, sf_dir, "documents"))
     merges = bpe_train_steps(docs, BPE_TRAIN_STEPS)
-    return spark.createDataFrame(
+    # local_frame: BPE_TRAIN_STEPS driver rows in ONE Python slice
+    # (functions/localdf.py, round-14 §4)
+    return local_frame(
+        spark,
         merges,
         "step long, left_sym string, right_sym string, "
         "merged string, n_occurrences long",
@@ -1847,6 +1850,15 @@ def phrase_count(text: F.Column, phrase: tuple[str, ...]) -> F.Column:
     """,
 )
 def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-14 note: deliberately NOT spread_scan'd. The n_occurrences>0
+    # filter references the phrase-count expression, and predicate
+    # pushdown moves that filter (and with it the whole HOF evaluation)
+    # below any round-robin exchange, back onto the single-split scan —
+    # measured: the spread form still ran 1.4 s in one task. Every
+    # barrier that would hold the filter above the exchange (persist,
+    # checkpoint, explode-as-filter) breaks the pinned one-pass
+    # zero-exchange contract that IS this operator's 100 TB design; at
+    # scale the scan splits naturally and the plan parallelizes as-is.
     docs = tbl(spark, sf_dir, "documents")
     cnt = phrase_count(F.col("text"), PHRASE_TERMS)
     return (
@@ -1879,6 +1891,7 @@ PROXIMITY_SLOP = 3  # t2 within 1..SLOP positions after t1
     """,
 )
 def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately not spread_scan'd — see text_phrase_search (round-14)
     docs = tbl(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     n = F.size(toks)

@@ -32,6 +32,18 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # Floor for AQE's post-shuffle coalescing (default 1m). AQE sizes
+    # partitions by BYTES; operators whose reduce side is CPU-dense at
+    # small bytes (array_intersect verify joins, HOF folds, per-group
+    # vote folds) were coalesced to 1-4 tasks and serialized on a
+    # 32-core box. 64k lets parallelismFirst actually reach the
+    # available cores for those stages while leaving every normally
+    # sized shuffle untouched (advisory 64m still governs; measured
+    # round-14: dedup_allpairs_prefix 6.4 -> 2.2 s, zero regressions
+    # beyond noise on a 12-query control mix). The same CPU-density
+    # argument holds on a real cluster: a small-bytes stage with heavy
+    # per-row work wants cores, and extra sub-64k tasks are noise there.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # --- memory: local mode is driver-only, so this is THE heap knob;
     #     the 1g default causes GC thrash on any real workload ---
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),

@@ -781,7 +781,9 @@ def test_phrase_search_is_single_pass_zero_exchange(spark):
     """text_phrase_search must stay ONE codegen'd corpus pass: a literal
     phrase compiles to a per-row HOF expression — any Exchange, Generate
     (explode) or Join appearing here means the operator regressed to the
-    positional-join form its oracle uses."""
+    positional-join form its oracle uses. (Round-14 evaluated and
+    rejected a spread_scan here: the n_occurrences filter predicate-
+    pushes below any exchange, defeating it — see the operator note.)"""
     from bert_etl_spark.operators import registry
 
     registry.load_all()
