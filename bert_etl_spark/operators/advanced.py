@@ -408,6 +408,13 @@ def connected_components(
     )
     labels = persist_once(labels)
     labels.count()
+    # round-14 note: ONE propagation step per checkpointed round is the
+    # measured optimum. Fusing 2 steps per checkpoint (to halve the
+    # driver-synchronous job count) was tried and is ~2x SLOWER: the
+    # un-checkpointed step-1 output is referenced three ways by step 2
+    # (neighbor join, hop, pointer side) and re-executes per reference —
+    # the same lineage-blowup the kcore loop documents. The per-round
+    # checkpoint IS the optimization.
     for _ in range(max_iter):
         # (1) neighbor-min: each vertex takes the min label in its
         # 1-hop neighborhood

@@ -213,11 +213,29 @@ def checkpoint_once(
     reliable_dir = df.sparkSession.conf.get(
         "spark.bert_etl.checkpointDir", None
     )
-    if reliable_dir:
-        sc.setCheckpointDir(reliable_dir)
-        out = df.checkpoint(eager=True)
-    else:
-        out = df.localCheckpoint(eager=True)
+    # Materialize under the STOCK AQE coalescing floor (1m), not the
+    # session's CPU-density floor (64k, session.py): the checkpoint
+    # freezes its build's final partition count for every later
+    # consumer, and a floor tuned to give CPU-dense stages more tasks
+    # would freeze MORE, smaller partitions into these byte-dense family
+    # tables — measured round-14 as +0.3-0.5 s on every warm graph and
+    # shingle consumer (tiny-task stage overhead on each probe).
+    # Consumers that DO want a wide layout opt in via respread below.
+    _minp = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    conf = df.sparkSession.conf
+    prev = conf.get(_minp, None)
+    conf.set(_minp, "1m")
+    try:
+        if reliable_dir:
+            sc.setCheckpointDir(reliable_dir)
+            out = df.checkpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            conf.unset(_minp)
+        else:
+            conf.set(_minp, prev)
     # respread (opt-in): the checkpoint FREEZES whatever partition count
     # AQE's coalescing picked for the build — sized by shuffle BYTES,
     # which for a CPU-dense table lands at 1-4 partitions at test scale

@@ -1279,7 +1279,27 @@ def cdc_apply_stream(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
 
+    # The apply epoch is many TINY latency-bound shuffles (open/recover,
+    # opkey dedup, O(touched-buckets) appends); the session's 64k AQE
+    # coalescing floor (tuned for CPU-dense stages) splits them into
+    # extra tasks that are pure scheduling overhead here — measured
+    # round-14: min 6.9 s under a 1m floor vs 7.4 s under 64k, medians
+    # 9.1 vs 12.7. Scoped per epoch and restored, so only CDC-apply
+    # stages see the coarser floor.
+    _MINPART = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        prev = spark.conf.get(_MINPART, None)
+        spark.conf.set(_MINPART, "1m")
+        try:
+            _apply_inner(batch_df, epoch_id)
+        finally:
+            if prev is None:
+                spark.conf.unset(_MINPART)
+            else:
+                spark.conf.set(_MINPART, prev)
+
+    def _apply_inner(batch_df: DataFrame, epoch_id: int) -> None:
         nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
         ops = batch_df.select(
             "*",
