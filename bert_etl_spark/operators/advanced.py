@@ -415,9 +415,17 @@ def connected_components(
     # (neighbor join, hop, pointer side) and re-executes per reference —
     # the same lineage-blowup the kcore loop documents. The per-round
     # checkpoint IS the optimization.
+    from pyspark.sql import Observation
+
+    from bert_etl_spark.functions.observe import reliable_metrics
+
     for _ in range(max_iter):
         # (1) neighbor-min: each vertex takes the min label in its
-        # 1-hop neighborhood
+        # 1-hop neighborhood. The round's OLD label is threaded through
+        # as ``prev`` so the convergence count can ride the checkpoint
+        # job as an observed metric — one driver-synchronous job per
+        # round instead of two (the old shape re-joined new vs old
+        # labels in a second count job; round-14 batch 4).
         neigh = (
             sym.join(labels, sym["v"] == labels["doc_id"])
             .groupBy("u")
@@ -428,6 +436,7 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
             ).alias("component"),
+            F.col("component").alias("prev"),
         )
         # (2) pointer-doubling: follow component -> component-of-component,
         # halving chain depth each round; dup chains (A~B~C~...) would
@@ -435,20 +444,27 @@ def connected_components(
         ptr = hop.select(
             F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
         )
-        new_labels = (
-            hop.join(ptr, hop["component"] == ptr["p_id"], "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+        chg = Observation()
+        with reliable_metrics(labels.sparkSession):
+            new_labels = (
+                hop.join(ptr, hop["component"] == ptr["p_id"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("p_comp"), F.col("component")).alias(
+                        "component"
+                    ),
+                    "prev",
+                )
+                .observe(
+                    chg,
+                    F.sum(
+                        (F.col("component") != F.col("prev")).cast("long")
+                    ).alias("changed"),
+                )
+                .drop("prev")
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+            changed = int(chg.get["changed"] or 0)
         release(labels)
         labels = new_labels
         if changed == 0:

@@ -308,70 +308,111 @@ def ingest_rows(
     NOT masked), so a tombstoned but not-yet-compacted key cannot be
     resurrected by re-ingest — see delete_keys for the stated semantics."""
     from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.functions.observe import reliable_metrics
 
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     # checkpoint the deduped batch once: the (possibly expensive)
-    # assignment computes a single time, and the touched-partition
-    # collect + dedup joins + write all read the materialized batch
-    batch = assigned.dropDuplicates([key]).localCheckpoint(eager=True)
-    dups = None
-    try:
-        touched = [
-            r[0] for r in batch.select(part_col).distinct().collect()
-        ]
-        table_keys = physical_pruned_scan(spark, index_dir, part_col, touched)
-        if table_keys is None:  # touched partitions don't exist yet
-            fresh = batch
-        else:
-            # join DIRECTION matters at scale: a plain
-            # batch.join(table_keys, left_anti) can only broadcast the
-            # RIGHT side — Spark would ship the touched partitions' whole
-            # key column (measured: 7.8M keys broadcast, 4.6 s/batch at a
-            # 20M-row index, vs 0.6 s for the scan itself). Instead,
-            # broadcast the BATCH into a semi-join against the scan: the
-            # index side stays distributed and unshuffled, and the result
-            # (keys already present) is bounded by batch size — small
-            # enough to checkpoint and broadcast into the final anti-join.
-            dups = (
-                table_keys.select(key)
-                .join(F.broadcast(batch.select(key)), key, "left_semi")
-                .localCheckpoint(eager=True)
+    # assignment computes a single time, and the dedup joins + write all
+    # read the materialized batch. The touched-partition list rides the
+    # SAME job as an observed metric (collect_set is batch-bounded)
+    # instead of a second distinct().collect() job — an always-on ingest
+    # pays this per micro-batch, so the epoch's fixed cost is the
+    # driver-synchronous job count (guide §1/§2.6; round-14 batch 4).
+    # reliable_metrics: a replayed (fully-duplicate) batch makes the
+    # observed subtrees RUNTIME-EMPTY, which stock AQE folds away along
+    # with the metrics node — see functions/observe.py. Scoped on the
+    # BATCH frame's session, not the passed handle: inside foreachBatch
+    # the micro-batch DataFrame is bound to the stream's CLONED session,
+    # and a conf set on the outer session never reaches the clone's
+    # executions (found the hard way — the replay epoch failed).
+    with reliable_metrics(assigned.sparkSession):
+        parts_obs = Observation()
+        batch = (
+            assigned.dropDuplicates([key])
+            .observe(parts_obs, F.collect_set(F.col(part_col)).alias("parts"))
+            .localCheckpoint(eager=True)
+        )
+        dups = None
+        try:
+            touched = list(parts_obs.get["parts"])
+            table_keys = physical_pruned_scan(
+                spark, index_dir, part_col, touched
             )
-            fresh = batch.join(F.broadcast(dups), key, "left_anti")
-        n = fresh.count()
-        if n:
+            if table_keys is None:  # touched partitions don't exist yet
+                fresh = batch
+            else:
+                # join DIRECTION matters at scale: a plain
+                # batch.join(table_keys, left_anti) can only broadcast the
+                # RIGHT side — Spark would ship the touched partitions'
+                # whole key column (measured: 7.8M keys broadcast,
+                # 4.6 s/batch at a 20M-row index, vs 0.6 s for the scan
+                # itself). Instead, broadcast the BATCH into a semi-join
+                # against the scan: the index side stays distributed and
+                # unshuffled, and the result (keys already present) is
+                # bounded by batch size.
+                dups_plan = table_keys.select(key).join(
+                    F.broadcast(batch.select(key)), key, "left_semi"
+                )
+                if keymap:
+                    # keymap consumers execute ``fresh`` twice (main
+                    # append + map append): pin the bounded dup set so the
+                    # pruned scan runs once. Without keymap, fresh runs in
+                    # exactly one action (the observed write) and the
+                    # checkpoint would be a pure extra job.
+                    dups_plan = dups = dups_plan.localCheckpoint(eager=True)
+                fresh = batch.join(F.broadcast(dups_plan), key, "left_anti")
+            # tripwire BEFORE the (single) write action; the count that
+            # the mismatch message needs is only computed on that
+            # exceptional path, so a fully-duplicate replay against a
+            # migrated layout still returns 0 instead of raising — the
+            # pre-observe semantics
             marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
             if marker != expected:
-                raise ValueError(
-                    f"index at {index_dir} changed underneath this ingest "
-                    f"(marker now {marker}, expected {expected}) — a "
-                    "concurrent compact/rebuild violated the single-writer "
-                    "assumption; re-run the ingest against the settled index"
-                )
+                if fresh.count():
+                    raise ValueError(
+                        f"index at {index_dir} changed underneath this "
+                        f"ingest (marker now {marker}, expected "
+                        f"{expected}) — a concurrent compact/rebuild "
+                        "violated the single-writer assumption; re-run "
+                        "the ingest against the settled index"
+                    )
+                return 0
+            # ONE action for append + fresh count: the count is an
+            # observed metric on the write (previously a separate count
+            # job per epoch; an empty fresh set writes no data files —
+            # only a refreshed _SUCCESS, which every reader already
+            # ignores)
+            n_obs = Observation()
             (
-                fresh.repartition(n_parts, part_col)
+                fresh.observe(n_obs, F.count(F.lit(1)).alias("n"))
+                .repartition(n_parts, part_col)
                 .write.partitionBy(part_col)
                 .mode("append")
                 .parquet(index_dir)
             )
-            if keymap:
+            n = int(n_obs.get["n"])
+            if n and keymap:
                 # after the main append: a crash between the two leaves
                 # the key unmapped (replay's fresh set is empty so the
                 # map is never double-written) — the delete-side
                 # cross-check covers unmapped keys, so the map can only
                 # ever be an under-approximation, never wrong
-                keymap_record(spark, index_dir, fresh, key, part_col, n_parts)
-        return n
-    finally:
-        # deterministic release: an always-on ingest calls this per
-        # micro-batch, and leaking one checkpoint block set per batch
-        # (until the ContextCleaner happens to GC it) grows without bound.
-        # Dataset.unpersist is a no-op on a localCheckpoint'd frame —
-        # release() unpersists the underlying checkpointed RDD itself.
-        release(batch)
-        if dups is not None:
-            release(dups)
+                keymap_record(
+                    spark, index_dir, fresh, key, part_col, n_parts
+                )
+            return n
+        finally:
+            # deterministic release: an always-on ingest calls this per
+            # micro-batch, and leaking one checkpoint block set per batch
+            # (until the ContextCleaner happens to GC it) grows without
+            # bound. Dataset.unpersist is a no-op on a localCheckpoint'd
+            # frame — release() unpersists the underlying checkpointed
+            # RDD itself.
+            release(batch)
+            if dups is not None:
+                release(dups)
 
 
 def upsert_rows(
@@ -445,15 +486,29 @@ def upsert_rows(
             f"expected {expected} — refusing to upsert against a "
             "different layout"
         )
-    batch = (
-        assigned if multi_rows else assigned.dropDuplicates([key])
-    ).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    # batch size + touched partitions ride the checkpoint job as observed
+    # metrics (size(collect_set(key)) — observe rejects DISTINCT
+    # aggregates — equals the old countDistinct; both sets are
+    # batch-bounded) instead of a second aggregate job (round-14 batch 4;
+    # reliable_metrics scope: an empty batch would otherwise lose the
+    # metrics node to AQE empty propagation — functions/observe.py)
+    batch_obs = Observation()
+    with reliable_metrics(assigned.sparkSession):
+        batch = (
+            (assigned if multi_rows else assigned.dropDuplicates([key]))
+            .observe(
+                batch_obs,
+                F.size(F.collect_set(F.col(key))).alias("n"),
+                F.collect_set(F.col(part_col)).alias("parts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        brow = batch_obs.get
     try:
-        # one aggregate job for the batch's size + its touched partitions
-        brow = batch.agg(
-            F.countDistinct(key).alias("n"),
-            F.collect_set(part_col).alias("parts"),
-        ).first()
         n_batch = int(brow["n"])
         if n_batch == 0:
             return (0, 0)
@@ -629,21 +684,39 @@ def delete_keys_by_map(
     pruned path (still cross-checked — a stale map entry cannot silently
     no-op); only the UNMAPPED residue pays the full slim key scan, and a
     map-less index degrades to exactly the old bare-key path."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    request = keys.select(key).dropDuplicates([key]).localCheckpoint(
-        eager=True
-    )
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    # both gate counts ride their checkpoint jobs as observed metrics:
+    # mapped ⊆ request and both are key-distinct, so |mapped| < |request|
+    # decides "unmapped residue exists" without a third count job
+    # (round-14 batch 4)
+    req_obs = Observation()
+    with reliable_metrics(keys.sparkSession):
+        request = (
+            keys.select(key)
+            .dropDuplicates([key])
+            .observe(req_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_request = int(req_obs.get["n"])
     try:
         mapped = keymap_lookup(spark, index_dir, request, key)
         if mapped is None:
             return delete_keys(
                 spark, index_dir, marker_name, expected, request, key=key
             )
-        mapped = mapped.localCheckpoint(eager=True)
+        map_obs = Observation()
+        with reliable_metrics(keys.sparkSession):
+            mapped = mapped.observe(
+                map_obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            n_mapped = int(map_obs.get["n"])
         try:
             n = 0
-            if mapped.count():
+            if n_mapped:
                 n += delete_keys(
                     spark,
                     index_dir,
@@ -653,10 +726,10 @@ def delete_keys_by_map(
                     key=key,
                     part_col=part_col,
                 )
-            unmapped = request.join(
-                F.broadcast(mapped.select(key)), key, "left_anti"
-            )
-            if unmapped.count():
+            if n_mapped < n_request:
+                unmapped = request.join(
+                    F.broadcast(mapped.select(key)), key, "left_anti"
+                )
                 n += delete_keys(
                     spark, index_dir, marker_name, expected, unmapped,
                     key=key,
@@ -814,9 +887,11 @@ def delete_keys(
     tombstone keeps masking it. Compact first, then re-ingest, to
     resurrect a deleted key. Single-writer with ingest/compact, like all
     index maintenance (module docstring)."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from bert_etl_spark.functions.markers import read_int_marker
+    from bert_etl_spark.functions.observe import reliable_metrics
 
     marker = read_int_marker(spark, f"{index_dir}/{marker_name}")
     if marker is None:
@@ -830,13 +905,27 @@ def delete_keys(
             "different layout"
         )
     live = None
+    n_request = None
     if part_col is not None and part_col in keys.columns:
-        batch = keys.select(key, part_col).dropDuplicates([key]).localCheckpoint(
-            eager=True
-        )
-        touched = [
-            r[0] for r in batch.select(part_col).distinct().collect()
-        ]
+        # request size + touched partitions ride the checkpoint job as
+        # observed metrics instead of a second distinct().collect() job
+        # (the ingest_rows shape; round-14 batch 4; reliable_metrics —
+        # an empty request must still deliver its zero counts)
+        req_obs = Observation()
+        with reliable_metrics(keys.sparkSession):
+            batch = (
+                keys.select(key, part_col)
+                .dropDuplicates([key])
+                .observe(
+                    req_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set(F.col(part_col)).alias("parts"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            got = req_obs.get
+        n_request = int(got["n"])
+        touched = list(got["parts"])
         live = physical_pruned_scan(spark, index_dir, part_col, touched)
         request = batch.select(key)
     else:
@@ -871,9 +960,19 @@ def delete_keys(
             # part value — verify against the full slim key scan before
             # skipping them. found is consumed twice (anti + union), so
             # materialize it once; residual is bounded by the request.
-            found = checkpointed = found.localCheckpoint(eager=True)
-            residual = request.join(F.broadcast(found), key, "left_anti")
-            if residual.count():
+            # Its size rides the checkpoint as an observed metric:
+            # found ⊆ request and both are key-distinct, so
+            # |found| < |request| decides "residual non-empty" exactly,
+            # replacing the old residual.count() job (round-14 batch 4).
+            fnd_obs = Observation()
+            with reliable_metrics(keys.sparkSession):
+                found = checkpointed = (
+                    found.observe(fnd_obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                n_found = int(fnd_obs.get["n"])
+            if n_found < n_request:
+                residual = request.join(F.broadcast(found), key, "left_anti")
                 full = (
                     spark.read.option("basePath", index_dir)
                     .parquet(index_dir)
@@ -890,9 +989,15 @@ def delete_keys(
             fresh = fresh.join(
                 F.broadcast(existing.select(key)), key, "left_anti"
             )
-        fresh = fresh.localCheckpoint(eager=True)
+        # the new-tombstone count rides the checkpoint job (round-14
+        # batch 4); the write is skipped when nothing survives, as before
+        n_obs = Observation()
+        with reliable_metrics(keys.sparkSession):
+            fresh = fresh.observe(
+                n_obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            n = int(n_obs.get["n"])
         try:
-            n = fresh.count()
             if n:
                 fresh.coalesce(1).write.mode("append").parquet(
                     f"{index_dir}/{TOMBSTONE_DIR}"
@@ -962,13 +1067,24 @@ def compact_index(
         t = spark.read.parquet(*[f.toString() for f in applied])
         table = table.join(F.broadcast(t.select(key)), key, "left_anti")
     tmp = f"{index_dir}{TMP_SUFFIX}"
-    (
-        table.repartition(n_parts, part_col)
-        .write.partitionBy(part_col)
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    # the compacted row count rides the tmp write as an observed metric —
+    # previously a full read-back count of the files just written
+    # (round-14 batch 4; reliable_metrics — a fully-tombstoned table
+    # makes the rewrite runtime-empty)
+    from pyspark.sql import Observation
+
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    n_obs = Observation()
+    with reliable_metrics(spark):
+        (
+            table.observe(n_obs, F.count(F.lit(1)).alias("n"))
+            .repartition(n_parts, part_col)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = int(n_obs.get["n"])
     if finalize_tmp is not None:
         finalize_tmp(tmp)
     # fully-tombstoned partitions: root dirs the FULL rewrite produced no

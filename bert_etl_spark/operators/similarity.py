@@ -1308,13 +1308,23 @@ def simlsh_index_rebuild(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
     tmp = f"{index_dir}{TMP_SUFFIX}"
-    (
-        assigned.repartition(min(n_parts, 1 << n_planes), "bucket")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    # row count rides the rewrite as an observed metric — previously a
+    # full read-back count of the files just written (round-14 batch 4;
+    # reliable_metrics scope per functions/observe.py)
+    from pyspark.sql import Observation
+
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    n_obs = Observation()
+    with reliable_metrics(spark):
+        (
+            assigned.observe(n_obs, F.count(F.lit(1)).alias("n"))
+            .repartition(min(n_parts, 1 << n_planes), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = int(n_obs.get["n"])
     if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
         written = spark.read.option("basePath", tmp).parquet(tmp)
         (
@@ -2170,14 +2180,24 @@ def ivfpq_index_rebuild(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
         tmp = f"{index_dir}{TMP_SUFFIX}"
-        (
-            _ivfpq_index_columns(assigned)
-            .repartition(min(n_parts, N_CENTROIDS), "cell")
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+        # row count via observed metric on the rewrite — previously a
+        # full read-back count of the written files (round-14 batch 4;
+        # reliable_metrics scope per functions/observe.py)
+        from pyspark.sql import Observation
+
+        from bert_etl_spark.functions.observe import reliable_metrics
+
+        n_obs = Observation()
+        with reliable_metrics(spark):
+            (
+                _ivfpq_index_columns(assigned)
+                .observe(n_obs, F.count(F.lit(1)).alias("n"))
+                .repartition(min(n_parts, N_CENTROIDS), "cell")
+                .write.partitionBy("cell")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            n_rows = int(n_obs.get["n"])
         # stage the NEW quantizers (and keymap) INSIDE tmp: they swap in
         # with the data under the same sentinel — never half-committed.
         # local_frame (ONE Python slice), not createDataFrame: a
@@ -2185,31 +2205,49 @@ def ivfpq_index_rebuild(
         # relation iterates every slice sequentially in one task, paying
         # the Python-worker handshake per slice — measured ~4.5 s per
         # codebook write on local[32] vs ~0.35 s single-slice.
-        local_frame(
-            spark,
-            [(int(r.cid), r.ce) for r in cent_rows],
-            "cid int, ce array<double>",
-        ).write.mode("overwrite").parquet(f"{tmp}/_codebook")
-        local_frame(
-            spark,
-            [(int(r.m), int(r.cid), r.cw) for r in pq_rows],
-            "m int, cid int, cw array<double>",
-        ).write.mode("overwrite").parquet(f"{tmp}/{_PQ_CODEBOOK_DIR}")
+        # The three artifact writes are independent (disjoint tmp
+        # subdirs; the main overwrite that wipes tmp has already
+        # committed above) and all strictly precede the sentinel —
+        # overlapped from driver threads (guide §2.6; round-14 batch 5).
+        from bert_etl_spark.functions.overlap import overlap
+
+        def _cb_write() -> None:
+            local_frame(
+                spark,
+                [(int(r.cid), r.ce) for r in cent_rows],
+                "cid int, ce array<double>",
+            ).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+
+        def _pq_write() -> None:
+            local_frame(
+                spark,
+                [(int(r.m), int(r.cid), r.cw) for r in pq_rows],
+                "m int, cid int, cw array<double>",
+            ).write.mode("overwrite").parquet(f"{tmp}/{_PQ_CODEBOOK_DIR}")
+
+        stages = [_cb_write, _pq_write]
         if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
-            written = spark.read.option("basePath", tmp).parquet(tmp)
-            (
-                written.select(
-                    "vec_id",
-                    "cell",
-                    F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS))
-                    .cast("int")
-                    .alias("kbkt"),
+
+            def _km_write() -> None:
+                written = spark.read.option("basePath", tmp).parquet(tmp)
+                (
+                    written.select(
+                        "vec_id",
+                        "cell",
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS)
+                        )
+                        .cast("int")
+                        .alias("kbkt"),
+                    )
+                    .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+                    .write.partitionBy("kbkt")
+                    .mode("overwrite")
+                    .parquet(f"{tmp}/{KEYMAP_DIR}")
                 )
-                .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
-                .write.partitionBy("kbkt")
-                .mode("overwrite")
-                .parquet(f"{tmp}/{KEYMAP_DIR}")
-            )
+
+            stages.append(_km_write)
+        overlap(*stages)
         tmp_parts = {d.getName() for d in _dirs(tmp, "cell=*")}
         stale = [
             d
@@ -2346,36 +2384,61 @@ def _vector_index_rebuild(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
         tmp = f"{index_dir}{TMP_SUFFIX}"
-        (
-            assigned.repartition(min(n_parts, expected), "cell")
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+        # row count via observed metric on the rewrite — previously a
+        # full read-back count of the written files (round-14 batch 4;
+        # reliable_metrics scope per functions/observe.py)
+        from pyspark.sql import Observation
+
+        from bert_etl_spark.functions.observe import reliable_metrics
+
+        n_obs = Observation()
+        with reliable_metrics(spark):
+            (
+                assigned.observe(n_obs, F.count(F.lit(1)).alias("n"))
+                .repartition(min(n_parts, expected), "cell")
+                .write.partitionBy("cell")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            n_rows = int(n_obs.get["n"])
         # local_frame (one Python slice), not createDataFrame+coalesce:
         # see ivfpq_index_rebuild — the sliced local relation pays one
-        # Python-worker handshake per slice inside the single write task
-        local_frame(
-            spark,
-            [(int(r.cid), r.ce) for r in cent_rows],
-            "cid int, ce array<double>",
-        ).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+        # Python-worker handshake per slice inside the single write task.
+        # Artifact writes are independent (disjoint underscore subdirs of
+        # the already-written tmp; parquet listing hides them from the
+        # keymap's read) — overlapped pre-sentinel (guide §2.6; batch 5).
+        from bert_etl_spark.functions.overlap import overlap
+
+        def _cb_write() -> None:
+            local_frame(
+                spark,
+                [(int(r.cid), r.ce) for r in cent_rows],
+                "cid int, ce array<double>",
+            ).write.mode("overwrite").parquet(f"{tmp}/_codebook")
+
+        stages = [_cb_write]
         if keymap_enabled(spark) or fs.exists(_p(f"{index_dir}/{KEYMAP_DIR}")):
-            written = spark.read.option("basePath", tmp).parquet(tmp)
-            (
-                written.select(
-                    "vec_id",
-                    "cell",
-                    F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS))
-                    .cast("int")
-                    .alias("kbkt"),
+
+            def _km_write() -> None:
+                written = spark.read.option("basePath", tmp).parquet(tmp)
+                (
+                    written.select(
+                        "vec_id",
+                        "cell",
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id")), F.lit(KEYMAP_BUCKETS)
+                        )
+                        .cast("int")
+                        .alias("kbkt"),
+                    )
+                    .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+                    .write.partitionBy("kbkt")
+                    .mode("overwrite")
+                    .parquet(f"{tmp}/{KEYMAP_DIR}")
                 )
-                .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
-                .write.partitionBy("kbkt")
-                .mode("overwrite")
-                .parquet(f"{tmp}/{KEYMAP_DIR}")
-            )
+
+            stages.append(_km_write)
+        overlap(*stages)
         tmp_parts = {d.getName() for d in _dirs(tmp, "cell=*")}
         stale = [
             d

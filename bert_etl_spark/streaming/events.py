@@ -872,22 +872,46 @@ def lsh_band_ledger_stream(
             )
         )
         cand = within if cross is None else within.unionByName(cross)
+
+        def _pairs_write() -> None:
+            cand.distinct().write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
+
+        def _ledger_write() -> None:
+            # one shuffle of the batch's own bands to their bucket
+            # locations — task count = buckets the batch TOUCHES (a
+            # trickle batch against n_buckets=2^k would otherwise launch
+            # n_buckets mostly-empty tasks per epoch; measured 2.7 s/epoch
+            # of pure task overhead at 1024 buckets locally), one file per
+            # touched bucket. First epoch (touched not collected):
+            # parallelism-capped — same bound.
+            fresh.repartition(n_write_tasks, "bkt").write.partitionBy(
+                "bkt"
+            ).mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
+
         t0 = _t.perf_counter()
-        cand.distinct().write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={epoch_id}"
-        )
-        _mark("pairs_write", t0)
-        t0 = _t.perf_counter()
-        # one shuffle of the batch's own bands to their bucket locations —
-        # task count = buckets the batch TOUCHES (a trickle batch against
-        # n_buckets=2^k would otherwise launch n_buckets mostly-empty
-        # tasks per epoch; measured 2.7 s/epoch of pure task overhead at
-        # 1024 buckets locally), one file per touched bucket. First epoch
-        # (touched not collected): parallelism-capped — same bound.
-        fresh.repartition(n_write_tasks, "bkt").write.partitionBy(
-            "bkt"
-        ).mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
-        _mark("ledger_write", t0)
+        if ledger is not None:
+            # the two epoch outputs are independent (different dirs, both
+            # epoch-overwrite idempotent — a crash between them replays
+            # both), and by this point every shared input (bands, probe)
+            # is already materialized in the block cache, so overlapping
+            # them from two driver threads back-fills the tail of one
+            # job with the other's tasks (guide §2.6). First epoch keeps
+            # the serial order: bands is not yet cached there and two
+            # concurrent first-materializations would compute the
+            # shingle/minhash pass twice.
+            from bert_etl_spark.functions.overlap import overlap
+
+            overlap(_pairs_write, _ledger_write)
+            _mark("pairs_write", t0)
+            _mark("ledger_write", t0)
+        else:
+            _pairs_write()
+            _mark("pairs_write", t0)
+            t0 = _t.perf_counter()
+            _ledger_write()
+            _mark("ledger_write", t0)
         for d in batch_persists:
             d.unpersist()
         if timing:
@@ -1145,13 +1169,23 @@ def cdc_compact_state(spark: SparkSession, state_dir: str) -> int:
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
-    (
-        folded.repartition(min(n_parts, nb), "bkt")
-        .write.partitionBy("bkt")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    # the folded row count rides the tmp write as an observed metric —
+    # previously a full read-back count of the files just written
+    # (round-14 batch 4; reliable_metrics scope per functions/observe.py)
+    from pyspark.sql import Observation
+
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    fold_obs = Observation()
+    with reliable_metrics(spark):
+        (
+            folded.observe(fold_obs, F.count(F.lit(1)).alias("n"))
+            .repartition(min(n_parts, nb), "bkt")
+            .write.partitionBy("bkt")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = int(fold_obs.get["n"])
     # COMMIT POINT: tmp complete. Under a settled modulus the fold keeps
     # one row per key (D rows included), so every bucket holding data
     # keeps a tmp counterpart — the stale set below is empty. It is
@@ -1226,13 +1260,22 @@ def cdc_rebucket(spark: SparkSession, state_dir: str, new_n_buckets: int) -> int
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
-    (
-        folded.repartition(min(n_parts, new_nb), "bkt")
-        .write.partitionBy("bkt")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    n_rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    # migrated row count via observed metric on the tmp write — the
+    # cdc_compact_state shape (round-14 batch 4)
+    from pyspark.sql import Observation
+
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    mig_obs = Observation()
+    with reliable_metrics(spark):
+        (
+            folded.observe(mig_obs, F.count(F.lit(1)).alias("n"))
+            .repartition(min(n_parts, new_nb), "bkt")
+            .write.partitionBy("bkt")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = int(mig_obs.get["n"])
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(state_dir).getFileSystem(hconf)
@@ -1395,13 +1438,25 @@ def cdc_index_sync(
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
     from bert_etl_spark.functions.release import release
 
+    from pyspark.sql import Observation
+
     state = latest_cdc_state(spark, state_dir)
     last = read_int_marker(spark, f"{index_dir}/{CDC_SYNCED_SEQ}")
     if last is not None:
         state = state.filter(F.col("seq") > last)
-    delta = state.localCheckpoint(eager=True)
+    # the watermark candidate rides the checkpoint job as an observed
+    # metric instead of a second aggregate job (round-14 batch 4;
+    # reliable_metrics — an already-synced state makes delta
+    # runtime-empty, which stock AQE would fold away with the metric)
+    from bert_etl_spark.functions.observe import reliable_metrics
+
+    mx_obs = Observation()
+    with reliable_metrics(spark):
+        delta = state.observe(
+            mx_obs, F.max("seq").alias("mx")
+        ).localCheckpoint(eager=True)
+        mx = mx_obs.get["mx"]
     try:
-        mx = delta.agg(F.max("seq")).first()[0]
         if mx is None:
             return (0, 0, 0)
         nd = delete(
