@@ -654,12 +654,15 @@ def keymap_lookup(
     km = f"{index_dir}/{KEYMAP_DIR}"
     if not fs.exists(p(km)):
         return None
-    kbkts = [
-        r[0]
-        for r in request.select(_keymap_bucket(key).alias("kb"))
-        .distinct()
-        .collect()
-    ]
+    # distinct on the DRIVER: the request frame is checkpointed and
+    # batch-bounded, so the plain collect is one job over the checkpoint
+    # blocks where distinct() paid a shuffle (2 jobs) per lookup (batch 6)
+    kbkts = sorted(
+        {
+            r[0]
+            for r in request.select(_keymap_bucket(key).alias("kb")).collect()
+        }
+    )
     scan = physical_pruned_scan(spark, km, "kbkt", kbkts)
     if scan is None:  # map exists but holds none of the request buckets
         return request.select(key).limit(0)

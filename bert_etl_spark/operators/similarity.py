@@ -384,7 +384,10 @@ def _ivf_assign_plan(
     filters on without a corpus join (the vector-store convention of
     storing metadata next to the vector)."""
     if cent_rows is None:
-        cent_rows = _ivf_centroids(spark, sf_dir).orderBy("cid").collect()
+        cent_rows = sorted(  # driver-side sort: bounded unique-cid rows,
+            _ivf_centroids(spark, sf_dir).collect(),  # skips the range-
+            key=lambda r: r["cid"],  # exchange job pair (batch 6)
+        )
     return _prepared(spark, sf_dir).select(
         "vec_id", "label", "e", "nrm", _argmax_cell(cent_rows).alias("cell")
     )
@@ -1724,12 +1727,13 @@ def _pq_codebook_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_pq_codebook(spark: SparkSession, index_dir: str) -> list:
-    """The frozen PQ codebook rows (m, cid, cw), ordered (m, cid)."""
-    return (
-        spark.read.parquet(f"{index_dir}/{_PQ_CODEBOOK_DIR}/*.parquet")
-        .orderBy("m", "cid")
-        .collect()
-    )
+    """The frozen PQ codebook rows (m, cid, cw), ordered (m, cid) —
+    driver-side sort of the bounded (M×K unique-keyed) collect, same
+    3-jobs-per-call argument as read_codebook."""
+    rows = spark.read.parquet(
+        f"{index_dir}/{_PQ_CODEBOOK_DIR}/*.parquet"
+    ).collect()
+    return sorted(rows, key=lambda r: (r["m"], r["cid"]))
 
 
 def _pq_codes_col(pq_rows: list) -> Column:
@@ -1815,8 +1819,13 @@ def ivfpq_build_or_open(spark: SparkSession, sf_dir: str, index_dir: str) -> Non
         )
     if marker is not None:
         return
-    cent_rows = _ivf_centroids(spark, sf_dir).orderBy("cid").collect()
-    pq_rows = _pq_codebook_frame(spark, sf_dir).orderBy("m", "cid").collect()
+    cent_rows = sorted(  # driver-side sorts of the bounded codebook
+        _ivf_centroids(spark, sf_dir).collect(), key=lambda r: r["cid"]
+    )  # collects — no range-exchange jobs (batch 6)
+    pq_rows = sorted(
+        _pq_codebook_frame(spark, sf_dir).collect(),
+        key=lambda r: (r["m"], r["cid"]),
+    )
 
     def _freeze():
         _write_codebook(spark, sf_dir, index_dir, _ivf_centroids(spark, sf_dir))
@@ -3984,12 +3993,12 @@ def read_codebook(spark: SparkSession, index_dir: str) -> list:
     """The frozen codebook rows (cid, ce), ordered by cid. The glob reads
     the data files directly: pointing spark.read at the underscore-hidden
     dir itself works but logs a spurious 'All paths were ignored' WARN
-    per query."""
-    return (
-        spark.read.parquet(f"{index_dir}/_codebook/*.parquet")
-        .orderBy("cid")
-        .collect()
-    )
+    per query. The order lives on the DRIVER (bounded ≤ |C| rows, unique
+    int cid): a Spark orderBy here is a range exchange whose sampling +
+    sort + take ran as 3 driver-synchronous jobs per call — per VERB
+    call, on every probe/ingest/rebuild (round-14 batch 6)."""
+    rows = spark.read.parquet(f"{index_dir}/_codebook/*.parquet").collect()
+    return sorted(rows, key=lambda r: r["cid"])
 
 
 def _maxsim_cells_scan(
@@ -4018,14 +4027,19 @@ def _probed_cells(probes: DataFrame) -> list[int]:
     """The distinct cell ids a query's probes touch — a bounded driver
     collect (≤ |C| small ints; the ledger's touched-bucket idiom) that
     lets the at-rest read prune at PATH ENUMERATION."""
-    return [r["cell"] for r in probes.select("cell").distinct().collect()]
+    # distinct on the DRIVER: the probe set is bounded (|Q| x nprobe
+    # rows), and a Spark distinct() here is a shuffle that ran as 2 more
+    # driver-synchronous jobs per probe call (batch 6)
+    return sorted({r["cell"] for r in probes.select("cell").collect()})
 
 
 def _maxsim_assign_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lazy assignment plan (shared by both materializations): one
     narrow constant-folded projection over the corpus — 64 inlined-literal
     dot products and an argmax per row inside whole-stage codegen."""
-    cent_rows = _maxsim_centroids(spark, sf_dir).orderBy("cid").collect()
+    cent_rows = sorted(  # driver-side sort (bounded, unique cid; batch 6)
+        _maxsim_centroids(spark, sf_dir).collect(), key=lambda r: r["cid"]
+    )
     prep = _prepared(spark, sf_dir).withColumn(
         "doc", F.expr(f"vec_id div {MAXSIM_GROUP}")
     )

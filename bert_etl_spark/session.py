@@ -52,6 +52,16 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # --- scans ---
     "spark.sql.files.maxPartitionBytes": "128m",
+    # File-listing strategy: above this many paths Spark lists via a
+    # distributed job (scheduler round trip + task launch per read).
+    # The CDC op log and the key->partition map are 64-bucket layouts,
+    # so at the stock threshold (32) EVERY full read of either paid a
+    # listing job for 64 tiny dirs (measured 0.1-0.25 s each, on every
+    # latest_cdc_state/fold/rebucket call — round-14 batch 6). 128 keeps
+    # all index-family layouts on the driver's threaded lister; tables
+    # with hundreds+ of partition dirs (the 100 TB case) still use the
+    # distributed path.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "128",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # --- python boundary ---

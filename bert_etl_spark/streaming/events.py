@@ -1104,10 +1104,12 @@ def cdc_lookup(
     if nb is None:
         raise ValueError(f"no applied CDC state under {state_dir}")
     req = keys.select("k").dropDuplicates(["k"])
-    bkts = [
-        r[0]
-        for r in req.select(_cdc_bucket(nb).alias("b")).distinct().collect()
-    ]
+    # bucket distinct on the DRIVER: the request is bounded (a serving
+    # lookup), and a Spark distinct() on top of the key-dedup shuffle ran
+    # as 2 extra driver-synchronous jobs per lookup (round-14 batch 6)
+    bkts = sorted(
+        {r[0] for r in req.select(_cdc_bucket(nb).alias("b")).collect()}
+    )
     scan = physical_pruned_scan(
         spark, state_dir, "bkt", bkts, merge_schema=True
     )
@@ -1332,15 +1334,30 @@ def cdc_apply_stream(
     _MINPART = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        prev = spark.conf.get(_MINPART, None)
-        spark.conf.set(_MINPART, "1m")
+        # BOTH sessions: the micro-batch frame is bound to the stream's
+        # CLONED session (outer-session confs never reach its
+        # executions — the reliable_metrics finding, round-14 batch 4),
+        # so the epoch body needs the conf on batch_df.sparkSession,
+        # while the in-path fold (cdc_compact_state) plans against the
+        # OUTER handle. Session-1's wrapper set only the outer one;
+        # re-measured round-14 session 3 (4-rep interleaved A/B):
+        # apply_folded min 8.21 -> 7.08, medians 9.08 -> 8.36, and
+        # schema_evolution -0.5 s under the 1m floor.
+        sessions = {id(spark): spark}
+        sessions.setdefault(id(batch_df.sparkSession), batch_df.sparkSession)
+        prev = {
+            sid: s.conf.get(_MINPART, None) for sid, s in sessions.items()
+        }
+        for s in sessions.values():
+            s.conf.set(_MINPART, "1m")
         try:
             _apply_inner(batch_df, epoch_id)
         finally:
-            if prev is None:
-                spark.conf.unset(_MINPART)
-            else:
-                spark.conf.set(_MINPART, prev)
+            for sid, s in sessions.items():
+                if prev[sid] is None:
+                    s.conf.unset(_MINPART)
+                else:
+                    s.conf.set(_MINPART, prev[sid])
 
     def _apply_inner(batch_df: DataFrame, epoch_id: int) -> None:
         nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
