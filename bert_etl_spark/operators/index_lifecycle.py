@@ -224,6 +224,34 @@ def open_index(
     return None
 
 
+def bucket_layout(df: DataFrame, part_col, n_parts: int) -> DataFrame:
+    """Shuffle rows to their bucketed-layout write tasks, SIZED BY AQE:
+    an explicit ``repartition(N, col)`` pins N shuffle tasks that AQE is
+    not allowed to coalesce (user-specified count), so every maintenance
+    write paid N tasks even for a trickle batch — measured round-14
+    session 3 as a 32-task write stage per CDC apply epoch over ~5k-row
+    batches — while at 100 TB the same N is an arbitrary cap unrelated
+    to data size. ``repartition(col)`` keeps the hash layout (each
+    partition value still lands wholly in one task, so per-bucket file
+    counts are unchanged) but leaves the count at
+    ``spark.sql.shuffle.partitions`` for AQE to coalesce by bytes — the
+    derive-from-data shape (guide §2). Falls back to the explicit count
+    when AQE partition coalescing is off."""
+    conf = df.sparkSession.conf
+
+    def _on(key: str) -> bool:
+        try:
+            return str(conf.get(key, "true")).lower() == "true"
+        except Exception:
+            return True
+
+    if _on("spark.sql.adaptive.enabled") and _on(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    ):
+        return df.repartition(part_col)
+    return df.repartition(n_parts, part_col)
+
+
 def build_index(
     spark: SparkSession,
     index_dir: str,
@@ -247,7 +275,7 @@ def build_index(
 
     write_int_marker(spark, f"{index_dir}/{BUILDING_SENTINEL}", value)
     (
-        assign.repartition(n_parts, part_col)
+        bucket_layout(assign, part_col, n_parts)
         .write.partitionBy(part_col)
         .mode("append")  # dir verified empty of part dirs; append keeps
         .parquet(index_dir)  # the sentinel alive (overwrite wipes the dir)
@@ -386,8 +414,11 @@ def ingest_rows(
             # ignores)
             n_obs = Observation()
             (
-                fresh.observe(n_obs, F.count(F.lit(1)).alias("n"))
-                .repartition(n_parts, part_col)
+                bucket_layout(
+                    fresh.observe(n_obs, F.count(F.lit(1)).alias("n")),
+                    part_col,
+                    n_parts,
+                )
                 .write.partitionBy(part_col)
                 .mode("append")
                 .parquet(index_dir)
@@ -540,7 +571,7 @@ def upsert_rows(
             )
         tmp = f"{index_dir}{TMP_SUFFIX}"
         (
-            rows.repartition(min(n_parts, len(touched)), part_col)
+            bucket_layout(rows, part_col, min(n_parts, len(touched)))
             .write.partitionBy(part_col)
             .mode("overwrite")
             .parquet(tmp)
@@ -632,9 +663,13 @@ def keymap_record(
     fresh) write nothing and the map stays duplicate-free along the same
     proof as the main append."""
     (
-        rows.select(key, part_col)
-        .withColumn("kbkt", _keymap_bucket(key))
-        .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+        bucket_layout(
+            rows.select(key, part_col).withColumn(
+                "kbkt", _keymap_bucket(key)
+            ),
+            "kbkt",
+            min(n_parts, KEYMAP_BUCKETS),
+        )
         .write.partitionBy("kbkt")
         .mode("append")
         .parquet(f"{index_dir}/{KEYMAP_DIR}")
@@ -1081,8 +1116,11 @@ def compact_index(
     n_obs = Observation()
     with reliable_metrics(spark):
         (
-            table.observe(n_obs, F.count(F.lit(1)).alias("n"))
-            .repartition(n_parts, part_col)
+            bucket_layout(
+                table.observe(n_obs, F.count(F.lit(1)).alias("n")),
+                part_col,
+                n_parts,
+            )
             .write.partitionBy(part_col)
             .mode("overwrite")
             .parquet(tmp)
@@ -1120,7 +1158,7 @@ def compact_index(
         refreshed = kdf.join(F.broadcast(tkeys), key, "left_anti")
         ktmp = f"{km}{TMP_SUFFIX}"
         (
-            refreshed.repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+            bucket_layout(refreshed, "kbkt", min(n_parts, KEYMAP_BUCKETS))
             .write.partitionBy("kbkt")
             .mode("overwrite")
             .parquet(ktmp)

@@ -1262,6 +1262,7 @@ def simlsh_index_rebuild(
         PENDING_SENTINEL,
         TMP_SUFFIX,
         apply_tombstones,
+        bucket_layout,
         finish_compaction_swap,
         keymap_enabled,
         open_index,
@@ -1321,8 +1322,11 @@ def simlsh_index_rebuild(
     n_obs = Observation()
     with reliable_metrics(spark):
         (
-            assigned.observe(n_obs, F.count(F.lit(1)).alias("n"))
-            .repartition(min(n_parts, 1 << n_planes), "bucket")
+            bucket_layout(
+                assigned.observe(n_obs, F.count(F.lit(1)).alias("n")),
+                "bucket",
+                min(n_parts, 1 << n_planes),
+            )
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)
@@ -1338,7 +1342,11 @@ def simlsh_index_rebuild(
                 .cast("int")
                 .alias("kbkt"),
             )
-            .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+            .transform(
+                lambda d: bucket_layout(
+                    d, "kbkt", min(n_parts, KEYMAP_BUCKETS)
+                )
+            )
             .write.partitionBy("kbkt")
             .mode("overwrite")
             .parquet(f"{tmp}/{KEYMAP_DIR}")
@@ -2075,6 +2083,7 @@ def ivfpq_index_rebuild(
         PENDING_SENTINEL,
         TMP_SUFFIX,
         apply_tombstones,
+        bucket_layout,
         finish_compaction_swap,
         keymap_enabled,
         open_index,
@@ -2135,19 +2144,19 @@ def ivfpq_index_rebuild(
         live.join(F.broadcast(src.select("vec_id")), "vec_id", "left_anti")
         .select("vec_id", "label", F.concat(*pieces).alias("e"))
     )
-    # SLIM unresolved-key count (key columns only — the reconstruction
-    # expression itself runs once, in the rewrite; counting through it
-    # would execute the codeword concat a second time for nothing)
-    n_recon = (
-        live.select("vec_id")
-        .join(src.select("vec_id"), "vec_id", "left_anti")
-        .count()
-    )
     # NOT checkpointed (the 100 TB memory-hazard rule above): the full
     # resolve-join executes exactly once — in the rewrite — because the
     # seeds resolve through a SLIM path: the PQ_K smallest live keys
     # (TakeOrdered over the key column alone) broadcast into the join.
-    all_rows = resolved.unionByName(recon)
+    # The unresolved-key count rides the rewrite as an observed metric
+    # on a union-side tag (previously a separate slim anti-join count
+    # job — a second full pass over the live key column at scale;
+    # round-14 session 3). The tag is observed on the write branch only
+    # (the seed TakeOrdered must not complete the Observation with
+    # limit-truncated values) and dropped by the assigned projection.
+    all_rows = resolved.withColumn("_recon", F.lit(0)).unionByName(
+        recon.withColumn("_recon", F.lit(1))
+    )
     try:
         # deterministic retrain: the build's first-N rule over LIVE rows,
         # renumbered densely (collect is bounded: PQ_K rows)
@@ -2179,7 +2188,16 @@ def ivfpq_index_rebuild(
             for m in range(PQ_M)
             for i, s in enumerate(seeds)
         ]
-        assigned = all_rows.select(
+        from pyspark.sql import Observation
+
+        from bert_etl_spark.functions.observe import reliable_metrics
+
+        n_obs = Observation()
+        assigned = all_rows.observe(  # write-branch only: see _recon note
+            n_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_recon").alias("nrec"),
+        ).select(
             "vec_id",
             F.col("label").cast("int").alias("label"),
             _argmax_cell(cent_rows).cast("int").alias("cell"),
@@ -2189,24 +2207,25 @@ def ivfpq_index_rebuild(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
         tmp = f"{index_dir}{TMP_SUFFIX}"
-        # row count via observed metric on the rewrite — previously a
-        # full read-back count of the written files (round-14 batch 4;
-        # reliable_metrics scope per functions/observe.py)
-        from pyspark.sql import Observation
-
-        from bert_etl_spark.functions.observe import reliable_metrics
-
-        n_obs = Observation()
+        # row count + unresolved-key count via observed metrics on the
+        # rewrite — previously a full read-back count of the written
+        # files (round-14 batch 4) plus a separate slim anti-join count
+        # job (folded here, session 3; reliable_metrics scope per
+        # functions/observe.py)
         with reliable_metrics(spark):
             (
-                _ivfpq_index_columns(assigned)
-                .observe(n_obs, F.count(F.lit(1)).alias("n"))
-                .repartition(min(n_parts, N_CENTROIDS), "cell")
+                bucket_layout(
+                    _ivfpq_index_columns(assigned),
+                    "cell",
+                    min(n_parts, N_CENTROIDS),
+                )
                 .write.partitionBy("cell")
                 .mode("overwrite")
                 .parquet(tmp)
             )
-            n_rows = int(n_obs.get["n"])
+            row = n_obs.get
+            n_rows = int(row["n"])
+            n_recon = int(row["nrec"] or 0)
         # stage the NEW quantizers (and keymap) INSIDE tmp: they swap in
         # with the data under the same sentinel — never half-committed.
         # local_frame (ONE Python slice), not createDataFrame: a
@@ -2249,7 +2268,11 @@ def ivfpq_index_rebuild(
                         .cast("int")
                         .alias("kbkt"),
                     )
-                    .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+                    .transform(
+                        lambda d: bucket_layout(
+                            d, "kbkt", min(n_parts, KEYMAP_BUCKETS)
+                        )
+                    )
                     .write.partitionBy("kbkt")
                     .mode("overwrite")
                     .parquet(f"{tmp}/{KEYMAP_DIR}")
@@ -2331,6 +2354,7 @@ def _vector_index_rebuild(
         PENDING_SENTINEL,
         TMP_SUFFIX,
         apply_tombstones,
+        bucket_layout,
         finish_compaction_swap,
         keymap_enabled,
         open_index,
@@ -2403,8 +2427,11 @@ def _vector_index_rebuild(
         n_obs = Observation()
         with reliable_metrics(spark):
             (
-                assigned.observe(n_obs, F.count(F.lit(1)).alias("n"))
-                .repartition(min(n_parts, expected), "cell")
+                bucket_layout(
+                    assigned.observe(n_obs, F.count(F.lit(1)).alias("n")),
+                    "cell",
+                    min(n_parts, expected),
+                )
                 .write.partitionBy("cell")
                 .mode("overwrite")
                 .parquet(tmp)
@@ -2440,7 +2467,11 @@ def _vector_index_rebuild(
                         .cast("int")
                         .alias("kbkt"),
                     )
-                    .repartition(min(n_parts, KEYMAP_BUCKETS), "kbkt")
+                    .transform(
+                        lambda d: bucket_layout(
+                            d, "kbkt", min(n_parts, KEYMAP_BUCKETS)
+                        )
+                    )
                     .write.partitionBy("kbkt")
                     .mode("overwrite")
                     .parquet(f"{tmp}/{KEYMAP_DIR}")

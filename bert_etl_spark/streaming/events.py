@@ -1156,6 +1156,7 @@ def cdc_compact_state(spark: SparkSession, state_dir: str) -> int:
     from bert_etl_spark.operators.index_lifecycle import (
         PENDING_SENTINEL,
         TMP_SUFFIX,
+        bucket_layout,
         finish_compaction_swap,
         open_index,
     )
@@ -1181,8 +1182,11 @@ def cdc_compact_state(spark: SparkSession, state_dir: str) -> int:
     fold_obs = Observation()
     with reliable_metrics(spark):
         (
-            folded.observe(fold_obs, F.count(F.lit(1)).alias("n"))
-            .repartition(min(n_parts, nb), "bkt")
+            bucket_layout(
+                folded.observe(fold_obs, F.count(F.lit(1)).alias("n")),
+                "bkt",
+                min(n_parts, nb),
+            )
             .write.partitionBy("bkt")
             .mode("overwrite")
             .parquet(tmp)
@@ -1241,6 +1245,7 @@ def cdc_rebucket(spark: SparkSession, state_dir: str, new_n_buckets: int) -> int
     from bert_etl_spark.operators.index_lifecycle import (
         PENDING_SENTINEL,
         TMP_SUFFIX,
+        bucket_layout,
         finish_compaction_swap,
         open_index,
     )
@@ -1271,8 +1276,11 @@ def cdc_rebucket(spark: SparkSession, state_dir: str, new_n_buckets: int) -> int
     mig_obs = Observation()
     with reliable_metrics(spark):
         (
-            folded.observe(mig_obs, F.count(F.lit(1)).alias("n"))
-            .repartition(min(n_parts, new_nb), "bkt")
+            bucket_layout(
+                folded.observe(mig_obs, F.count(F.lit(1)).alias("n")),
+                "bkt",
+                min(n_parts, new_nb),
+            )
             .write.partitionBy("bkt")
             .mode("overwrite")
             .parquet(tmp)
