@@ -1332,40 +1332,52 @@ def cdc_apply_stream(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
 
-    # The apply epoch is many TINY latency-bound shuffles (open/recover,
-    # opkey dedup, O(touched-buckets) appends); the session's 64k AQE
-    # coalescing floor (tuned for CPU-dense stages) splits them into
-    # extra tasks that are pure scheduling overhead here — measured
-    # round-14: min 6.9 s under a 1m floor vs 7.4 s under 64k, medians
-    # 9.1 vs 12.7. Scoped per epoch and restored, so only CDC-apply
-    # stages see the coarser floor.
-    _MINPART = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    # The apply epoch's plans are BATCH-BOUNDED by construction (opkey
+    # dedup of one micro-batch, broadcast semi/anti against the touched
+    # buckets' keys, an O(touched-buckets) append) and repeat on every
+    # trigger forever — exactly where AQE's per-stage re-planning is
+    # pure driver overhead and its runtime choices have nothing to
+    # decide (no join-strategy question: the batch side is broadcast by
+    # construction; no skew joins; writes are bucket-keyed). Measured
+    # round-14 session 3, 3-rep interleaved A/B at sf0.1:
+    # streaming_cdc_apply medians 7.81 -> 5.87 s, index_sync 12.89 ->
+    # 10.85 s with adaptive off. Earlier floor history: session 1 set a
+    # 1m coalescing floor here (min 6.9 vs 7.4 s), session 3 re-measured
+    # it on the CLONE session (apply_folded medians 9.08 -> 8.36) —
+    # both subsumed by disabling AQE in the epoch. Scoped per epoch on
+    # BOTH sessions (the micro-batch frame is bound to the stream's
+    # CLONED session — outer-session confs never reach its executions,
+    # the reliable_metrics finding, batch 4 — while the in-path fold
+    # plans against the OUTER handle) and restored after. Opt back in
+    # per deployment via spark.bert_etl.cdc.applyAdaptive=true (e.g. if
+    # a deployment's epochs are large enough that AQE coalescing of the
+    # epoch shuffles pays for its re-planning).
+    _AQE = "spark.sql.adaptive.enabled"
+    CDC_APPLY_ADAPTIVE_CONF = "spark.bert_etl.cdc.applyAdaptive"
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        # BOTH sessions: the micro-batch frame is bound to the stream's
-        # CLONED session (outer-session confs never reach its
-        # executions — the reliable_metrics finding, round-14 batch 4),
-        # so the epoch body needs the conf on batch_df.sparkSession,
-        # while the in-path fold (cdc_compact_state) plans against the
-        # OUTER handle. Session-1's wrapper set only the outer one;
-        # re-measured round-14 session 3 (4-rep interleaved A/B):
-        # apply_folded min 8.21 -> 7.08, medians 9.08 -> 8.36, and
-        # schema_evolution -0.5 s under the 1m floor.
+        keep_aqe = (
+            str(spark.conf.get(CDC_APPLY_ADAPTIVE_CONF, "false")).lower()
+            == "true"
+        )
+        if keep_aqe:
+            _apply_inner(batch_df, epoch_id)
+            return
         sessions = {id(spark): spark}
         sessions.setdefault(id(batch_df.sparkSession), batch_df.sparkSession)
         prev = {
-            sid: s.conf.get(_MINPART, None) for sid, s in sessions.items()
+            sid: s.conf.get(_AQE, None) for sid, s in sessions.items()
         }
         for s in sessions.values():
-            s.conf.set(_MINPART, "1m")
+            s.conf.set(_AQE, "false")
         try:
             _apply_inner(batch_df, epoch_id)
         finally:
             for sid, s in sessions.items():
                 if prev[sid] is None:
-                    s.conf.unset(_MINPART)
+                    s.conf.unset(_AQE)
                 else:
-                    s.conf.set(_MINPART, prev[sid])
+                    s.conf.set(_AQE, prev[sid])
 
     def _apply_inner(batch_df: DataFrame, epoch_id: int) -> None:
         nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
