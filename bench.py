@@ -1,7 +1,12 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE full JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by one COMPACT summary line (same metric/value/unit/sf, no
+per-query map) so a tail-window capture that truncates the ~5 KB full
+line still ends with a parseable record (round-14 verdict, "What's
+wrong" #1). The complete per-query map is also written to
+BENCH_detail.json ($SPARK_GRAFT_BENCH_OUT).
 
 Each query executes end-to-end via the noop sink (full computation, no
 driver-side collect overhead).
@@ -274,9 +279,15 @@ def main() -> None:
 
     # Two full suite passes, per-query minimum: this box exhibits a random
     # ~6 s stall that lands on one arbitrary query per pass; min-of-2 keeps
-    # it out of the headline. Cache is cleared BETWEEN passes so each pass
-    # preserves the intended intra-suite plan-cache sharing (the dedup
-    # family reuses the shingle table) while pass 2 never reads pass 1's.
+    # it out of the headline. Cache is cleared BETWEEN passes — catalog
+    # cache AND the checkpoint_once family memos (round-15 measurement
+    # fix: the memoized localCheckpoint tables survive clearCache(), so
+    # pass 2's family-builder queries were timed against pass 1's warm
+    # build; with both cleared, each pass preserves the intended
+    # intra-pass sharing — the dedup family builds shingles once and
+    # reuses them — while min-of-2 measures two honest builds). The
+    # session-scoped scratch INDEX dirs are deliberately NOT cleared:
+    # "probe a standing index" is those operators' declared semantics.
     # One failing query must not zero out the round's entire evidence
     # (round 3: a single AnalysisException aborted bench before any number
     # was printed). Failures are recorded per-query and the run continues.
@@ -284,6 +295,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for _pass in range(2):
         spark.catalog.clearCache()
+        registry.release_shared_checkpoints()
         for name in headline:
             fn = registry.ALL_QUERIES.get(name)
             if fn is None:
@@ -357,6 +369,24 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # Second, COMPACT summary line (metric/value/unit/sf only — no
+    # per-query map): the full line above is ~5 KB at 173 queries and a
+    # tail-window capture can truncate it mid-line (round-13's bench
+    # record was lost exactly this way; round-14 verdict "What's wrong"
+    # #1). A truncated tail still ends with this short parseable line,
+    # so the headline total survives any tail window. Additions-only:
+    # the full JSON line above is unchanged and still printed first; the
+    # complete per-query map is also persisted to BENCH_detail.json.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": result["sf"],
+            }
+        )
+    )
     sys.stdout.flush()
     # full per-query detail to a committed file: the driver's BENCH_r{N}
     # records only a truncated tail of this line (~46 of the headline

@@ -32,6 +32,33 @@ _RULE = (
 )
 
 
+def observed_distinct(df, col) -> list:
+    """The distinct values of ``col`` over ``df``, collected to the
+    driver BOUNDED: the set rides a shuffle-free noop scan as an
+    observed ``collect_set`` metric, so the driver receives at most the
+    value-domain cardinality (a bucket/cell modulus — 64ish ints) no
+    matter how many rows the frame holds. The bare ``.collect()`` it
+    replaces materialized one row per input row on the driver — O(64)
+    for a serving probe but O(|request|) for a bulk delete feed
+    (round-14 advice, 'medium' item #2) — and paid a dedup shuffle
+    where this pays none. Exactly ONE driver-synchronous job either
+    way. ``col``: a column name or Column expression."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    obs = Observation()
+    with reliable_metrics(df.sparkSession):
+        (
+            df.select(c.alias("v"))
+            .observe(obs, F.collect_set("v").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return sorted(obs.get["s"])
+
+
 @contextmanager
 def reliable_metrics(spark):
     """Make observed metrics reliable for actions run inside the scope

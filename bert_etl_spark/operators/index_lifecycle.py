@@ -239,11 +239,12 @@ def bucket_layout(df: DataFrame, part_col, n_parts: int) -> DataFrame:
     when AQE partition coalescing is off."""
     conf = df.sparkSession.conf
 
+    # no try/except: conf.get with a default never raises for an unset
+    # key, and swallowing a REAL failure here would silently select the
+    # AQE path while AQE is off — an uncoalesced full-width write with
+    # nothing failing loudly (round-14 advice, 'low' item)
     def _on(key: str) -> bool:
-        try:
-            return str(conf.get(key, "true")).lower() == "true"
-        except Exception:
-            return True
+        return str(conf.get(key, "true")).lower() == "true"
 
     if _on("spark.sql.adaptive.enabled") and _on(
         "spark.sql.adaptive.coalescePartitions.enabled"
@@ -502,6 +503,89 @@ def upsert_rows(
     the returned counts are DISTINCT KEYS, not rows. Replace semantics
     are unchanged: every standing row of a batch key goes, every batch
     row lands."""
+    _, n_replaced, n_inserted = _upsert_delete_impl(
+        spark,
+        index_dir,
+        marker_name,
+        expected,
+        assigned,
+        None,
+        part_col,
+        n_parts,
+        key,
+        keymap,
+        multi_rows,
+    )
+    return (n_replaced, n_inserted)
+
+
+def upsert_delete_rows(
+    spark: SparkSession,
+    index_dir: str,
+    marker_name: str,
+    expected: int,
+    assigned: DataFrame,
+    drop_keys: DataFrame,
+    part_col: str,
+    n_parts: int,
+    key: str = "vec_id",
+    keymap: bool = False,
+) -> tuple[int, int, int]:
+    """Keyed upsert AND keyed delete in ONE touched-partition rewrite —
+    the combined maintenance verb ``cdc_index_sync`` exists for (its
+    delta yields exactly one final op per key, so the two key sets are
+    DISJOINT by construction — the caller's contract here). Returns
+    ``(n_deleted, n_replaced, n_inserted)``.
+
+    Semantics equal delete-then-upsert run sequentially, through HALF
+    the verb machinery (one batch checkpoint, one slim locate scan, one
+    tmp rewrite, one sentinel swap — round-15, the round-14 verdict's
+    'next round' item #3): ``drop_keys``' physically-present keys are
+    REMOVED in the same swap that replaces/inserts the batch keys
+    (their partitions join the touched set via the same slim scan), so
+    no tombstone is recorded for them — physical removal inside a
+    sentinel-committed rewrite is strictly stronger masking than the
+    tombstone the sequential path wrote, and the next compact would
+    have rewritten those partitions anyway. ``n_deleted`` counts drop
+    keys physically present and not already tombstoned — the number
+    delete_keys would have returned. Tombstones already standing for
+    either key set are cleared in the staged artifact (batch keys
+    resurrect exactly as in upsert_rows; drop keys' rows are physically
+    gone, so their tombstones would mask nothing). Crash/replay proof
+    is upsert_rows': a deterministic rewrite behind the sentinel swap —
+    a replayed sync finds the drop keys already absent (n_deleted=0)
+    and lands the identical end state. ``drop_keys`` (any frame with a
+    ``key`` column) must be cheap to re-execute — it is referenced by
+    several subplans; callers pass a projection of an already-
+    checkpointed delta."""
+    return _upsert_delete_impl(
+        spark,
+        index_dir,
+        marker_name,
+        expected,
+        assigned,
+        drop_keys,
+        part_col,
+        n_parts,
+        key,
+        keymap,
+        False,
+    )
+
+
+def _upsert_delete_impl(
+    spark: SparkSession,
+    index_dir: str,
+    marker_name: str,
+    expected: int,
+    assigned: DataFrame,
+    drop_keys: DataFrame | None,
+    part_col: str,
+    n_parts: int,
+    key: str,
+    keymap: bool,
+    multi_rows: bool,
+) -> tuple[int, int, int]:
     from pyspark.sql import functions as F
 
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
@@ -541,32 +625,89 @@ def upsert_rows(
         brow = batch_obs.get
     try:
         n_batch = int(brow["n"])
-        if n_batch == 0:
-            return (0, 0)
+        n_deleted = 0
+        if n_batch == 0 and drop_keys is None:
+            return (0, 0, 0)
         new_parts = list(brow["parts"])
-        # slim (key, part) scan to locate standing rows of the batch keys
-        # — bounded result: |batch keys| × (physical dup rows, normally
-        # 1); one aggregate job for the replace count + old partitions
-        lrow = (
-            spark.read.option("basePath", index_dir)
-            .parquet(index_dir)
-            .select(key, part_col)
-            .join(F.broadcast(batch.select(key)), key, "left_semi")
-            .agg(
-                F.countDistinct(key).alias("n"),
-                F.collect_set(part_col).alias("parts"),
+        ts = tombstones(spark, index_dir)
+        if drop_keys is None:
+            # slim (key, part) scan to locate standing rows of the batch
+            # keys — bounded result: |batch keys| × (physical dup rows,
+            # normally 1); one aggregate job for the replace count + old
+            # partitions
+            lrow = (
+                spark.read.option("basePath", index_dir)
+                .parquet(index_dir)
+                .select(key, part_col)
+                .join(F.broadcast(batch.select(key)), key, "left_semi")
+                .agg(
+                    F.countDistinct(key).alias("n"),
+                    F.collect_set(part_col).alias("parts"),
+                )
+                .first()
             )
-            .first()
-        )
-        n_replaced = int(lrow["n"])
-        old_parts = list(lrow["parts"])
+            n_replaced = int(lrow["n"])
+            old_parts = list(lrow["parts"])
+            exclkeys = batch.select(key)
+        else:
+            # COMBINED slim scan: one flagged key frame locates BOTH key
+            # sets' standing rows in the same single aggregate job the
+            # upsert already paid — replace count, delete counts, and
+            # the union of old partitions all ride it. Tombstone status
+            # folds in as a broadcast left join so n_deleted matches
+            # delete_keys' contract (physically present AND not already
+            # tombstoned) without a second job.
+            drop = drop_keys.select(key).dropDuplicates([key])
+            allkeys = (
+                batch.select(key)
+                .withColumn("_del", F.lit(False))
+                .unionByName(drop.withColumn("_del", F.lit(True)))
+            )
+            slim = (
+                spark.read.option("basePath", index_dir)
+                .parquet(index_dir)
+                .select(key, part_col)
+                .join(F.broadcast(allkeys), key)
+            )
+            if ts is not None:
+                slim = slim.join(
+                    F.broadcast(
+                        ts.select(key).withColumn("_tomb", F.lit(True))
+                    ),
+                    key,
+                    "left",
+                )
+            else:
+                slim = slim.withColumn("_tomb", F.lit(None).cast("boolean"))
+            lrow = slim.agg(
+                F.countDistinct(
+                    F.when(~F.col("_del"), F.col(key))
+                ).alias("n_rep"),
+                F.countDistinct(
+                    F.when(
+                        F.col("_del") & F.col("_tomb").isNull(), F.col(key)
+                    )
+                ).alias("n_del"),
+                F.countDistinct(
+                    F.when(F.col("_del"), F.col(key))
+                ).alias("n_del_any"),
+                F.collect_set(part_col).alias("parts"),
+            ).first()
+            n_replaced = int(lrow["n_rep"])
+            n_deleted = int(lrow["n_del"])
+            old_parts = list(lrow["parts"])
+            if n_batch == 0 and int(lrow["n_del_any"]) == 0:
+                # all-delete sync whose keys are nowhere physical: the
+                # sequential path's no-op (absent keys record nothing)
+                return (0, 0, 0)
+            exclkeys = allkeys.select(key)
         touched = sorted(set(new_parts) | set(old_parts))
         keep = physical_pruned_scan(spark, index_dir, part_col, touched)
         rows = batch
         if keep is not None:
             rows = (
                 keep.select(*batch.columns)
-                .join(F.broadcast(batch.select(key)), key, "left_anti")
+                .join(F.broadcast(exclkeys), key, "left_anti")
                 .unionByName(batch)
             )
         tmp = f"{index_dir}{TMP_SUFFIX}"
@@ -581,18 +722,17 @@ def upsert_rows(
             d = p(f"{tmp}/{part_col}={v}")  # replaces, never skips, them
             if not fs.exists(d):
                 fs.mkdirs(d)
-        ts = tombstones(spark, index_dir)
         if ts is not None:
             doomed = ts.select(key).join(
-                F.broadcast(batch.select(key)), key, "left_semi"
+                F.broadcast(exclkeys), key, "left_semi"
             )
             if not doomed.isEmpty():
-                # resurrection: the filtered tombstone table swaps in as
-                # an artifact, atomically with the keys' new rows
+                # resurrection (batch keys) / physical removal (drop
+                # keys, whose rows this swap deletes): the filtered
+                # tombstone table swaps in as an artifact, atomically
+                # with the rewrite
                 (
-                    ts.join(
-                        F.broadcast(batch.select(key)), key, "left_anti"
-                    )
+                    ts.join(F.broadcast(exclkeys), key, "left_anti")
                     .coalesce(1)
                     .write.mode("overwrite")
                     .parquet(f"{tmp}/{TOMBSTONE_DIR}")
@@ -617,7 +757,7 @@ def upsert_rows(
                 else batch
             )
             keymap_record(spark, index_dir, krows, key, part_col, n_parts)
-        return (int(n_replaced), int(n_batch - n_replaced))
+        return (int(n_deleted), int(n_replaced), int(n_batch - n_replaced))
     finally:
         release(batch)
 
@@ -677,27 +817,32 @@ def keymap_record(
 
 
 def keymap_lookup(
-    spark: SparkSession, index_dir: str, request: DataFrame, key: str
+    spark: SparkSession,
+    index_dir: str,
+    request: DataFrame,
+    key: str,
+    kbkts: list[int] | None = None,
 ):
     """(key, part) rows for the request keys recorded in the map, pruned
     to the request's ``kbkt=`` dirs — O(request) listing, never a full
     map scan. None when the index carries no map (caller falls back to
-    the bare-key path)."""
+    the bare-key path). ``kbkts``: the request's keymap-bucket ids when
+    the caller already observed them on its request checkpoint
+    (delete_keys_by_map does — zero extra jobs); computed here otherwise
+    via a bounded observed collect_set (never a bare per-row collect,
+    whose driver footprint scales with |request| — round-14 advice,
+    'medium' item #2)."""
     from pyspark.sql import functions as F
 
     fs, p = _fs(spark, index_dir)
     km = f"{index_dir}/{KEYMAP_DIR}"
     if not fs.exists(p(km)):
         return None
-    # distinct on the DRIVER: the request frame is checkpointed and
-    # batch-bounded, so the plain collect is one job over the checkpoint
-    # blocks where distinct() paid a shuffle (2 jobs) per lookup (batch 6)
-    kbkts = sorted(
-        {
-            r[0]
-            for r in request.select(_keymap_bucket(key).alias("kb")).collect()
-        }
-    )
+    if kbkts is None:
+        from bert_etl_spark.functions.observe import observed_distinct
+
+        kbkts = observed_distinct(request, _keymap_bucket(key))
+    kbkts = sorted(set(kbkts))
     scan = physical_pruned_scan(spark, km, "kbkt", kbkts)
     if scan is None:  # map exists but holds none of the request buckets
         return request.select(key).limit(0)
@@ -736,12 +881,21 @@ def delete_keys_by_map(
         request = (
             keys.select(key)
             .dropDuplicates([key])
-            .observe(req_obs, F.count(F.lit(1)).alias("n"))
+            .observe(
+                req_obs,
+                F.count(F.lit(1)).alias("n"),
+                # the keymap-bucket set rides the same checkpoint job —
+                # keymap_lookup then never collects per-row values
+                # (bounded ≤ KEYMAP_BUCKETS ints; round-14 advice #2)
+                F.collect_set(_keymap_bucket(key)).alias("kbkts"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_request = int(req_obs.get["n"])
+        got = req_obs.get
+        n_request = int(got["n"])
+        req_kbkts = list(got["kbkts"])
     try:
-        mapped = keymap_lookup(spark, index_dir, request, key)
+        mapped = keymap_lookup(spark, index_dir, request, key, kbkts=req_kbkts)
         if mapped is None:
             return delete_keys(
                 spark, index_dir, marker_name, expected, request, key=key

@@ -263,6 +263,24 @@ def checkpoint_once(
     return out
 
 
+def release_shared_checkpoints() -> int:
+    """Drop every memoized ``checkpoint_once`` family table; returns how
+    many entries were dropped. For timing harnesses ONLY (bench.py clears
+    between its two timed passes so pass 2 times the family BUILDS cold —
+    min-of-2 then measures two honest builds instead of one build and one
+    warm reuse, the round-14 verdict's "warm-builder artifact").
+
+    Entries are popped WITHOUT eagerly unpersisting their checkpointed
+    RDD blocks, for the same reason checkpoint_invalidate doesn't: a
+    consumer frame returned to a caller may still reference the blocks,
+    and a lineage-truncated frame cannot recompute. Dropping the memo
+    reference lets the ContextCleaner reclaim the blocks once every
+    consumer reference is gone; the next builder call re-materializes."""
+    n = len(_SHARED_CHECKPOINTS)
+    _SHARED_CHECKPOINTS.clear()
+    return n
+
+
 def release_internals() -> int:
     """Unpersist every tracked per-query internal; returns how many.
 

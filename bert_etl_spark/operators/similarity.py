@@ -562,21 +562,7 @@ def ivf_index_upsert(
             f"but this build quantizes into {N_CENTROIDS} — rebuild or "
             "point at a fresh dir"
         )
-    cent_rows = read_codebook(spark, index_dir)
-    lbl = (
-        F.col("label").cast("int")
-        if "label" in batch.columns
-        else F.lit(None).cast("int")
-    )
-    assigned = (
-        batch.select("vec_id", lbl.alias("label"), F.col("embedding"))
-        .withColumn("e", as_double(F.col("embedding")))
-        .withColumn("nrm", l2_norm(F.col("e")))
-        .select(
-            "vec_id", "label", "e", "nrm",
-            _argmax_cell(cent_rows).cast("int").alias("cell"),
-        )
-    )
+    assigned = _ivf_upsert_assigned(spark, batch, index_dir)
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
@@ -586,6 +572,76 @@ def ivf_index_upsert(
         _IVF_MARKER,
         N_CENTROIDS,
         assigned,
+        "cell",
+        min(n_parts, N_CENTROIDS),
+        keymap=keymap_enabled(spark),
+    )
+
+
+def _ivf_upsert_assigned(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> DataFrame:
+    """The upsert batch assigned under the index's frozen quantizer —
+    shared by the keyed upsert and the combined upsert+delete verb."""
+    cent_rows = read_codebook(spark, index_dir)
+    lbl = (
+        F.col("label").cast("int")
+        if "label" in batch.columns
+        else F.lit(None).cast("int")
+    )
+    return (
+        batch.select("vec_id", lbl.alias("label"), F.col("embedding"))
+        .withColumn("e", as_double(F.col("embedding")))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .select(
+            "vec_id", "label", "e", "nrm",
+            _argmax_cell(cent_rows).cast("int").alias("cell"),
+        )
+    )
+
+
+def ivf_index_upsert_delete(
+    spark: SparkSession, batch: DataFrame, keys: DataFrame, index_dir: str
+) -> tuple[int, int, int]:
+    """Keyed upsert AND keyed delete against the standing durable IVF
+    index in ONE touched-partition rewrite and sentinel swap
+    (index_lifecycle.upsert_delete_rows) — the combined verb
+    cdc_index_sync routes its per-key argmax delta through: same end
+    state as ivf_index_delete followed by ivf_index_upsert (the two key
+    sets are disjoint by the argmax contract), half the per-sync verb
+    machinery (round-15). ``batch``: (vec_id, embedding[, label]);
+    ``keys``: any frame with a vec_id column. Returns
+    ``(n_deleted, n_replaced, n_inserted)``."""
+    from bert_etl_spark.operators.index_lifecycle import (
+        keymap_enabled,
+        open_index,
+        upsert_delete_rows,
+    )
+
+    marker = open_index(spark, index_dir, _IVF_MARKER, "cell")
+    if marker is None:
+        raise ValueError(
+            f"no standing IVF index at {index_dir} — build it first (set "
+            "spark.bert_etl.ivf.indexDir and run sim_ivf, or call "
+            "_ivf_assign)"
+        )
+    if marker != N_CENTROIDS:
+        raise ValueError(
+            f"IVF index at {index_dir} was built with {marker} centroids "
+            f"but this build quantizes into {N_CENTROIDS} — rebuild or "
+            "point at a fresh dir"
+        )
+    assigned = _ivf_upsert_assigned(spark, batch, index_dir)
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    return upsert_delete_rows(
+        spark,
+        index_dir,
+        _IVF_MARKER,
+        N_CENTROIDS,
+        assigned,
+        keys,
         "cell",
         min(n_parts, N_CENTROIDS),
         keymap=keymap_enabled(spark),
@@ -1737,11 +1793,16 @@ def _pq_codebook_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_pq_codebook(spark: SparkSession, index_dir: str) -> list:
     """The frozen PQ codebook rows (m, cid, cw), ordered (m, cid) —
     driver-side sort of the bounded (M×K unique-keyed) collect, same
-    3-jobs-per-call argument as read_codebook."""
-    rows = spark.read.parquet(
-        f"{index_dir}/{_PQ_CODEBOOK_DIR}/*.parquet"
-    ).collect()
-    return sorted(rows, key=lambda r: (r["m"], r["cid"]))
+    3-jobs-per-call argument as read_codebook, and the same listing-
+    token memo (round-15: repeat probes of an unchanged index pay zero
+    jobs re-reading the frozen artifact)."""
+    d = f"{index_dir}/{_PQ_CODEBOOK_DIR}"
+
+    def _load() -> list:
+        rows = spark.read.parquet(f"{d}/*.parquet").collect()
+        return sorted(rows, key=lambda r: (r["m"], r["cid"]))
+
+    return _memo_artifact(spark, d, "rows", _load)
 
 
 def _pq_codes_col(pq_rows: list) -> Column:
@@ -2581,16 +2642,24 @@ def _ivfpq_adc(
     # query-side ADC lookup table off the FROZEN PQ codebook: one row per
     # (q, m, codeword) = |Q| * M * K tiny rows
     pq_rows = read_pq_codebook(spark, index_dir)
+
     # VALUES inline table (JVM) — broadcast per probe, same rationale as
-    # _codebook_frame
-    cb = spark.sql(
-        "SELECT m, cid, cw FROM (VALUES "
-        + ",".join(
-            f"({int(r.m)}, {int(r.cid)}, "
-            f"array({','.join(_sql_num(x) for x in r.cw)}))"
-            for r in pq_rows
+    # _codebook_frame; parsed once per (session, artifact token), like
+    # the rows themselves (round-15 — the M×K×dsub literal parse was
+    # per-probe driver gap time)
+    def _build_cb() -> DataFrame:
+        return spark.sql(
+            "SELECT m, cid, cw FROM (VALUES "
+            + ",".join(
+                f"({int(r.m)}, {int(r.cid)}, "
+                f"array({','.join(_sql_num(x) for x in r.cw)}))"
+                for r in pq_rows
+            )
+            + ") AS t(m, cid, cw)"
         )
-        + ") AS t(m, cid, cw)"
+
+    cb = _memo_artifact(
+        spark, f"{index_dir}/{_PQ_CODEBOOK_DIR}", "frame", _build_cb
     )
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
     qsub = qprep.select(F.col("vec_id").alias("q_id"), ms, F.col("e")).select(
@@ -3738,6 +3807,10 @@ def streaming_cdc_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).awaitTermination()
 
         def sync() -> tuple:
+            # the COMBINED verb: both key sets land in one touched-
+            # partition rewrite + swap (upsert_delete_rows) — half the
+            # per-sync machinery of the sequential delete-then-upsert
+            # (round-15; same end state, certified by this oracle)
             return cdc_index_sync(
                 spark,
                 state,
@@ -3745,6 +3818,9 @@ def streaming_cdc_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda b: ivf_index_upsert(spark, b, idx),
                 lambda ks: ivf_index_delete(spark, ks, idx),
                 payload_cols=("embedding", "label"),
+                upsert_delete=lambda b, ks: ivf_index_upsert_delete(
+                    spark, b, ks, idx
+                ),
             )
 
         drain(batch1, "in1", "ck1")
@@ -3903,17 +3979,25 @@ def _codebook_frame(spark: SparkSession, index_dir: str) -> DataFrame | None:
         return None
     if not rows:
         return None
+
     # SQL VALUES inline table (pure JVM), not createDataFrame: this frame
     # is broadcast on every probe, and a Python-parallelized local
-    # relation pays the worker round trip each time (round-14 §4)
-    vals = ",".join(
-        f"({int(r.cid)}, array({','.join(_sql_num(x) for x in r.ce)}))"
-        for r in rows
-    )
-    return spark.sql(
-        f"SELECT CAST(cid AS BIGINT) AS cid, ce "
-        f"FROM (VALUES {vals}) AS t(cid, ce)"
-    )
+    # relation pays the worker round trip each time (round-14 §4). The
+    # parsed frame is memoized against the same listing token as the
+    # rows (round-15): the ~|C|×dim-literal VALUES parse is driver-side
+    # gap time on every probe otherwise, and the plan is pure literals —
+    # session-independent within the app.
+    def _build() -> DataFrame:
+        vals = ",".join(
+            f"({int(r.cid)}, array({','.join(_sql_num(x) for x in r.ce)}))"
+            for r in rows
+        )
+        return spark.sql(
+            f"SELECT CAST(cid AS BIGINT) AS cid, ce "
+            f"FROM (VALUES {vals}) AS t(cid, ce)"
+        )
+
+    return _memo_artifact(spark, f"{index_dir}/_codebook", "frame", _build)
 
 
 def _maxsim_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4020,6 +4104,48 @@ def _write_codebook(
     cent.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_codebook")
 
 
+# Session-scoped memo for frozen-ARTIFACT reads (codebooks), validated
+# by a driver-side FS listing token — see _memo_artifact. Bounded: one
+# entry per (index dir, kind) the session touches, each ≤ |C| (or M×K)
+# driver rows.
+_ARTIFACT_MEMO: dict[tuple, tuple] = {}
+
+
+def _memo_artifact(spark: SparkSession, dir_path: str, kind: str, load):
+    """Memoize ``load()`` per (SparkContext, artifact dir, kind),
+    VALIDATED per call by a driver-side FS listing of the dir's data
+    files — (name, length, mtime) per file, one glob, zero Spark jobs.
+    Every verb call was re-collecting the same frozen codebook (one
+    driver-synchronous Spark job per call) and re-parsing the same
+    inline-table plan; the probe path paid that as pure inter-job gap
+    time (round-14 verdict, 'next round' item #4). A rebuild/refresh
+    rewrites the artifact files (fresh part-file names under
+    mode=overwrite), so the token changes and the memo reloads — no
+    invalidation hooks to forget, no staleness window. This memoizes
+    the ARTIFACT of a standing index (the index's own files are the
+    source of truth, revalidated per call), never query results."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/*.parquet")
+    st = p.getFileSystem(hconf).globStatus(p)
+    token = tuple(
+        (s.getPath().getName(), s.getLen(), s.getModificationTime())
+        for s in ([] if st is None else st)
+    )
+    # prune memos from stopped SparkContexts (the checkpoint_once idiom)
+    for stale in [k for k in _ARTIFACT_MEMO if k[0] != app]:
+        del _ARTIFACT_MEMO[stale]
+    key = (app, dir_path, kind)
+    hit = _ARTIFACT_MEMO.get(key)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    value = load()
+    _ARTIFACT_MEMO[key] = (token, value)
+    return value
+
+
 def read_codebook(spark: SparkSession, index_dir: str) -> list:
     """The frozen codebook rows (cid, ce), ordered by cid. The glob reads
     the data files directly: pointing spark.read at the underscore-hidden
@@ -4027,9 +4153,16 @@ def read_codebook(spark: SparkSession, index_dir: str) -> list:
     per query. The order lives on the DRIVER (bounded ≤ |C| rows, unique
     int cid): a Spark orderBy here is a range exchange whose sampling +
     sort + take ran as 3 driver-synchronous jobs per call — per VERB
-    call, on every probe/ingest/rebuild (round-14 batch 6)."""
-    rows = spark.read.parquet(f"{index_dir}/_codebook/*.parquet").collect()
-    return sorted(rows, key=lambda r: r["cid"])
+    call, on every probe/ingest/rebuild (round-14 batch 6). Memoized per
+    (session, dir) against the files' listing token (_memo_artifact) so
+    repeat verb calls against an unchanged index pay zero jobs here."""
+    d = f"{index_dir}/_codebook"
+
+    def _load() -> list:
+        rows = spark.read.parquet(f"{d}/*.parquet").collect()
+        return sorted(rows, key=lambda r: r["cid"])
+
+    return _memo_artifact(spark, d, "rows", _load)
 
 
 def _maxsim_cells_scan(
@@ -4055,13 +4188,16 @@ def _maxsim_cells_scan(
 
 
 def _probed_cells(probes: DataFrame) -> list[int]:
-    """The distinct cell ids a query's probes touch — a bounded driver
-    collect (≤ |C| small ints; the ledger's touched-bucket idiom) that
-    lets the at-rest read prune at PATH ENUMERATION."""
-    # distinct on the DRIVER: the probe set is bounded (|Q| x nprobe
-    # rows), and a Spark distinct() here is a shuffle that ran as 2 more
-    # driver-synchronous jobs per probe call (batch 6)
-    return sorted({r["cell"] for r in probes.select("cell").collect()})
+    """The distinct cell ids a query's probes touch — collected to the
+    driver BOUNDED (≤ |C| small ints ride a shuffle-free noop scan as an
+    observed collect_set; the ledger's touched-bucket idiom) so the at-
+    rest read can prune at PATH ENUMERATION. One driver-synchronous job,
+    like the bare collect it replaces (a Spark distinct() here ran as 2
+    more jobs — round-14 batch 6), but driver memory no longer scales
+    with |Q| × nprobe probe rows (round-14 advice, 'medium' item #2)."""
+    from bert_etl_spark.functions.observe import observed_distinct
+
+    return observed_distinct(probes, "cell")
 
 
 def _maxsim_assign_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

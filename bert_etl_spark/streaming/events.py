@@ -799,12 +799,17 @@ def lsh_band_ledger_stream(
         t0 = _t.perf_counter()
         # touched buckets: metadata-scale (<= n_buckets distinct small
         # ints), and only computed when a committed prior epoch exists —
-        # the first epoch skips the job
-        touched = (
-            [r.bkt for r in bands.select("bkt").distinct().collect()]
-            if epochs
-            else []
-        )
+        # the first epoch skips the job. Observed collect_set on a
+        # shuffle-free noop scan (functions/observe.py): same single
+        # job, no dedup exchange, driver receives <= n_buckets ints
+        # regardless of batch size (round-15; it also materializes the
+        # bands persist exactly like the old distinct-collect did)
+        if epochs:
+            from bert_etl_spark.functions.observe import observed_distinct
+
+            touched = observed_distinct(bands, "bkt")
+        else:
+            touched = []
         _mark("touched_collect", t0)
         t0 = _t.perf_counter()
         ledger = ledger_probe(spark, ledger_dir, epoch_id, touched, epochs)
@@ -1104,12 +1109,16 @@ def cdc_lookup(
     if nb is None:
         raise ValueError(f"no applied CDC state under {state_dir}")
     req = keys.select("k").dropDuplicates(["k"])
-    # bucket distinct on the DRIVER: the request is bounded (a serving
-    # lookup), and a Spark distinct() on top of the key-dedup shuffle ran
-    # as 2 extra driver-synchronous jobs per lookup (round-14 batch 6)
-    bkts = sorted(
-        {r[0] for r in req.select(_cdc_bucket(nb).alias("b")).collect()}
-    )
+    # bucket set via an observed collect_set on a shuffle-free noop scan
+    # (functions/observe.py): one driver-synchronous job like the old
+    # bare collect (round-14 batch 6 removed the distinct()'s 2 extra
+    # jobs), but the driver now receives at most nb small ints instead
+    # of one row per request key — a BULK request (whole-tenant delete
+    # feed) no longer scales driver memory with |request| (round-14
+    # advice, 'medium' item #2)
+    from bert_etl_spark.functions.observe import observed_distinct
+
+    bkts = observed_distinct(keys, _cdc_bucket(nb))
     scan = physical_pruned_scan(
         spark, state_dir, "bkt", bkts, merge_schema=True
     )
@@ -1345,10 +1354,12 @@ def cdc_apply_stream(
     # 1m coalescing floor here (min 6.9 vs 7.4 s), session 3 re-measured
     # it on the CLONE session (apply_folded medians 9.08 -> 8.36) —
     # both subsumed by disabling AQE in the epoch. Scoped per epoch on
-    # BOTH sessions (the micro-batch frame is bound to the stream's
-    # CLONED session — outer-session confs never reach its executions,
-    # the reliable_metrics finding, batch 4 — while the in-path fold
-    # plans against the OUTER handle) and restored after. Opt back in
+    # the stream's CLONED session ONLY (the micro-batch frame is bound
+    # to the clone — outer-session confs never reach its executions,
+    # the reliable_metrics finding, batch 4 — and the in-path fold is
+    # routed through the clone too, so the outer SHARED session is
+    # never mutated: round-14 advice 'medium' item #1) and restored
+    # after. Opt back in
     # per deployment via spark.bert_etl.cdc.applyAdaptive=true (e.g. if
     # a deployment's epochs are large enough that AQE coalescing of the
     # epoch shuffles pays for its re-planning).
@@ -1363,21 +1374,24 @@ def cdc_apply_stream(
         if keep_aqe:
             _apply_inner(batch_df, epoch_id)
             return
-        sessions = {id(spark): spark}
-        sessions.setdefault(id(batch_df.sparkSession), batch_df.sparkSession)
-        prev = {
-            sid: s.conf.get(_AQE, None) for sid, s in sessions.items()
-        }
-        for s in sessions.values():
-            s.conf.set(_AQE, "false")
+        # toggle ONLY the stream's CLONED session — every epoch plan
+        # (the batch frame, its joins, the in-path fold, which
+        # _apply_inner routes through the clone) executes there, and the
+        # clone is private to this stream's serial foreachBatch lane.
+        # The outer SHARED session is never mutated: a concurrent query
+        # on it keeps AQE, and two apply streams can no longer
+        # interleave set/restore on the shared conf (round-14 advice,
+        # 'medium' item #1).
+        clone = batch_df.sparkSession
+        prev = clone.conf.get(_AQE, None)
+        clone.conf.set(_AQE, "false")
         try:
             _apply_inner(batch_df, epoch_id)
         finally:
-            for sid, s in sessions.items():
-                if prev[sid] is None:
-                    s.conf.unset(_AQE)
-                else:
-                    s.conf.set(_AQE, prev[sid])
+            if prev is None:
+                clone.conf.unset(_AQE)
+            else:
+                clone.conf.set(_AQE, prev)
 
     def _apply_inner(batch_df: DataFrame, epoch_id: int) -> None:
         nb = open_index(spark, state_dir, CDC_MARKER, "bkt")
@@ -1422,7 +1436,10 @@ def cdc_apply_stream(
         if not due and compact_when_log_files_over:
             due = _cdc_log_files(spark, state_dir) > compact_when_log_files_over
         if due:
-            cdc_compact_state(spark, state_dir)
+            # the fold runs on the CLONE session so the epoch's scoped
+            # confs (AQE off unless applyAdaptive) govern it without the
+            # outer shared session ever being mutated (_apply's scope)
+            cdc_compact_state(batch_df.sparkSession, state_dir)
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -1446,6 +1463,7 @@ def cdc_index_sync(
     delete,
     key_out: str = "vec_id",
     payload_cols: tuple = ("embedding",),
+    upsert_delete=None,
 ) -> tuple[int, int, int]:
     """Converge a durable index onto the CDC-maintained corpus — the
     end-to-end composition the two subsystems exist for: the op log is
@@ -1471,7 +1489,17 @@ def cdc_index_sync(
     pass of the (fold-bounded) op log. Single-writer against the index,
     like all maintenance verbs. ``upsert``/``delete`` are the family
     wrappers partially applied to the index dir, e.g.
-    ``lambda b: ivf_index_upsert(spark, b, idx)``."""
+    ``lambda b: ivf_index_upsert(spark, b, idx)``.
+
+    ``upsert_delete`` (optional): the family's COMBINED verb —
+    ``(batch, keys) -> (n_deleted, n_replaced, n_inserted)`` wrapping
+    index_lifecycle.upsert_delete_rows — which lands both key sets in
+    ONE touched-partition rewrite and sentinel swap instead of two
+    sequential verbs (half the per-sync machinery: one batch
+    checkpoint, one slim locate scan, one tmp rewrite — round-15).
+    Same end state by the combined verb's contract (the argmax delta's
+    key sets are disjoint); ``upsert``/``delete`` stay as the
+    sequential fallback for families without a combined wrapper."""
     from bert_etl_spark.functions.markers import read_int_marker, write_int_marker
     from bert_etl_spark.functions.release import release
 
@@ -1496,16 +1524,17 @@ def cdc_index_sync(
     try:
         if mx is None:
             return (0, 0, 0)
-        nd = delete(
-            delta.filter(F.col("op") == "D").select(
-                F.col("k").alias(key_out)
-            )
+        dels = delta.filter(F.col("op") == "D").select(
+            F.col("k").alias(key_out)
         )
-        nr, ni = upsert(
-            delta.filter(F.col("op") != "D").select(
-                F.col("k").alias(key_out), *payload_cols
-            )
+        ups = delta.filter(F.col("op") != "D").select(
+            F.col("k").alias(key_out), *payload_cols
         )
+        if upsert_delete is not None:
+            nd, nr, ni = upsert_delete(ups, dels)
+        else:
+            nd = delete(dels)
+            nr, ni = upsert(ups)
         write_int_marker(spark, f"{index_dir}/{CDC_SYNCED_SEQ}", int(mx))
         return (int(nd), int(nr), int(ni))
     finally:

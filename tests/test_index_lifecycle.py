@@ -2910,3 +2910,87 @@ def test_upsert_empty_dir_staging_survives_crash(spark, tmp_path, monkeypatch):
     assert after.count() == total
     assert after.filter(F.col("cell") == src_cell).count() == 0
     assert after.dropDuplicates(["vec_id"]).count() == total
+
+
+def test_ivf_upsert_delete_combined_one_swap(spark, tmp_path):
+    """upsert_delete_rows through the IVF combined wrapper (the
+    cdc_index_sync fast path, round-15): ONE rewrite/swap lands BOTH
+    key sets — drop keys physically removed with no tombstone recorded,
+    an existing key replaced in place, a fresh key inserted, a
+    tombstoned batch key resurrected, and a tombstoned drop key's
+    now-pointless tombstone cleared. Counts match the sequential
+    delete-then-upsert contract (n_deleted = physically present and not
+    already tombstoned), and a replay converges with n_deleted=0."""
+    idx = _mk_ivf_idx(spark, tmp_path, "ivf_upsdel")
+    emb = registry.tbl(spark, SF, "embeddings")
+    total = emb.count()
+    # pre-tombstone: 50 (resurrected by the upsert side below) and 60
+    # (dropped below — physically present but already tombstoned, so it
+    # must NOT count toward n_deleted)
+    dead = spark.createDataFrame([(50,), (60,)], "vec_id long")
+    assert sim.ivf_index_delete(spark, dead, idx) == 2
+    upd = emb.filter(F.col("vec_id") == 100).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + F.lit(7.25)).cast("float")
+        ).alias("embedding"),
+    )
+    ins = emb.filter(F.col("vec_id") == 100).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "label", "embedding"
+    )
+    res = emb.filter(F.col("vec_id") == 50).select(
+        "vec_id", "label", "embedding"
+    )
+    batch = upd.unionByName(ins).unionByName(res)
+    # drops: 40 live (counts), 60 tombstoned-but-physical (removed, not
+    # counted), 9_999_999 never ingested (no-op)
+    drops = spark.createDataFrame(
+        [(40,), (60,), (9_999_999,)], "vec_id long"
+    )
+    nd, nr, ni = sim.ivf_index_upsert_delete(spark, batch, drops, idx)
+    assert (nd, nr, ni) == (1, 2, 1)
+    phys = spark.read.option("basePath", idx).parquet(idx)
+    assert phys.filter(F.col("vec_id").isin(40, 60)).count() == 0  # gone
+    assert phys.filter(F.col("vec_id") == 100).count() == 1  # replaced
+    got = phys.filter(F.col("vec_id") == 100).select("e").first()["e"]
+    want = [
+        float(x) + 7.25
+        for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]
+    ]
+    assert got == pytest.approx(want)
+    live = life.apply_tombstones(spark, idx, phys, "vec_id")
+    assert live.filter(F.col("vec_id") == 50).count() == 1  # resurrected
+    assert live.count() == total - 2 + 1
+    # every standing tombstone was cleared in the staged artifact: 50
+    # resurrected, 60 physically removed; no NEW tombstone for the drops
+    ts = life.tombstones(spark, idx)
+    assert ts is None or ts.count() == 0
+    # replay of the identical sync delta: drops already absent (nd=0),
+    # batch keys all standing (3 replaced, 0 inserted) — same end state
+    nd2, nr2, ni2 = sim.ivf_index_upsert_delete(spark, batch, drops, idx)
+    assert (nd2, nr2, ni2) == (0, 3, 0)
+    live2 = life.apply_tombstones(
+        spark,
+        idx,
+        spark.read.option("basePath", idx).parquet(idx),
+        "vec_id",
+    )
+    assert live2.count() == total - 2 + 1
+    # all-delete sync (empty batch, absent keys): the documented no-op
+    assert sim.ivf_index_upsert_delete(
+        spark, batch.limit(0), drops, idx
+    ) == (0, 0, 0)
+
+
+def test_observed_distinct_bounded_and_exact(spark):
+    """functions/observe.observed_distinct: the distinct value set of a
+    column rides a noop scan as an observed collect_set — exact on
+    duplicates, works with a Column expression, and returns [] for an
+    empty frame (the reliable_metrics empty-subtree case)."""
+    from bert_etl_spark.functions.observe import observed_distinct
+
+    df = spark.range(0, 1000).selectExpr("id % 7 AS v", "id AS k")
+    assert observed_distinct(df, "v") == list(range(7))
+    assert observed_distinct(df, F.pmod(F.col("k"), F.lit(3))) == [0, 1, 2]
+    assert observed_distinct(df.filter("k < 0"), "v") == []
