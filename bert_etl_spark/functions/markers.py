@@ -34,15 +34,25 @@ def read_int_marker(spark: SparkSession, path: str) -> int | None:
     """The integer stamped at ``path``, or None if the marker does not
     exist. A marker that exists but does not parse raises with the path
     and raw content — the caller's layout contract is broken, not a bug
-    in the caller."""
-    fs, p, jvm = _fs_path(spark, path)
-    if not fs.exists(p):
+    in the caller. Reads take the local-FS fast path when the path is
+    local (functions/fsfast — marker reads run per micro-batch epoch
+    and per verb tripwire, and the Hadoop route costs 3 JVM round trips
+    each; writes stay on the Hadoop path for one atomic-rename
+    implementation)."""
+    from bert_etl_spark.functions.fsfast import NOT_LOCAL, read_small_file
+
+    txt = read_small_file(path)
+    if txt is NOT_LOCAL:
+        fs, p, jvm = _fs_path(spark, path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+    if txt is None:
         return None
-    stream = fs.open(p)
-    try:
-        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
     try:
         return int(txt.strip())
     except ValueError:
@@ -75,7 +85,12 @@ def write_int_marker(spark: SparkSession, path: str, value: int) -> None:
 def read_text_marker(spark: SparkSession, path: str) -> str | None:
     """The text stamped at ``path`` (e.g. a schema DDL artifact), or None
     if it does not exist — the string twin of read_int_marker, same
-    atomic-rename write contract."""
+    atomic-rename write contract and same local-FS read fast path."""
+    from bert_etl_spark.functions.fsfast import NOT_LOCAL, read_small_file
+
+    txt = read_small_file(path)
+    if txt is not NOT_LOCAL:
+        return txt
     fs, p, jvm = _fs_path(spark, path)
     if not fs.exists(p):
         return None

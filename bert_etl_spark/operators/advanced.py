@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from bert_etl_spark.functions.release import release
+from bert_etl_spark.operators.index_lifecycle import read_with_cached_schema
 from bert_etl_spark.operators.dedup import (
     COSINE_THRESHOLD,
     JACCARD_THRESHOLD,
@@ -879,7 +880,9 @@ def _edges_at_rest_plan(spark: SparkSession, edge_dir: str) -> DataFrame:
     return apply_tombstones(
         spark,
         edge_dir,
-        spark.read.option("basePath", edge_dir).parquet(edge_dir),
+        read_with_cached_schema(
+            spark, edge_dir, [edge_dir], base_path=edge_dir
+        ),
         key="pkey",
     ).select(
         F.col("u").cast("bigint").alias("u"),

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
 from bert_etl_spark.functions.localdf import local_frame
+from bert_etl_spark.operators.index_lifecycle import read_with_cached_schema
 from bert_etl_spark.operators.registry import (
     ALL_ORACLES,
     checkpoint_get,
@@ -440,7 +441,9 @@ def _ivf_assign(
             spark,
             index_dir,
             _ivf_index_columns(
-                spark.read.option("basePath", index_dir).parquet(index_dir)
+                read_with_cached_schema(
+                spark, index_dir, [index_dir], base_path=index_dir
+            )
             ),
         )
     hit = checkpoint_get(spark, "ivf_assign", sf_dir)
@@ -1102,7 +1105,9 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         index_dir,
         _lsh_index_columns(
-            spark.read.option("basePath", index_dir).parquet(index_dir)
+            read_with_cached_schema(
+                spark, index_dir, [index_dir], base_path=index_dir
+            )
         ),
     )
 
@@ -1355,7 +1360,9 @@ def simlsh_index_rebuild(
         if fs.exists(_p(tdir))
         else []
     )
-    phys = spark.read.option("basePath", index_dir).parquet(index_dir)
+    phys = read_with_cached_schema(
+                spark, index_dir, [index_dir], base_path=index_dir
+            )
     # NOT checkpointed: the live frame executes once, in the rewrite
     # (the rebuild-verb memory rule — never materialize the full index)
     live = apply_tombstones(spark, index_dir, phys, "vec_id").select(
@@ -2180,7 +2187,9 @@ def ivfpq_index_rebuild(
         if fs.exists(_p(tdir))
         else []
     )
-    phys = spark.read.option("basePath", index_dir).parquet(index_dir)
+    phys = read_with_cached_schema(
+                spark, index_dir, [index_dir], base_path=index_dir
+            )
     live = apply_tombstones(spark, index_dir, phys, "vec_id").select(
         "vec_id", "label", "codes"
     )
@@ -2447,7 +2456,9 @@ def _vector_index_rebuild(
         if fs.exists(_p(tdir))
         else []
     )
-    phys = spark.read.option("basePath", index_dir).parquet(index_dir)
+    phys = read_with_cached_schema(
+                spark, index_dir, [index_dir], base_path=index_dir
+            )
     # NOT checkpointed: materializing the full live index into executor
     # blocks is the memory hazard a 100 TB rebuild cannot afford — the
     # two actions below (a slim seed TakeOrdered and the rewrite) each
@@ -3500,7 +3511,7 @@ def sim_lsh_rebuild_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lsh_index_columns(
             scan
             if scan is not None
-            else spark.read.option("basePath", idx).parquet(idx)
+            else read_with_cached_schema(spark, idx, [idx], base_path=idx)
         ),
     )
     cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
@@ -4088,7 +4099,9 @@ def _maxsim_assign_at_rest(
         spark,
         index_dir,
         _index_columns(
-            spark.read.option("basePath", index_dir).parquet(index_dir)
+            read_with_cached_schema(
+                spark, index_dir, [index_dir], base_path=index_dir
+            )
         ),
     )
 
@@ -4126,14 +4139,34 @@ def _memo_artifact(spark: SparkSession, dir_path: str, kind: str, load):
     source of truth, revalidated per call), never query results."""
     sc = spark.sparkContext
     app = sc.applicationId
-    jvm = sc._jvm
-    hconf = sc._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/*.parquet")
-    st = p.getFileSystem(hconf).globStatus(p)
-    token = tuple(
-        (s.getPath().getName(), s.getLen(), s.getModificationTime())
-        for s in ([] if st is None else st)
-    )
+    from bert_etl_spark.functions.fsfast import local_path
+
+    lp = local_path(dir_path)
+    if lp is not None:
+        # local fast path: one os.scandir, no JVM round trips (the
+        # token check runs on every verb call)
+        import os
+
+        try:
+            with os.scandir(lp) as it:
+                token = tuple(
+                    sorted(
+                        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                        for e in it
+                        if e.name.endswith(".parquet")
+                    )
+                )
+        except FileNotFoundError:
+            token = ()
+    else:
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/*.parquet")
+        st = p.getFileSystem(hconf).globStatus(p)
+        token = tuple(
+            (s.getPath().getName(), s.getLen(), s.getModificationTime())
+            for s in ([] if st is None else st)
+        )
     # prune memos from stopped SparkContexts (the checkpoint_once idiom)
     for stale in [k for k in _ARTIFACT_MEMO if k[0] != app]:
         del _ARTIFACT_MEMO[stale]

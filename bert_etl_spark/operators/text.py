@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bert_etl_spark.functions.deterministic import dsum, sql_dsum
 from bert_etl_spark.functions.localdf import local_frame
+from bert_etl_spark.operators.index_lifecycle import read_with_cached_schema
 from bert_etl_spark.operators.dedup import shingles_df, tokenize
 from bert_etl_spark.operators.registry import persist_once, query, spread, tbl
 
@@ -1373,7 +1374,9 @@ def _postings_plan(docs: DataFrame) -> DataFrame:
 
 def _write_collection_stats(spark: SparkSession, index_dir: str) -> None:
     """Freeze (n_docs, avgdl) from the postings just written."""
-    table = spark.read.option("basePath", index_dir).parquet(index_dir)
+    table = read_with_cached_schema(
+            spark, index_dir, [index_dir], base_path=index_dir
+        )
     stats = table.select("doc_id", "dl").distinct().agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -1574,7 +1577,9 @@ def bm25_scores_indexed(
         scan = apply_tombstones(
             spark,
             index_dir,
-            spark.read.option("basePath", index_dir).parquet(index_dir),
+            read_with_cached_schema(
+            spark, index_dir, [index_dir], base_path=index_dir
+        ),
             key="doc_id",
         )
     cand = scan.filter(F.col("token").isin(*BM25_TERMS))

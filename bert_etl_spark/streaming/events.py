@@ -378,9 +378,32 @@ def committed_prior_epochs(
     spark: SparkSession, ledger_dir: str, epoch_id: int
 ) -> list[int]:
     """Epoch ids with a committed (``_SUCCESS``) ledger partition below
-    ``epoch_id``. One cheap FS glob — callers check this BEFORE computing
-    the batch's touched-bucket list, so the very first epoch (and any
-    restart from an empty ledger) skips that job entirely."""
+    ``epoch_id``. One cheap FS listing — callers check this BEFORE
+    computing the batch's touched-bucket list, so the very first epoch
+    (and any restart from an empty ledger) skips that job entirely.
+    Local-FS fast path (functions/fsfast): this runs per micro-batch,
+    and the JVM glob cost ~5-10 ms/epoch in py4j round trips."""
+    from bert_etl_spark.functions.fsfast import local_path
+
+    lp = local_path(ledger_dir)
+    if lp is not None:
+        import os
+
+        try:
+            kids = os.listdir(lp)
+        except FileNotFoundError:
+            kids = []
+        committed = set()
+        for k in kids:
+            if not k.startswith("epoch="):
+                continue
+            try:
+                e = int(k.split("=", 1)[1])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(lp, k, "_SUCCESS")):
+                committed.add(e)
+        return sorted(e for e in committed if e < epoch_id)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/epoch=*/_SUCCESS")
@@ -425,21 +448,37 @@ def ledger_probe(
     query path itself: a size-tiered trailing run of at least N epochs is
     folded (never the whole history at once — _fold_suffix bounds the
     amortized fold cost to O(batch x log total))."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _glob(pattern: str):
-        p = jvm.org.apache.hadoop.fs.Path(pattern)
-        st = p.getFileSystem(hconf).globStatus(p)
-        return [] if st is None else [s.getPath().toString() for s in st]
-
     if epochs is None:
         epochs = committed_prior_epochs(spark, ledger_dir, epoch_id)
     if not epochs or not touched_bkts:
         return None
-    bkts = "{" + ",".join(str(b) for b in sorted(set(touched_bkts))) + "}"
-    eps = "{" + ",".join(str(e) for e in epochs) + "}"
-    dirs = _glob(f"{ledger_dir}/epoch={eps}/bkt={bkts}")
+    from bert_etl_spark.functions.fsfast import local_path
+
+    lp = local_path(ledger_dir)
+    if lp is not None:
+        # local fast path: |epochs|×|touched| isdir probes are
+        # microseconds; the JVM brace-glob was one more per-epoch py4j
+        # round trip (functions/fsfast rationale)
+        import os
+
+        dirs = [
+            f"{ledger_dir}/epoch={e}/bkt={b}"
+            for e in epochs
+            for b in sorted(set(touched_bkts))
+            if os.path.isdir(os.path.join(lp, f"epoch={e}", f"bkt={b}"))
+        ]
+    else:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        pat = (
+            f"{ledger_dir}/epoch="
+            + "{" + ",".join(str(e) for e in epochs) + "}"
+            + "/bkt="
+            + "{" + ",".join(str(b) for b in sorted(set(touched_bkts))) + "}"
+        )
+        p = jvm.org.apache.hadoop.fs.Path(pat)
+        st = p.getFileSystem(hconf).globStatus(p)
+        dirs = [] if st is None else [s.getPath().toString() for s in st]
     if not dirs:
         return None
     # the partition predicates are already true by construction — kept as
@@ -567,23 +606,38 @@ def _recover_interrupted_compaction(spark: SparkSession, ledger_dir: str) -> int
     name). A temp dir WITHOUT ``_SUCCESS`` is a fold that died mid-write:
     its source epoch dirs are untouched, so the partial output is garbage
     and is deleted."""
+    from bert_etl_spark.functions.fsfast import listdir_names
+
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_compact_tmp_*")
-    fs = p.getFileSystem(hconf)
-    st = fs.globStatus(p)
+    fs = jvm.org.apache.hadoop.fs.Path(ledger_dir).getFileSystem(hconf)
+    # local fast path for the per-epoch "any leftover temp?" probe —
+    # the JVM glob cost one py4j round trip per micro-batch; recovery
+    # HANDLING below stays on the Hadoop FS either way
+    kids = listdir_names(ledger_dir)
+    if kids is not None:
+        tmp_names = [k for k in kids if k.startswith("_compact_tmp_")]
+    else:
+        p = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/_compact_tmp_*")
+        st = fs.globStatus(p)
+        tmp_names = (
+            []
+            if st is None
+            else [s.getPath().getName() for s in st]
+        )
     handled = 0
-    for s in [] if st is None else st:
-        name = s.getPath().getName().split("_compact_tmp_")[-1]
+    for tmp_name in tmp_names:
+        sp = jvm.org.apache.hadoop.fs.Path(f"{ledger_dir}/{tmp_name}")
+        name = tmp_name.split("_compact_tmp_")[-1]
         parts = [int(x) for x in name.rsplit("_", 1)] if "_" in name.lstrip(
             "-"
         ) else [int(name)]
         through = parts[-1]
         if not fs.exists(
-            jvm.org.apache.hadoop.fs.Path(f"{s.getPath()}/_SUCCESS")
+            jvm.org.apache.hadoop.fs.Path(f"{sp}/_SUCCESS")
         ):
             # died mid-write: sources intact, partial output is garbage
-            fs.delete(s.getPath(), True)
+            fs.delete(sp, True)
             handled += 1
             continue
         if len(parts) == 1:
@@ -1018,12 +1072,19 @@ def _cdc_read_log(spark: SparkSession, state_dir: str) -> DataFrame | None:
     surface the new column as NULL (the source_schema_evolution
     contract). Footer cost is O(log files) and the fold resets that to
     one per bucket."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/bkt=*")
-    st = p.getFileSystem(hconf).globStatus(p)
-    if st is None or len(st) == 0:
-        return None
+    from bert_etl_spark.functions.fsfast import listdir_names
+
+    names = listdir_names(state_dir)
+    if names is not None:
+        if not any(n.startswith("bkt=") for n in names):
+            return None
+    else:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/bkt=*")
+        st = p.getFileSystem(hconf).globStatus(p)
+        if st is None or len(st) == 0:
+            return None
     return (
         spark.read.option("basePath", state_dir)
         .option("mergeSchema", "true")
@@ -1134,7 +1195,28 @@ def cdc_lookup(
 def _cdc_log_files(spark: SparkSession, state_dir: str) -> int:
     """Total data files across the log's bucket dirs — one driver-side FS
     glob, the compaction-debt signal (every appended epoch adds one file
-    per touched bucket; the fold resets to one per bucket)."""
+    per touched bucket; the fold resets to one per bucket). Local-FS
+    fast path: runs per epoch when the file-debt trigger is set."""
+    from bert_etl_spark.functions.fsfast import local_path
+
+    lp = local_path(state_dir)
+    if lp is not None:
+        import os
+
+        n = 0
+        try:
+            kids = os.listdir(lp)
+        except FileNotFoundError:
+            return 0
+        for k in kids:
+            if not k.startswith("bkt="):
+                continue
+            try:
+                names = os.listdir(os.path.join(lp, k))
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            n += sum(1 for f in names if not f.startswith(("_", ".")))
+        return n
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/bkt=*/*")

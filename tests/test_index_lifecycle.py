@@ -2994,3 +2994,26 @@ def test_observed_distinct_bounded_and_exact(spark):
     assert observed_distinct(df, "v") == list(range(7))
     assert observed_distinct(df, F.pmod(F.col("k"), F.lit(3))) == [0, 1, 2]
     assert observed_distinct(df.filter("k < 0"), "v") == []
+
+
+def test_schema_memo_caches_and_invalidates_on_rewrite(spark, tmp_path):
+    """read_with_cached_schema (round-15): the fixed-schema index
+    tables' parquet schema is inferred once per session and reused;
+    every rewrite COMMIT (finish_compaction_swap — all rewrite verbs
+    commit through it) invalidates, so a reader can never see a stale
+    schema after a migration-style rewrite."""
+    idx = _mk_ivf_idx(spark, tmp_path, "ivf_schema_memo")
+    app = spark.sparkContext.applicationId
+    life._SCHEMA_MEMO.pop((app, idx), None)
+    df1 = life.read_with_cached_schema(spark, idx, [idx], base_path=idx)
+    assert (app, idx) in life._SCHEMA_MEMO
+    n1 = df1.count()  # before the rewrite — df1's file listing goes
+    df2 = life.read_with_cached_schema(spark, idx, [idx], base_path=idx)
+    assert df2.schema == df1.schema
+    # a rewrite through the sentinel protocol drops the memo
+    sim.ivf_index_compact(spark, idx)
+    assert (app, idx) not in life._SCHEMA_MEMO
+    # and the post-rewrite read re-infers and still matches the data
+    df3 = life.read_with_cached_schema(spark, idx, [idx], base_path=idx)
+    assert {f.name for f in df3.schema} == {f.name for f in df1.schema}
+    assert df3.count() == n1
